@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Core relational operators from SURVEY.md §2.2–2.9, instantiated over the
+  * driver's TPC-H-ish tables. Each mirrors a concrete reference operator
+  * (file:line cited per query).
+  *
+  * Scale notes (100 TB design stance):
+  *  - dimension joins (`region`, `nation`, `supplier`) are `broadcast()` —
+  *    they stay tiny at any scale factor;
+  *  - fact⋈fact joins (`lineitem ⋈ orders`) shuffle on the join key, which
+  *    is also the natural bucketing key for a real deployment;
+  *  - the only global windows are the reference's own `DENSE_RANK() OVER
+  *    (ORDER BY …)` BI idiom, which ranks *aggregated* rows (cardinality =
+  *    |dimension|, not |fact|), so the single partition holds thousands of
+  *    rows even at 100 TB of fact data.
+  */
+object RelationalQueries extends QueryModule {
+  private val dec = DecimalType(18, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1 — global dense_rank ranking ("ranking papers by citation count",
+    // reference dags/sql/queries.sql:43-45).
+    "q05_rank_orders_by_price" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("o_totalprice").desc)))
+        .orderBy(col("ranking"), col("o_orderkey"))
+    }),
+
+    // J5+A1+A4+P7+W1 — star join, windowed count collapsed to group-agg,
+    // LIKE dim filter, dense_rank (queries.sql:4-11).
+    "q01_rank_customers_by_order_count" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name").like("%EU%"))
+      val o = Tables.orders(s, dir)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("n_orders").desc)))
+        .select(col("ranking"), col("c_name"), col("n_orders"))
+        .orderBy(col("ranking"), col("c_name"))
+    }),
+
+    // A2 analog — rank customers by total spend (queries.sql:14-21).
+    "q02_rank_customers_by_spend" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name").like("%EU%"))
+      val o = Tables.orders(s, dir)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("o_totalprice")).as("total_spend"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("total_spend").desc)))
+        .select(col("ranking"), col("c_name"), col("total_spend"))
+        .orderBy(col("ranking"), col("c_name"))
+    }),
+
+    // A1-A3 family — grouped aggregation with exact-decimal money math
+    // (TPC-H Q1 shape; reference windowed-agg queries.sql:50,59,70,79).
+    "agg_lineitem_pricing" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P1 — anchored regex predicate filter (withdrawn-paper analog,
+    // dags/transforms.py:8-16).
+    "p1_filter_regex" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(!col("text").rlike("^(key|data|table) "))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P4+P2 — length predicate + projection (dags/api_to_neo4j.py:126-129,
+    // transforms.py:39).
+    "p4_length_filter" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(length(col("text")) <= 300)
+        .select(col("doc_id"), length(col("text")).as("text_len"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // J3/J4 — anti-join (NOT EXISTS dedup-before-insert,
+    // dags/pop_DWH.py:190-205).
+    "j3_anti_join_parts_never_ordered" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val li = Tables.lineitem(s, dir)
+      p.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // J11 — IN-subquery semi-join decorrelated to left_semi
+    // (dags/pop_DWH.py:279-291).
+    "j11_semi_join_big_spenders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 40000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // U1 — UNION ALL row assembly (dags/pop_DWH.py:75,107-108).
+    "u1_union_all_names" -> ((s, dir) => {
+      val r = Tables.region(s, dir).select(col("r_name").as("name"))
+      val n = Tables.nation(s, dir).select(col("n_name").as("name"))
+      r.union(n).orderBy(col("name"))
+    }),
+
+    // O6 — keep-last dedup: latest event per user via row_number desc
+    // (transformations_largejson.ipynb cell 14).
+    "o6_latest_event_per_user" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W3 — running-sum frame (the g-index cumsum shape,
+    // dags/metrics.py:93-95).
+    "w3_running_sum_per_customer" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("cum_spend",
+          sum(col("o_totalprice").cast(dec)).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // D1 — dedup by derived normalized key, keep-first in deterministic
+    // order (dags/transforms.py:19-21 + F1 normalise).
+    "d1_dedup_keep_first" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("dedup_key", normalise(substring(col("text"), 1, 30)))
+      val w = Window.partitionBy(col("dedup_key")).orderBy(col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("dedup_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // D3 — deterministic surrogate-key minting: row_number over natural-key
+    // order (replaces Postgres SERIAL, dags/sql/DWH_tables.sql:12).
+    "d3_surrogate_keys" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source")).distinct()
+        .withColumn("skey", row_number().over(Window.orderBy(col("source"))))
+        .orderBy(col("skey"))
+    }),
+
+    // D2/J1 — dim upsert (insert-if-absent): existing dim UNION new natural
+    // keys anti-joined against it, surrogate keys continuing from max
+    // (dags/pop_DWH.py:157-205). "New" rows = suppliers appearing in
+    // lineitem, keyed by name, vs a dim seeded from the first 50 suppliers.
+    "d2_upsert_dim" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val dim = sup.filter(col("s_suppkey") < 50)
+        .select(col("s_name").as("name"))
+        .withColumn("skey", row_number().over(Window.orderBy(col("name"))))
+      val incoming = Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name").as("name")).distinct()
+      val fresh = incoming.join(dim, Seq("name"), "left_anti")
+        .withColumn("rk", row_number().over(Window.orderBy(col("name"))))
+      // |dim| upper bound by construction; a real upsert reads max(skey).
+      val maxKey = lit(50)
+      dim.select(col("name"), col("skey"))
+        .union(fresh.select(col("name"), (col("rk") + maxKey).as("skey")))
+        .orderBy(col("skey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q05_rank_orders_by_price" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       DENSE_RANK() OVER (ORDER BY o_totalprice DESC) AS ranking
+        |FROM orders ORDER BY ranking, o_orderkey""".stripMargin,
+
+    "q01_rank_customers_by_order_count" ->
+      """SELECT DENSE_RANK() OVER (ORDER BY n_orders DESC) AS ranking,
+        |       c_name, n_orders
+        |FROM (SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+        |      FROM customer c
+        |      JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |      JOIN region r ON n.n_regionkey = r.r_regionkey
+        |      JOIN orders o ON o.o_custkey = c.c_custkey
+        |      WHERE r.r_name LIKE '%EU%'
+        |      GROUP BY c.c_custkey, c.c_name)
+        |ORDER BY ranking, c_name""".stripMargin,
+
+    "q02_rank_customers_by_spend" ->
+      """SELECT DENSE_RANK() OVER (ORDER BY total_spend DESC) AS ranking,
+        |       c_name, total_spend
+        |FROM (SELECT c.c_custkey, c.c_name,
+        |             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |      FROM customer c
+        |      JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |      JOIN region r ON n.n_regionkey = r.r_regionkey
+        |      JOIN orders o ON o.o_custkey = c.c_custkey
+        |      WHERE r.r_name LIKE '%EU%'
+        |      GROUP BY c.c_custkey, c.c_name)
+        |ORDER BY ranking, c_name""".stripMargin,
+
+    "agg_lineitem_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p1_filter_regex" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT regexp_matches(text, '^(key|data|table) ')
+        |ORDER BY doc_id""".stripMargin,
+
+    "p4_length_filter" ->
+      """SELECT doc_id, length(text) AS text_len, lang FROM documents
+        |WHERE length(text) <= 300 ORDER BY doc_id""".stripMargin,
+
+    "j3_anti_join_parts_never_ordered" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j11_semi_join_big_spenders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 40000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "u1_union_all_names" ->
+      """SELECT r_name AS name FROM region
+        |UNION ALL SELECT n_name AS name FROM nation
+        |ORDER BY name""".stripMargin,
+
+    "o6_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "w3_running_sum_per_customer" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "d1_dedup_keep_first" ->
+      """SELECT doc_id, dedup_key
+        |FROM (SELECT doc_id,
+        |             lower(regexp_replace(substr(text, 1, 30), '[^a-zA-Z0-9]', '', 'g')) AS dedup_key,
+        |             ROW_NUMBER() OVER (
+        |               PARTITION BY lower(regexp_replace(substr(text, 1, 30), '[^a-zA-Z0-9]', '', 'g'))
+        |               ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "d3_surrogate_keys" ->
+      """SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS skey
+        |FROM (SELECT DISTINCT source FROM documents)
+        |ORDER BY skey""".stripMargin,
+
+    "d2_upsert_dim" ->
+      """WITH dim AS (
+        |  SELECT s_name AS name, ROW_NUMBER() OVER (ORDER BY s_name) AS skey
+        |  FROM supplier WHERE s_suppkey < 50),
+        |incoming AS (
+        |  SELECT DISTINCT s.s_name AS name
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |fresh AS (
+        |  SELECT i.name, ROW_NUMBER() OVER (ORDER BY i.name) AS rk
+        |  FROM incoming i WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.name = i.name))
+        |SELECT name, skey FROM dim
+        |UNION ALL SELECT name, rk + 50 AS skey FROM fresh
+        |ORDER BY skey""".stripMargin
+  )
+}
