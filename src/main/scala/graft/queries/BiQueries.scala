@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Bibliometrics
+import graft.functions.TextFns._
+
+/** The reference's 15 BI queries (`/root/reference/dags/sql/queries.sql`)
+  * restated over the TPC-H-ish star schema, same operator shapes:
+  * fact ⋈ bridge/dims → filter → group-agg (the windowed-agg + DISTINCT
+  * collapse idiom, authored as groupBy per SURVEY §2.4 A4) → dense_rank →
+  * order. Role mapping: customer=author, nation=affiliation,
+  * supplier=venue, year(o_orderdate)=dim_year, part type=domain,
+  * citations stand-in = lineitems per order.
+  *
+  * q01/q02/q05 live in [[RelationalQueries]]; this module adds q03–q04
+  * (bibliometric ranks), q06–q15, and the standalone metric operators
+  * A6/A7/A8.
+  */
+object BiQueries extends QueryModule {
+
+  /** Per-(customer, order) citation stand-in: lineitem count. */
+  private def orderCites(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderkey"))
+      .agg(count(lit(1)).as("cites"))
+
+  /** SQL twin of [[orderCites]], shared by the metric oracles. */
+  private val ocCte =
+    """oc AS (SELECT o_custkey, o_orderkey, COUNT(*) AS cites
+      |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |       GROUP BY o_custkey, o_orderkey)""".stripMargin
+
+  private val hCte =
+    s"""WITH $ocCte,
+       |h AS (SELECT o_custkey,
+       |             CAST(COALESCE(MAX(CASE WHEN cites >= rn THEN rn END), 0) AS INT) AS h_index
+       |      FROM (SELECT o_custkey, cites,
+       |                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |                     ORDER BY cites DESC, o_orderkey) AS rn FROM oc)
+       |      GROUP BY o_custkey)""".stripMargin
+
+  private val gCte =
+    s"""WITH $ocCte,
+       |g AS (SELECT o_custkey,
+       |             CAST(COALESCE(SUM(CASE WHEN cum >= rn * rn THEN 1 END), 0) AS INT) AS g_index
+       |      FROM (SELECT o_custkey, cites,
+       |                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |                     ORDER BY cites DESC, o_orderkey) AS rn,
+       |                   SUM(cites) OVER (PARTITION BY o_custkey
+       |                     ORDER BY cites DESC, o_orderkey
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |            FROM oc WHERE cites > 0)
+       |      GROUP BY o_custkey)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A6 — h-index as grouped window aggregate (metrics.py:137-143).
+    "m_hindex" -> ((s, dir) => {
+      Bibliometrics.hIndex(orderCites(s, dir),
+          col("o_custkey"), col("cites"), col("o_orderkey"))
+        .withColumnRenamed("grp", "o_custkey")
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A7 — g-index: running-sum frame vs rank² (metrics.py:91-96).
+    "m_gindex" -> ((s, dir) => {
+      Bibliometrics.gIndex(orderCites(s, dir),
+          col("o_custkey"), col("cites"), col("o_orderkey"))
+        .withColumnRenamed("grp", "o_custkey")
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A8 — Euclidean index sqrt(Σc²) (metrics.py:12-53).
+    "m_euclidean" -> ((s, dir) => {
+      Bibliometrics.euclidean(orderCites(s, dir), col("o_custkey"), col("cites"))
+        .withColumnRenamed("grp", "o_custkey")
+        .orderBy(col("o_custkey"))
+    }),
+
+    // queries.sql:24-32 — rank authors by h-index within a domain filter.
+    "q03_rank_customers_by_hindex" -> ((s, dir) => {
+      val h = Bibliometrics.hIndex(orderCites(s, dir),
+        col("o_custkey"), col("cites"), col("o_orderkey"))
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name").like("%1"))),
+          col("c_nationkey") === col("n_nationkey"))
+      cn.join(h, col("c_custkey") === col("grp"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("h_index").desc)))
+        .select(col("ranking"), col("h_index"), col("c_name"), col("n_name"))
+        .orderBy(col("ranking"), col("c_name"))
+    }),
+
+    // queries.sql:34-42 — rank authors by g-index.
+    "q04_rank_customers_by_gindex" -> ((s, dir) => {
+      val g = Bibliometrics.gIndex(orderCites(s, dir),
+        col("o_custkey"), col("cites"), col("o_orderkey"))
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name").like("%1"))),
+          col("c_nationkey") === col("n_nationkey"))
+      cn.join(g, col("c_custkey") === col("grp"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("g_index").desc)))
+        .select(col("ranking"), col("g_index"), col("c_name"), col("n_name"))
+        .orderBy(col("ranking"), col("c_name"))
+    }),
+
+    // queries.sql:48-54 — affiliation-leg rank by paper count, with the
+    // != 'Unknown' inequality predicate (P8).
+    "q06_rank_nations_by_order_count" -> ((s, dir) =>
+      nationAgg(s, dir, count(lit(1)).as("n_orders"), yearFilter = false)
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("n_orders").desc)))
+        .select(col("ranking"), col("n_name"), col("n_orders"))
+        .orderBy(col("ranking"), col("n_name"))),
+
+    // queries.sql:57-65 — same + publication-period range predicate (P9).
+    "q07_rank_nations_by_orders_period" -> ((s, dir) =>
+      nationAgg(s, dir, count(lit(1)).as("n_orders"), yearFilter = true)
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("n_orders").desc)))
+        .select(col("ranking"), col("n_name"), col("n_orders"))
+        .orderBy(col("ranking"), col("n_name"))),
+
+    // queries.sql:68-74 — affiliation-leg rank by total citations (SUM).
+    "q08_rank_nations_by_revenue" -> ((s, dir) =>
+      nationAgg(s, dir, dsum(col("o_totalprice")).as("revenue"), yearFilter = false)
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("revenue").desc)))
+        .select(col("ranking"), col("revenue"), col("n_name"))
+        .orderBy(col("ranking"), col("n_name"))),
+
+    // queries.sql:77-83 — ROUND(AVG(…)) per affiliation (A3+F12).
+    "q09_rank_nations_by_avg_order" -> ((s, dir) =>
+      nationAgg(s, dir, round(davg(col("o_totalprice"))).as("average"), yearFilter = false)
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("average").desc)))
+        .select(col("ranking"), col("n_name"), col("average"))
+        .orderBy(col("ranking"), col("n_name"))),
+
+    // queries.sql:86-90 — venue-leg rank by published-paper count.
+    "q10_rank_suppliers_by_item_count" -> ((s, dir) =>
+      supplierAgg(s, dir, count(lit(1)).as("n_items"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("n_items").desc)))
+        .select(col("ranking"), col("n_items"), col("s_name"))
+        .orderBy(col("ranking"), col("s_name"))),
+
+    // queries.sql:93-97 — venue-leg rank by total citations.
+    "q11_rank_suppliers_by_revenue" -> ((s, dir) =>
+      supplierAgg(s, dir, dsum(col("l_extendedprice")).as("revenue"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("revenue").desc)))
+        .select(col("ranking"), col("revenue"), col("s_name"))
+        .orderBy(col("ranking"), col("s_name"))),
+
+    // queries.sql:100-104 — venue-leg ROUND(AVG(…)).
+    "q12_rank_suppliers_by_avg_price" -> ((s, dir) =>
+      supplierAgg(s, dir, round(davg(col("l_extendedprice"))).as("average"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("average").desc)))
+        .select(col("ranking"), col("average"), col("s_name"))
+        .orderBy(col("ranking"), col("s_name"))),
+
+    // queries.sql:107-113 — venue rank within a domain LIKE filter.
+    "q13_rank_suppliers_promo_parts" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_type").like("%PROMO%"))
+      val sup = Tables.supplier(s, dir)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("n_items").desc)))
+        .select(col("ranking"), col("n_items"), col("s_name"))
+        .orderBy(col("ranking"), col("s_name"))
+    }),
+
+    // queries.sql:116-120 — years with most papers (year-leg star join).
+    "q14_years_by_order_count" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("ranking",
+          dense_rank().over(Window.orderBy(col("n_orders").desc)))
+        .select(col("ranking"), col("n_orders"), col("order_year"))
+        .orderBy(col("ranking"), col("order_year"))
+    }),
+
+    // queries.sql:123-129 — histogram of domain-filtered papers over a
+    // year range, ordered by year ASC (O1).
+    "q15_promo_orders_histogram" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_type").like("%PROMO%"))
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")).between(1996, 1999))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("order_year"))
+    })
+  )
+
+  /** nation ⋈ customer ⋈ orders with the reference's 'Unknown' exclusion. */
+  private def nationAgg(s: SparkSession, dir: String,
+      agg: org.apache.spark.sql.Column, yearFilter: Boolean): DataFrame = {
+    val n = Tables.nation(s, dir).filter(col("n_name") =!= "NATION_0")
+    val o0 = Tables.orders(s, dir)
+    val o = if (yearFilter) o0.filter(year(col("o_orderdate")).between(1996, 1998)) else o0
+    Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(agg)
+  }
+
+  /** supplier ⋈ lineitem venue-leg aggregate. */
+  private def supplierAgg(s: SparkSession, dir: String,
+      agg: org.apache.spark.sql.Column): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(agg)
+
+  private def nationAggSql(aggExpr: String, yearPred: String): String =
+    s"""SELECT n.n_nationkey, n.n_name, $aggExpr
+       |FROM customer c
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN orders o ON o.o_custkey = c.c_custkey
+       |WHERE n.n_name <> 'NATION_0'$yearPred
+       |GROUP BY n.n_nationkey, n.n_name""".stripMargin
+
+  private val supplierAggSql =
+    """FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_suppkey, s.s_name""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "m_hindex" ->
+      s"""$hCte
+         |SELECT o_custkey, h_index FROM h ORDER BY o_custkey""".stripMargin,
+
+    "m_gindex" ->
+      s"""$gCte
+         |SELECT o_custkey, g_index FROM g ORDER BY o_custkey""".stripMargin,
+
+    "m_euclidean" ->
+      s"""WITH $ocCte
+         |SELECT o_custkey, sqrt(SUM(cites * cites)) AS euclidean_index
+         |FROM oc GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q03_rank_customers_by_hindex" ->
+      s"""$hCte
+         |SELECT DENSE_RANK() OVER (ORDER BY h_index DESC) AS ranking,
+         |       h_index, c_name, n_name
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN h ON c_custkey = o_custkey
+         |WHERE n_name LIKE '%1'
+         |ORDER BY ranking, c_name""".stripMargin,
+
+    "q04_rank_customers_by_gindex" ->
+      s"""$gCte
+         |SELECT DENSE_RANK() OVER (ORDER BY g_index DESC) AS ranking,
+         |       g_index, c_name, n_name
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN g ON c_custkey = o_custkey
+         |WHERE n_name LIKE '%1'
+         |ORDER BY ranking, c_name""".stripMargin,
+
+    "q06_rank_nations_by_order_count" ->
+      s"""SELECT DENSE_RANK() OVER (ORDER BY n_orders DESC) AS ranking, n_name, n_orders
+         |FROM (${nationAggSql("COUNT(*) AS n_orders", "")})
+         |ORDER BY ranking, n_name""".stripMargin,
+
+    "q07_rank_nations_by_orders_period" ->
+      s"""SELECT DENSE_RANK() OVER (ORDER BY n_orders DESC) AS ranking, n_name, n_orders
+         |FROM (${nationAggSql("COUNT(*) AS n_orders",
+              " AND year(o.o_orderdate) BETWEEN 1996 AND 1998")})
+         |ORDER BY ranking, n_name""".stripMargin,
+
+    "q08_rank_nations_by_revenue" ->
+      s"""SELECT DENSE_RANK() OVER (ORDER BY revenue DESC) AS ranking, revenue, n_name
+         |FROM (${nationAggSql(
+              "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue", "")})
+         |ORDER BY ranking, n_name""".stripMargin,
+
+    "q09_rank_nations_by_avg_order" ->
+      s"""SELECT DENSE_RANK() OVER (ORDER BY average DESC) AS ranking, n_name, average
+         |FROM (${nationAggSql(
+              "ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o.o_totalprice)) AS average", "")})
+         |ORDER BY ranking, n_name""".stripMargin,
+
+    "q10_rank_suppliers_by_item_count" ->
+      s"""SELECT DENSE_RANK() OVER (ORDER BY n_items DESC) AS ranking, n_items, s_name
+         |FROM (SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_items
+         |      $supplierAggSql)
+         |ORDER BY ranking, s_name""".stripMargin,
+
+    "q11_rank_suppliers_by_revenue" ->
+      s"""SELECT DENSE_RANK() OVER (ORDER BY revenue DESC) AS ranking, revenue, s_name
+         |FROM (SELECT s.s_suppkey, s.s_name,
+         |             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |      $supplierAggSql)
+         |ORDER BY ranking, s_name""".stripMargin,
+
+    "q12_rank_suppliers_by_avg_price" ->
+      s"""SELECT DENSE_RANK() OVER (ORDER BY average DESC) AS ranking, average, s_name
+         |FROM (SELECT s.s_suppkey, s.s_name,
+         |             ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_extendedprice)) AS average
+         |      $supplierAggSql)
+         |ORDER BY ranking, s_name""".stripMargin,
+
+    "q13_rank_suppliers_promo_parts" ->
+      """SELECT DENSE_RANK() OVER (ORDER BY n_items DESC) AS ranking, n_items, s_name
+        |FROM (SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_items
+        |      FROM lineitem l
+        |      JOIN part p ON l.l_partkey = p.p_partkey
+        |      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |      WHERE p.p_type LIKE '%PROMO%'
+        |      GROUP BY s.s_suppkey, s.s_name)
+        |ORDER BY ranking, s_name""".stripMargin,
+
+    "q14_years_by_order_count" ->
+      """SELECT DENSE_RANK() OVER (ORDER BY n_orders DESC) AS ranking,
+        |       n_orders, order_year
+        |FROM (SELECT year(o_orderdate) AS order_year, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY year(o_orderdate))
+        |ORDER BY ranking, order_year""".stripMargin,
+
+    "q15_promo_orders_histogram" ->
+      """SELECT year(o.o_orderdate) AS order_year, COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_type LIKE '%PROMO%'
+        |  AND year(o.o_orderdate) BETWEEN 1996 AND 1999
+        |GROUP BY year(o.o_orderdate)
+        |ORDER BY order_year""".stripMargin
+  )
+}
