@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (content-hash groupBy), MinHash+LSH near-dup, SimHash, and
+  * exact n-gram Jaccard — generalizing the reference's normalized-key
+  * dedup (`/root/reference/dags/transforms.py:19-21`) to fuzzy matching.
+  *
+  * Scale design:
+  *  - everything is hash-partitioned by doc or shingle key — no global
+  *    windows, no driver-side state;
+  *  - MinHash+LSH is the 100 TB path: |candidate pairs| scales with the
+  *    number of *actual* near-dups (band collisions), not |docs|²;
+  *  - exact Jaccard runs only on LSH candidates (or, in
+  *    [[exactJaccardPairs]], over an inverted shingle index whose cost is
+  *    Σ_s df(s)² — use the long-shingle variant where df is small);
+  *  - hashes derive from md5 (not Murmur3 `hash()`) so results are
+  *    reproducible across engines — the DuckDB oracle re-derives them.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per content hash. One shuffle on
+    * the 128-bit content hash. */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(id)
+    df.withColumn("content_hash", md5(text))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Exploded distinct character-n-gram shingle set: (doc_id, s). */
+  def shingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), explode(shingles(lower(text), n)).as("s"))
+
+  /** MinHash signatures: k salted md5 hash functions, min over the shingle
+    * set. Output (doc_id, salt, mh) — long format so banding is a groupBy,
+    * not a pivot of k columns. */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val salts = sh.sparkSession.range(k).toDF("salt")
+    sh.crossJoin(broadcast(salts))
+      .groupBy(col("doc_id"), col("salt"))
+      .agg(min(md5Hash54(concat(col("salt").cast("string"), lit(":"), col("s"))))
+        .as("mh"))
+  }
+
+  /** LSH banding with 2 rows per band: docs sharing any full band become
+    * candidate pairs. Join key is (band, m0, m1) — a shuffle whose
+    * cardinality is |docs|·k/2, independent of |docs|². */
+  def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = sig
+      .withColumn("band", (col("salt") / 2).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(
+        min(when(col("salt") % 2 === 0, col("mh"))).as("m0"),
+        min(when(col("salt") % 2 === 1, col("mh"))).as("m1"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.m0") === col("b.m0") && col("a.m1") === col("b.m1") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs over a shingle set. */
+  def jaccardOnCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.s") === col("sa.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("na.doc_id") === col("doc_a"))
+      .join(sizes.as("nb"), col("nb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") * lit(1.0) /
+          (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
+  }
+
+  /** MinHash → LSH → exact-Jaccard near-dup pipeline. */
+  def nearDupPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, k: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, id, text, shingleN)
+    val cand = lshCandidates(minHashSignatures(sh, k))
+    jaccardOnCandidates(cand, sh)
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard via an inverted shingle index. Cost is
+    * Σ_s df(s)² — only viable when shingles are selective (long n-grams);
+    * the LSH pipeline is the scalable variant. */
+  def exactJaccardPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, id, text, shingleN)
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.as("na"), col("na.doc_id") === col("doc_a"))
+      .join(sizes.as("nb"), col("nb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") * lit(1.0) /
+          (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Number of SimHash bits (32 keeps the per-bit agg column count sane
+    * while giving byte-banding 4 bands). */
+  val simHashBits = 32
+
+  /** SimHash fingerprint per doc: per-bit majority vote over token hashes.
+    * One explode + one groupBy with 32 conditional sums — all codegen'd.
+    * Token hash is the engine-portable md5-derived 54-bit hash. */
+  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // Single-space split (not \s+) to match the SQL twin byte-for-byte.
+    val tok = df.select(id.as("doc_id"),
+        explode(array_distinct(
+          filter(split(lower(text), " "), t => length(t) > 0))).as("t"))
+      .withColumn("th", md5Hash54(col("t")))
+    val bitSums = (0 until simHashBits).map { j =>
+      sum(when(shiftright(col("th"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until simHashBits).map { j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SQL twin of [[simHash]] for the DuckDB oracle — generated from the
+    * same bit constants so the two can't drift. */
+  def simHashSql(table: String): String = {
+    val bitSums = (0 until simHashBits).map { j =>
+      s"SUM(CASE WHEN (th // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n             ")
+    val fp = (0 until simHashBits).map { j =>
+      s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, t
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM $table)
+       |  WHERE length(t) > 0),
+       |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT) AS th FROM tok),
+       |bits AS (SELECT doc_id,
+       |             $bitSums
+       |         FROM th GROUP BY doc_id)
+       |SELECT doc_id, $fp AS simhash FROM bits""".stripMargin
+  }
+}

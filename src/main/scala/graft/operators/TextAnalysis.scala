@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns.md5Hash54
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. All pure `Column` expressions — single narrow pass over
+  * the corpus, no shuffle except a final orderBy in the query layer, fully
+  * codegen'd. Every heuristic has an exact SQL twin (companion `*Sql`
+  * builders generate it from the same constants, so Spark and the DuckDB
+  * oracle cannot drift).
+  */
+object TextAnalysis {
+
+  /** Single-space tokenization, empties dropped — matches DuckDB
+    * `string_split(lower(text), ' ')` exactly. */
+  def toks(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+
+  // ---- token statistics ----------------------------------------------
+
+  def tokenStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(toks(text)).as("n_tokens"),
+      size(array_distinct(toks(text))).as("n_distinct"),
+      (aggregate(transform(toks(text), t => length(t)), lit(0),
+        (acc, x) => acc + x) * lit(1.0) / size(toks(text))).as("avg_token_len"))
+
+  def tokenStatsSql(table: String): String =
+    s"""SELECT doc_id,
+       |       len($toksSql) AS n_tokens,
+       |       len(list_distinct($toksSql)) AS n_distinct,
+       |       list_sum(list_transform($toksSql, t -> length(t))) * 1.0
+       |         / len($toksSql) AS avg_token_len
+       |FROM $table""".stripMargin
+
+  // ---- quality scoring -----------------------------------------------
+
+  /** Tiny fixed English stoplist — quality scoring wants "does this look
+    * like running prose", not full IR stopping. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Length / punctuation / stopword-ratio quality signals + a composite
+    * score in [0,1]: prose-like docs (moderate length, low punctuation,
+    * some stopwords) score high — the usual pre-training quality gate. */
+  def qualityScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val nChars = length(text)
+    val nAlnumSpace = length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    val punctRatio = (nChars - nAlnumSpace) * lit(1.0) / nChars
+    val t = toks(text)
+    val stopRatio = size(filter(t, x => x.isInCollection(stopwords))) *
+      lit(1.0) / size(t)
+    val lenScore = least(nChars * lit(1.0) / 200.0, lit(1.0))
+    val score = (lenScore + (lit(1.0) - punctRatio) + least(stopRatio * 5.0, lit(1.0))) / 3.0
+    df.select(id.as("doc_id"), nChars.as("n_chars_m"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  def qualityScoreSql(table: String): String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |       length(text) AS n_chars_m,
+       |       (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+       |         / length(text) AS punct_ratio,
+       |       len(list_filter($toksSql, x -> x IN ($stops))) * 1.0
+       |         / len($toksSql) AS stopword_ratio,
+       |       (least(length(text) * 1.0 / 200.0, 1.0)
+       |        + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text))
+       |        + least(len(list_filter($toksSql, x -> x IN ($stops))) * 1.0 / len($toksSql) * 5.0, 1.0)) / 3.0
+       |         AS quality_score
+       |FROM $table""".stripMargin
+  }
+
+  // ---- language identification ---------------------------------------
+
+  /** Distinctive function-word lists per language (public knowledge; the
+    * n-gram-heuristic shape of fastText-style lang-ID, reduced to exact
+    * token hits so the oracle can replicate it). CJK text short-circuits
+    * to zh via a codepoint-class test. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "dans", "pour"))
+
+  /** Predicts a language per doc: CJK chars → zh; else argmax of marker
+    * hits with ties broken by alphabetical language order (the `when`
+    * chain is ordered de<en<es<fr, identical in the SQL twin). */
+  def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = toks(text)
+    val scores = langMarkers.map { case (lang, ws) =>
+      lang -> size(filter(t, x => x.isInCollection(ws)))
+    }
+    val scored = df.select(
+      (Seq(id.as("doc_id"), text.as("text_m")) ++
+        scores.map { case (l, c) => c.as(s"s_$l") }): _*)
+    val best = scores.map(_._1).map(l => col(s"s_$l"))
+      .reduce((a, b) => greatest(a, b))
+    // First-match-wins tiebreak in fixed order de,en,es,fr — the SQL twin
+    // uses the same CASE order.
+    val predOrdered = when(col("text_m").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(col("s_de") === best && best > 0, "de")
+      .when(col("s_en") === best && best > 0, "en")
+      .when(col("s_es") === best && best > 0, "es")
+      .when(col("s_fr") === best && best > 0, "fr")
+      .otherwise("und")
+    scored.select(col("doc_id"), predOrdered.as("pred_lang"),
+      col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
+  }
+
+  def langIdSql(table: String): String = {
+    val scoreExprs = langMarkers.map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toksSql, x -> x IN ($list))) AS s_$lang"
+    }.mkString(",\n       ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |       $scoreExprs
+       |  FROM $table)
+       |SELECT doc_id,
+       |       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'de'
+       |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'en'
+       |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'es'
+       |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND greatest(s_de, s_en, s_es, s_fr) > 0 THEN 'fr'
+       |            ELSE 'und' END AS pred_lang,
+       |       s_de, s_en, s_es, s_fr
+       |FROM scored""".stripMargin
+  }
+
+  // ---- fingerprinting ------------------------------------------------
+
+  /** Content fingerprints: full-document md5 plus a winnowing-style
+    * min-hash over 8-gram windows (the rolling-hash fingerprint of
+    * MOSS/winnowing, with md5 standing in for the rolling hash so both
+    * engines derive identical values). */
+  def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val grams = graft.functions.TextFns.shingles(lower(text), 8)
+    df.select(
+      id.as("doc_id"),
+      md5(lower(text)).as("content_md5"),
+      array_min(transform(grams, g => md5Hash54(g))).as("min_gram_hash"))
+  }
+
+  def fingerprintSql(table: String): String =
+    s"""SELECT doc_id,
+       |       md5(lower(text)) AS content_md5,
+       |       list_min(list_transform(
+       |         list_distinct(list_filter(
+       |           list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+       |                          i -> substr(lower(text), CAST(i AS INT), 8)),
+       |           g -> length(g) = 8)),
+       |         g -> CAST(('0x' || substr(md5(g), 1, 14)) AS BIGINT))) AS min_gram_hash
+       |FROM $table""".stripMargin
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Training-data-pipeline text operators over `documents`: dedup family
+  * (exact, MinHash+LSH, SimHash, exact n-gram Jaccard), token stats,
+  * quality scoring, language ID, fingerprinting. Every oracle is generated
+  * from the same constants as the Spark implementation (see the `*Sql`
+  * builders in [[graft.operators.Dedup]] / [[graft.operators.TextAnalysis]]).
+  */
+object TextPipelineQueries extends QueryModule {
+
+  private val shingleN = 4   // near-dup shingle width
+  private val minhashK = 8   // signatures (4 bands × 2 rows)
+  private val nearDupThreshold = 0.8
+  private val exactN = 12    // selective shingles for the exact all-pairs path
+  private val exactThreshold = 0.6
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content hash (keep lowest doc_id per hash).
+    "dd_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash → LSH banding → exact-Jaccard verification (the 100 TB
+    // near-dup path).
+    "dd_minhash_lsh_neardup" -> ((s, dir) => {
+      Dedup.nearDupPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+        shingleN, minhashK, nearDupThreshold)
+    }),
+
+    // Exact all-pairs n-gram Jaccard over selective 12-gram shingles.
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      Dedup.exactJaccardPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), exactN, exactThreshold)
+    }),
+
+    // SimHash fingerprints (per-bit majority over token hashes).
+    "dd_simhash" -> ((s, dir) => {
+      Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting (whitespace tokenization).
+    "txt_token_stats" -> ((s, dir) => {
+      TextAnalysis.tokenStats(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/punctuation/stopword signals.
+    "txt_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID by function-word markers + CJK codepoint class.
+    "txt_langid" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: content md5 + winnowing-style min-gram hash.
+    "txt_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** Shared shingle CTE (DuckDB): distinct char n-grams. The constant
+    * 1000-row series bounds text length at oracle scale (sf0.01 max 553);
+    * the Spark side uses the true length via `sequence`. */
+  private def shCte(n: Int): String =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), $n) AS s
+       |       FROM documents, generate_series(1, 1000) t(i)
+       |       WHERE i <= length(text) - ${n - 1})""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact_dedup" ->
+      """SELECT doc_id, content_hash
+        |FROM (SELECT doc_id, md5(text) AS content_hash,
+        |             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dd_minhash_lsh_neardup" ->
+      s"""WITH ${shCte(shingleN)},
+         |salts AS (SELECT unnest(range(0, $minhashK)) AS salt),
+         |sig AS (SELECT doc_id, salt,
+         |               MIN(CAST(('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || s), 1, 14)) AS BIGINT)) AS mh
+         |        FROM sh, salts GROUP BY doc_id, salt),
+         |bands AS (SELECT doc_id, CAST(salt // 2 AS INT) AS band,
+         |                 MIN(CASE WHEN salt % 2 = 0 THEN mh END) AS m0,
+         |                 MIN(CASE WHEN salt % 2 = 1 THEN mh END) AS m1
+         |          FROM sig GROUP BY doc_id, CAST(salt // 2 AS INT)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         |          AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.doc_a
+         |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |       i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
+         |FROM inter i JOIN n na ON na.doc_id = i.doc_a
+         |             JOIN n nb ON nb.doc_id = i.doc_b
+         |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= $nearDupThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH ${shCte(exactN)},
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.doc_a, i.doc_b,
+         |       i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
+         |FROM inter i JOIN n na ON na.doc_id = i.doc_a
+         |             JOIN n nb ON nb.doc_id = i.doc_b
+         |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= $exactThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd_simhash" ->
+      (Dedup.simHashSql("documents") + "\nORDER BY doc_id"),
+
+    "txt_token_stats" ->
+      (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),
+
+    "txt_quality" ->
+      (TextAnalysis.qualityScoreSql("documents") + "\nORDER BY doc_id"),
+
+    "txt_langid" ->
+      (TextAnalysis.langIdSql("documents") + "\nORDER BY doc_id"),
+
+    "txt_fingerprint" ->
+      (TextAnalysis.fingerprintSql("documents") + "\nORDER BY doc_id")
+  )
+}
