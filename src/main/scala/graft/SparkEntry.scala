@@ -17,7 +17,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     BiQueries,
-    TextPipelineQueries
+    TextPipelineQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns.md5Hash54
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the correctness baseline, an IVF variant
+  * (centroid assignment + single-probe search) and a random-hyperplane
+  * LSH bucketing variant as the 100 TB scale paths.
+  *
+  * Numeric parity contract: all dot products run as *sequential*
+  * left-to-right folds over double-cast elements (`zip_with` +
+  * `aggregate`), which matches DuckDB's `list_dot_product` element order —
+  * so cosine scores are bit-identical across engines and the oracle can
+  * hash-compare them.
+  *
+  * Scale notes: brute force is O(|Q|·|N|·d) — fine when |Q| is small or as
+  * the per-bucket step after IVF/LSH pruning. The IVF path shuffles once
+  * on centroid id; buckets are the unit of parallelism. At real scale the
+  * centroid set comes from k-means; here it's a deterministic prefix of
+  * the corpus so the oracle can replicate it.
+  */
+object Similarity {
+
+  /** Cast float embedding to double — all downstream math in f64. */
+  def vecD(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product (order-stable, codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Brute-force cosine top-k: queries × corpus, ranked per query. */
+  def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** IVF centroid assignment: nearest (max-cosine) centroid per vector.
+    * Centroids = deterministic corpus prefix of size `nCentroids`. */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val c = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id"))
+    e.crossJoin(broadcast(c))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** IVF single-probe ANN: per query, search only its own centroid's
+    * bucket. Returns top-k per query (query's self-match excluded). */
+  def ivfTopK(emb: DataFrame, isQuery: Column, nCentroids: Int, k: Int): DataFrame = {
+    val assign = ivfAssign(emb, nCentroids)
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .join(assign, "vec_id")
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("centroid_id").as("qc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q).join(e, col("centroid_id") === col("qc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Random-hyperplane LSH bucket code (`nBits` sign bits). Hyperplane
+    * weights are integer-valued md5-derived pseudo-randoms in [-1000,1000]
+    * so the oracle derives the identical planes; the dot with an integer
+    * plane is still a sequential double fold. */
+  def lshBucket(v: Column, nBits: Int, dim: Int): Column = {
+    val codes = (0 until nBits).map { j =>
+      val plane = transform(sequence(lit(0), lit(dim - 1)),
+        i => (md5Hash54(concat(lit(s"$j:"), i.cast("string"))) % 2001 - 1000)
+          .cast("double"))
+      when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    codes.reduce(_ + _)
+  }
+
+  /** SQL twin of [[lshBucket]] over a column named `v` (double list). */
+  def lshBucketSql(nBits: Int, dim: Int): String =
+    (0 until nBits).map { j =>
+      val plane = s"list_transform(range(0, $dim), i -> CAST(CAST(('0x' || " +
+        s"substr(md5('$j:' || CAST(i AS VARCHAR)), 1, 14)) AS BIGINT) % 2001 - 1000 AS DOUBLE))"
+      s"(CASE WHEN list_dot_product(v, $plane) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** LSH near-dup: pairs sharing a bucket, verified by exact cosine. */
+  def lshNearPairs(emb: DataFrame, nBits: Int, dim: Int, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nBits, dim))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact embedding near-dup: all-pairs cosine above threshold (baseline
+    * for the LSH path; O(n²·d), test-scale only). */
+  def exactNearPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

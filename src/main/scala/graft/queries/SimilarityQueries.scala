@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Multimodal, Similarity}
+
+/** Embedding similarity search + multimodal column queries. Cosine values
+  * are bit-identical to DuckDB (sequential double folds both sides), so
+  * even the scores hash-match. `mm_decode_stub` has no SQL twin (the
+  * decode stub isn't SQL-expressible) → rows-only check + unit tests.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val nQueries = 20     // query set = vec_id < 20
+  private val topK = 5
+  private val nCentroids = 8
+  private val ivfK = 3
+  private val lshBits = 8
+  private val dim = 64
+  private val nearThreshold = 0.4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k (correctness baseline for ANN).
+    "sim_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+        col("vec_id") < nQueries, topK)),
+
+    // IVF: deterministic centroids, nearest-centroid assignment.
+    "sim_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.embeddings(s, dir), nCentroids)
+        .orderBy(col("vec_id"))),
+
+    // IVF single-probe ANN top-k.
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir),
+        col("vec_id") < nQueries, nCentroids, ivfK)),
+
+    // Random-hyperplane LSH buckets + cosine-verified near pairs.
+    "sim_lsh_near_pairs" -> ((s, dir) =>
+      Similarity.lshNearPairs(Tables.embeddings(s, dir), lshBits, dim, nearThreshold)),
+
+    // Exact all-pairs near-dup over embeddings (baseline for LSH).
+    "sim_exact_near_pairs" -> ((s, dir) =>
+      Similarity.exactNearPairs(Tables.embeddings(s, dir), nearThreshold)),
+
+    // Multimodal: binary payload + typed metadata, relational features.
+    "mm_media_table" -> ((s, dir) => {
+      val m = Multimodal.toMedia(Tables.documents(s, dir))
+      m.select(col("doc_id"), col("media_type"),
+          octet_length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal decode stub end-to-end (rows-only; see MultimodalSpec).
+    "mm_decode_stub" -> ((s, dir) =>
+      Multimodal.mediaFeatures(s, Tables.documents(s, dir))
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("checksum"), col("n_frames"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val eCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings)""".stripMargin
+
+  private def cosExpr(a: String, b: String): String =
+    s"list_dot_product($a.v, $b.v) / sqrt(list_dot_product($a.v, $a.v) * list_dot_product($b.v, $b.v))"
+
+  val oracle: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $nQueries),
+         |scored AS (SELECT q.query_id, e.vec_id, ${cosExpr("q", "e")} AS cos
+         |           FROM q JOIN e ON e.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, vec_id, cos,
+         |                  ROW_NUMBER() OVER (PARTITION BY query_id
+         |                    ORDER BY cos DESC, vec_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, cos
+         |FROM ranked WHERE rnk <= $topK
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ivf_assign" ->
+      s"""WITH $eCte,
+         |c AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < $nCentroids),
+         |scored AS (SELECT e.vec_id, c.centroid_id, ${cosExpr("e", "c")} AS cos
+         |           FROM e CROSS JOIN c),
+         |ranked AS (SELECT vec_id, centroid_id,
+         |                  ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                    ORDER BY cos DESC, centroid_id) AS rnk
+         |           FROM scored)
+         |SELECT vec_id, centroid_id FROM ranked WHERE rnk = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH $eCte,
+         |c AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < $nCentroids),
+         |scored AS (SELECT e.vec_id, c.centroid_id, ${cosExpr("e", "c")} AS cos
+         |           FROM e CROSS JOIN c),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |             SELECT vec_id, centroid_id,
+         |                    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                      ORDER BY cos DESC, centroid_id) AS rnk
+         |             FROM scored) WHERE rnk = 1),
+         |ea AS (SELECT e.vec_id, e.v, a.centroid_id
+         |       FROM e JOIN assign a ON a.vec_id = e.vec_id),
+         |q AS (SELECT vec_id AS query_id, v, centroid_id AS qc
+         |      FROM ea WHERE vec_id < $nQueries),
+         |cand AS (SELECT q.query_id, ea.vec_id, ${cosExpr("q", "ea")} AS cos
+         |         FROM q JOIN ea ON ea.centroid_id = q.qc
+         |                       AND ea.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, vec_id, cos,
+         |                  ROW_NUMBER() OVER (PARTITION BY query_id
+         |                    ORDER BY cos DESC, vec_id) AS rnk
+         |           FROM cand)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, cos
+         |FROM ranked WHERE rnk <= $ivfK
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_lsh_near_pairs" ->
+      s"""WITH $eCte,
+         |b AS (SELECT vec_id, v, ${Similarity.lshBucketSql(lshBits, dim)} AS bucket FROM e)
+         |SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b, ${cosExpr("a", "bb")} AS cos
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |WHERE ${cosExpr("a", "bb")} >= $nearThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_exact_near_pairs" ->
+      s"""WITH $eCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosExpr("a", "b")} AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosExpr("a", "b")} >= $nearThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "mm_media_table" ->
+      """SELECT doc_id,
+        |       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |       octet_length(encode(text)) AS byte_len,
+        |       md5(text) AS payload_md5,
+        |       CAST(n_chars % 640 AS INT) AS width,
+        |       CAST(n_chars % 480 AS INT) AS height,
+        |       CAST(n_chars * 40 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def embDf(vs: Seq[(Long, Seq[Float])]) =
+    vs.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK finds the exact nearest neighbor on a known set") {
+    // 2-d vectors: 0 and 1 nearly parallel; 2 orthogonal.
+    val e = embDf(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f), 3L -> Seq(-1f, 0f)))
+    val top = Similarity.bruteForceTopK(e, col("vec_id") === 0, 2).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(top.head.getDouble(3) > 0.99)
+  }
+
+  test("ivfTopK returns a subset of brute-force results (same bucket)") {
+    val rnd = new scala.util.Random(3)
+    val vs = (0L until 100L).map { i =>
+      i -> Seq.fill(16)(rnd.nextFloat() - 0.5f)
+    }
+    val e = embDf(vs)
+    val bf = Similarity.bruteForceTopK(e, col("vec_id") < 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, col("vec_id") < 5, 4, 3).collect()
+    // IVF prunes to one bucket: every hit must be a genuine neighbor pair
+    // ranked by the same cosine — so each (query, neighbor) with rank 1
+    // in IVF must appear in the brute-force top-10 *if* they share a
+    // bucket. Weak but real property: no fabricated neighbors.
+    val pairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    // sanity: rnk contiguous from 1 per query
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+    }
+    // At least half the IVF picks should coincide with global top-10 —
+    // with 4 centroids over random data the bucket holds the near field.
+    assert(pairs.count(bf.contains) * 2 >= pairs.size)
+  }
+
+  test("lshNearPairs agrees with exactNearPairs on found pairs") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(8)(rnd.nextFloat() - 0.5f)
+    val vs = (0L until 40L).map { i =>
+      if (i % 10 == 0) i -> base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+      else i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)
+    }
+    val e = embDf(vs)
+    val exact = Similarity.exactNearPairs(e, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearPairs(e, 6, 8, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)              // the planted clones
+    assert(lsh.subsetOf(exact))         // LSH never fabricates pairs
+    assert(lsh.nonEmpty)                // planted clones collide in buckets
+  }
+}
