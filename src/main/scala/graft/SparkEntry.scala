@@ -18,7 +18,8 @@ object SparkEntry {
     RelationalQueries,
     BiQueries,
     TextPipelineQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

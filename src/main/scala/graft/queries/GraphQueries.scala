@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Graph
+
+/** The reference's graph surface (SURVEY §2.10) over a property graph
+  * derived from the TPC-H-ish tables. Mapping mirrors the reference's
+  * labels (`row_to_neo4j`, dags/api_to_neo4j.py:23-83):
+  * Piece=part, Author=customer, Venue=supplier, Institution=nation;
+  * AUTHORSHIP customer→part, PUBLICATION part→supplier, AFFILIATION
+  * customer→nation, REFERENCES part→part (consecutive line numbers within
+  * an order — a deterministic citation stand-in).
+  *
+  * Deterministic set algebra (edge builds, Jaccard, k-hop, pattern scans)
+  * is oracle-checked; iterative float algorithms (PageRank, betweenness)
+  * get rows-only checks + known-answer unit tests (GraphSpec), since
+  * float accumulation order varies and GDS parity is capability-level.
+  */
+object GraphQueries extends QueryModule {
+
+  /** REFERENCES edges: part→part via consecutive line numbers. */
+  private def refEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
+
+  // Node-id namespacing for the heterogeneous edge table.
+  private val P = 1000000L  // part offset
+  private val S = 2000000L  // supplier offset
+  private val N = 3000000L  // nation offset
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S9/D6 — heterogeneous nodes/edges build, idempotent by distinct;
+    // checked via per-type counts + key sums.
+    "g_edges_build" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val authorship = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_partkey") + P).as("dst"))
+        .distinct().withColumn("etype", lit("AUTHORSHIP"))
+      val publication = li
+        .select((col("l_partkey") + P).as("src"), (col("l_suppkey") + S).as("dst"))
+        .distinct().withColumn("etype", lit("PUBLICATION"))
+      val affiliation = c
+        .select(col("c_custkey").as("src"), (col("c_nationkey") + N).as("dst"))
+        .distinct().withColumn("etype", lit("AFFILIATION"))
+      val references = refEdges(s, dir)
+        .select((col("src") + P).as("src"), (col("dst") + P).as("dst"))
+        .withColumn("etype", lit("REFERENCES"))
+      authorship.union(publication).union(affiliation).union(references)
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("src")).as("sum_src"), sum(col("dst")).as("sum_dst"))
+        .orderBy(col("etype"))
+    }),
+
+    // G7 — node similarity: Jaccard over part→order memberships.
+    "g_jaccard_parts" -> ((s, dir) => {
+      val membership = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
+      Graph.jaccardSimilarity(membership, 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // G8 — bounded 2-hop reachability over REFERENCES.
+    "g_2hop_reach" -> ((s, dir) => {
+      Graph.kHopReach(refEdges(s, dir), 2)
+        .groupBy(col("src")).agg(count(lit(1)).as("n_reach"))
+        .orderBy(col("src"))
+    }),
+
+    // G9 — full-pattern scan (Institution)-(Author)-(Piece)-(Venue).
+    "g_pattern_scan" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_paths"),
+          countDistinct(col("s_suppkey")).as("n_venues"))
+        .orderBy(col("n_name"))
+    }),
+
+    // G1 — PageRank over the REFERENCES graph (rows-only: float loop).
+    "g_pagerank_parts" -> ((s, dir) =>
+      Graph.pageRank(refEdges(s, dir), iters = 15)
+        .orderBy(col("rank").desc, col("id"))),
+
+    // G5 — community detection via connected components (rows-only).
+    "g_components" -> ((s, dir) =>
+      Graph.connectedComponents(refEdges(s, dir))
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("component"))),
+
+    // G6 — sampled-source Brandes betweenness (rows-only).
+    "g_betweenness_sample" -> ((s, dir) =>
+      Graph.betweennessSampled(refEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L))
+        .orderBy(col("betweenness").desc, col("id"))),
+
+    // G2-G4 — projected "ArticleRank": customer→customer via co-purchased
+    // parts, then PageRank (rows-only).
+    "g_articlerank_customers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val buys = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val proj = buys.as("a").join(buys.as("b"),
+          col("a.part") === col("b.part") && col("a.cust") =!= col("b.cust"))
+        .select(col("a.cust").as("src"), col("b.cust").as("dst"))
+        .distinct()
+      Graph.projectedPageRank(proj, iters = 10)
+        .orderBy(col("rank").desc, col("id"))
+    })
+  )
+
+  private val refEdgesSql =
+    """e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |      FROM lineitem a JOIN lineitem b
+      |        ON a.l_orderkey = b.l_orderkey
+      |       AND b.l_linenumber = a.l_linenumber + 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "g_edges_build" ->
+      s"""WITH $refEdgesSql,
+         |all_edges AS (
+         |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey + 1000000 AS dst,
+         |         'AUTHORSHIP' AS etype
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  UNION ALL
+         |  SELECT DISTINCT l.l_partkey + 1000000, l.l_suppkey + 2000000,
+         |         'PUBLICATION'
+         |  FROM lineitem l
+         |  UNION ALL
+         |  SELECT DISTINCT c_custkey, c_nationkey + 3000000, 'AFFILIATION'
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT src + 1000000, dst + 1000000, 'REFERENCES' FROM e)
+         |SELECT etype, COUNT(*) AS n_edges,
+         |       SUM(src) AS sum_src, SUM(dst) AS sum_dst
+         |FROM all_edges GROUP BY etype ORDER BY etype""".stripMargin,
+
+    "g_jaccard_parts" ->
+      """WITH adj AS (SELECT DISTINCT l_partkey AS src, l_orderkey AS dst FROM lineitem),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+        |inter AS (SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS inter
+        |          FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
+        |          GROUP BY a.src, b.src)
+        |SELECT i.id_a, i.id_b,
+        |       i.inter * 1.0 / (da.deg + db.deg - i.inter) AS jaccard
+        |FROM inter i JOIN deg da ON da.src = i.id_a
+        |             JOIN deg db ON db.src = i.id_b
+        |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "g_2hop_reach" ->
+      s"""WITH $refEdgesSql,
+         |reach AS (SELECT src, dst FROM e
+         |          UNION
+         |          SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src)
+         |SELECT src, COUNT(*) AS n_reach FROM reach GROUP BY src
+         |ORDER BY src""".stripMargin,
+
+    "g_pattern_scan" ->
+      """SELECT n.n_name, COUNT(*) AS n_paths,
+        |       COUNT(DISTINCT s.s_suppkey) AS n_venues
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+  )
+}

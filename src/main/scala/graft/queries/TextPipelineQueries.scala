@@ -14,7 +14,10 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object TextPipelineQueries extends QueryModule {
 
-  private val shingleN = 4   // near-dup shingle width
+  // 8-char shingles: at 4 the shingle vocabulary of this corpus collapses
+  // (~1k distinct) and MinHash bands saturate into |docs|²-ish candidate
+  // sets; 8 keeps candidates proportional to true near-dups.
+  private val shingleN = 8
   private val minhashK = 8   // signatures (4 bands × 2 rows)
   private val nearDupThreshold = 0.8
   private val exactN = 12    // selective shingles for the exact all-pairs path
@@ -80,6 +83,52 @@ object TextPipelineQueries extends QueryModule {
        |       FROM documents, generate_series(1, 1000) t(i)
        |       WHERE i <= length(text) - ${n - 1})""".stripMargin
 
+  /** Oracle twin of [[graft.operators.Dedup.nearDupPairs]]: wide MinHash
+    * signatures → 2-row bands → candidates → signature-agreement prune
+    * (≥ k/2 of k) → exact Jaccard ≥ threshold. Generated from the same
+    * k/shingleN/threshold constants as the Spark pipeline. */
+  private def minhashOracle: String = {
+    val k = minhashK
+    val mhCols = (0 until k)
+      .map(i => s"MIN(CASE WHEN salt = $i THEN mh END) AS mh$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until k / 2)
+      .map(j => s"SELECT doc_id, $j AS band, mh${2 * j} AS m0, mh${2 * j + 1} AS m1 FROM sigw")
+      .mkString("\n          UNION ALL ")
+    val matchSum = (0 until k)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${shCte(shingleN)},
+       |salts AS (SELECT unnest(range(0, $k)) AS salt),
+       |sig AS (SELECT doc_id, salt,
+       |               MIN(CAST(('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || s), 1, 14)) AS BIGINT)) AS mh
+       |        FROM sh, salts GROUP BY doc_id, salt),
+       |sigw AS (SELECT doc_id,
+       |         $mhCols
+       |         FROM sig GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+       |          AND a.doc_id < b.doc_id),
+       |pruned AS (SELECT c.doc_a, c.doc_b
+       |           FROM cand c JOIN sigw a ON a.doc_id = c.doc_a
+       |                       JOIN sigw b ON b.doc_id = c.doc_b
+       |           WHERE $matchSum >= ${k / 2}),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |          FROM pruned c
+       |          JOIN sh a ON a.doc_id = c.doc_a
+       |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |          GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
+       |FROM inter i JOIN n na ON na.doc_id = i.doc_a
+       |             JOIN n nb ON nb.doc_id = i.doc_b
+       |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= $nearDupThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dd_exact_dedup" ->
       """SELECT doc_id, content_hash
@@ -88,32 +137,7 @@ object TextPipelineQueries extends QueryModule {
         |      FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
-    "dd_minhash_lsh_neardup" ->
-      s"""WITH ${shCte(shingleN)},
-         |salts AS (SELECT unnest(range(0, $minhashK)) AS salt),
-         |sig AS (SELECT doc_id, salt,
-         |               MIN(CAST(('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || s), 1, 14)) AS BIGINT)) AS mh
-         |        FROM sh, salts GROUP BY doc_id, salt),
-         |bands AS (SELECT doc_id, CAST(salt // 2 AS INT) AS band,
-         |                 MIN(CASE WHEN salt % 2 = 0 THEN mh END) AS m0,
-         |                 MIN(CASE WHEN salt % 2 = 1 THEN mh END) AS m1
-         |          FROM sig GROUP BY doc_id, CAST(salt // 2 AS INT)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
-         |          AND a.doc_id < b.doc_id),
-         |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-         |          FROM cand c
-         |          JOIN sh a ON a.doc_id = c.doc_a
-         |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-         |          GROUP BY c.doc_a, c.doc_b)
-         |SELECT i.doc_a, i.doc_b,
-         |       i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
-         |FROM inter i JOIN n na ON na.doc_id = i.doc_a
-         |             JOIN n nb ON nb.doc_id = i.doc_b
-         |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= $nearDupThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_minhash_lsh_neardup" -> minhashOracle,
 
     "dd_ngram_jaccard" ->
       s"""WITH ${shCte(exactN)},

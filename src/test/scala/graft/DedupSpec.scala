@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+
+  private val docs = Seq(
+    (0L, base),
+    (1L, base + " tail"),                         // near-dup of 0
+    (2L, base.replace("quick", "quiet")),         // near-dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules"),
+    (4L, base),                                   // exact dup of 0
+    (5L, "another unrelated string with its own vocabulary entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content hash") {
+    val kept = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 5L)) // 4 collapses into 0
+  }
+
+  test("minhash LSH pipeline finds planted near-dups and no false pairs") {
+    val pairs = Dedup.nearDupPairs(docs, col("doc_id"), col("text"),
+        shingleN = 8, k = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))              // exact dup always collides
+    assert(pairs.intersect(Set((0L, 1L), (0L, 2L), (1L, 2L))).nonEmpty)
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L || a == 5L || b == 5L })
+  }
+
+  test("exact jaccard all-pairs agrees with hand computation") {
+    val two = Seq((0L, "abcdefghijkl"), (1L, "abcdefghijkl"), (2L, "zzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.exactJaccardPairs(two, col("doc_id"), col("text"),
+        shingleN = 4, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs == Map((0L, 1L) -> 1.0))
+  }
+
+  test("simhash: identical docs share fingerprint, disjoint docs differ") {
+    val fp = Dedup.simHash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(4L))
+    assert(fp(0L) != fp(3L))
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(1L)) <
+      java.lang.Long.bitCount(fp(0L) ^ fp(3L))) // near-dup closer in hamming
+  }
+}
