@@ -24,6 +24,8 @@ object Bench {
     "m_gindex",
     "w3_running_sum_per_customer",
     "o6_latest_event_per_user",
+    "st_window_counts",
+    "evt_sessionize",
     "dd_exact_dedup",
     "dd_minhash_lsh_neardup",
     "txt_quality",

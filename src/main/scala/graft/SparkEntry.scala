@@ -19,7 +19,8 @@ object SparkEntry {
     BiQueries,
     TextPipelineQueries,
     SimilarityQueries,
-    GraphQueries
+    GraphQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

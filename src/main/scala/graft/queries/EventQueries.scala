@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Event-stream (batch twin) + scalar-function coverage: tumbling
+  * event-time windows, gap-based sessionization, JSON extraction, the
+  * scalar cleaning-function gauntlet (SURVEY §2.8), null filtering, and
+  * top-k. The streaming execution of the same window aggregation lives in
+  * [[graft.streaming.EventStream]] (Structured Streaming, AvailableNow)
+  * and is asserted equal to the batch twin in StreamingSpec.
+  */
+object EventQueries extends QueryModule {
+  private val dec = DecimalType(18, 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T-analog — tumbling 1-hour event-time windows; epoch-second window
+    // start so the hash compare never sees timestamp formatting.
+    "st_window_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity): lag + running session
+    // counter — the window-frame idiom every funnel pipeline uses.
+    "evt_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_s"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // F20-analog — JSON field extraction from the props column.
+    "evt_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_value"))
+        .filter(col("k_value") > 80)
+        .orderBy(col("event_id"))
+    }),
+
+    // P3 — null-subset filter (na.drop on chosen columns).
+    "p3_null_filter" -> ((s, dir) => {
+      Tables.events(s, dir).na.drop(Seq("event_type", "value"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // F1/F2/F6/F7/F9/F10 — the scalar cleaning gauntlet on customer names.
+    "f_scalar_gauntlet" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      c.select(
+          col("c_custkey"),
+          normalise(col("c_name")).as("norm_name"),
+          stripNewlines(col("c_name")).as("clean_name"),
+          fillUnknown(col("c_mktsegment")).as("segment"),
+          normalizeYear(concat(lit("199"), (col("c_custkey") % 10).cast("string"),
+            lit(".0"))).as("norm_year"),
+          fullName(col("c_mktsegment"), col("c_name")).as("full_name"),
+          firstToken(col("c_name")).as("first_token"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // O5/O4 — global top-k with deterministic tiebreak + limit.
+    "topk_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st_window_counts" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "evt_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "evt_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80
+        |ORDER BY event_id""".stripMargin,
+
+    "p3_null_filter" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "f_scalar_gauntlet" ->
+      """SELECT c_custkey,
+        |       lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')) AS norm_name,
+        |       regexp_replace(c_name, chr(10), '', 'g') AS clean_name,
+        |       COALESCE(c_mktsegment, 'Unknown') AS segment,
+        |       COALESCE(CAST(string_split('199' || CAST(c_custkey % 10 AS VARCHAR) || '.0', '.')[1] AS INT), 0) AS norm_year,
+        |       concat_ws(' ', c_mktsegment, c_name) AS full_name,
+        |       string_split(c_name, ' ')[1] AS first_token
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns.dsum
+
+/** Streaming / incremental semantics (SURVEY §2.11): the reference's
+  * micro-batch DAGs re-expressed as Structured Streaming.
+  *
+  *  - T1/T2 cadence+batch-size → file source + `Trigger.AvailableNow`
+  *    (batch catch-up) or `ProcessingTime` (live); `maxFilesPerTrigger`
+  *    is the batch-size analog.
+  *  - T3 FileSensor → the source's own discovery; obsolete.
+  *  - T4 exactly-once-ish staging truncation → checkpoint + idempotent
+  *    `foreachBatch` upsert ([[ParquetUpsertTable]] keyed by batch id).
+  *  - T5 incremental per-author metric recompute → `foreachBatch` joins
+  *    the batch's touched keys against history and merges Type-1.
+  *  - T6 dead-letter failures.json → a validation split writing a side
+  *    output per batch.
+  */
+object EventStream {
+
+  /** Declared schema for streamed event files (µs timestamps — stream
+    * inputs are written by this engine, not the driver's nanos files). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Shared transform — the SAME function serves the batch twin
+    * (`st_window_counts`) and the streaming run: tumbling 1-hour windows
+    * per event type. Watermark bounds state for late data in live mode. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Run the windowed aggregation over a directory of event parquet files
+    * with AvailableNow, returning the final result (complete mode into a
+    * named memory sink). */
+  def runWindowedAvailableNow(spark: SparkSession, srcDir: String,
+      checkpointDir: String, sinkName: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 1) // reference's 50-records-per-pull analog
+      .parquet(srcDir)
+    val q = windowedCounts(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  /** Dead-letter split (T6): valid rows to `outDir/clean`, rows failing
+    * `isValid` appended to `outDir/failures` — per batch, inside
+    * foreachBatch, both writes idempotent per batch id. */
+  def runWithDeadLetter(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String): Unit = {
+    val stream = spark.readStream.schema(eventSchema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val isValid = col("value").isNotNull && col("value") >= 0 &&
+          col("event_type").isNotNull
+        batch.filter(isValid).write.mode("append")
+          .parquet(s"$outDir/clean/batch_id=$batchId")
+        batch.filter(!isValid).write.mode("append")
+          .parquet(s"$outDir/failures/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** T5 — incremental stateful update: per batch, recompute aggregates
+    * only for the users touched by that batch and Type-1 merge them into
+    * the running dim table. State is the warehouse itself (no state
+    * store), exactly as the reference maintains h/g-index. */
+  def runIncrementalUserStats(spark: SparkSession, srcDir: String,
+      checkpointDir: String, table: ParquetUpsertTable): Unit = {
+    val stream = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchStats = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        table.upsert(batchStats, batchId,
+          merge = (oldRow, newRow) => Seq(
+            coalesce(oldRow("n_events"), lit(0L)) + newRow("n_events"),
+            coalesce(oldRow("sum_value"), lit(0.0)) + newRow("sum_value")))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}
+
+/** A Type-1-upsert parquet table (SURVEY §2.9 D2–D5 on plain parquet):
+  * versioned directories + a pointer file stand in for ACID MERGE
+  * (Delta/Iceberg at real scale — same logical flow). Re-applying a batch
+  * id is a no-op → idempotent under streaming retries. */
+class ParquetUpsertTable(spark: SparkSession, dir: String,
+    keyCol: String, valueCols: Seq[String]) {
+
+  private def pointer = Paths.get(dir, "_CURRENT")
+
+  def currentVersion: Option[String] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+
+  def current: Option[DataFrame] =
+    currentVersion.map(v => spark.read.parquet(s"$dir/$v"))
+
+  /** Merge `updates` (keyed by `keyCol`) into the table: existing rows not
+    * in the batch survive; matched keys are combined via `merge`
+    * (old, new) → new value columns; unmatched new keys insert. */
+  def upsert(updates: DataFrame, batchId: Long,
+      merge: (String => org.apache.spark.sql.Column,
+              String => org.apache.spark.sql.Column) =>
+             Seq[org.apache.spark.sql.Column]): Unit = {
+    val version = s"v$batchId"
+    if (Files.exists(Paths.get(dir, version))) return // idempotent replay
+    val merged = current match {
+      case None =>
+        updates.select(col(keyCol) +: valueCols.map(col): _*)
+      case Some(existing) =>
+        val o = existing.select(col(keyCol).as("k") +:
+          valueCols.map(c => col(c).as(s"old_$c")): _*)
+        val n = updates.select(col(keyCol).as("k") +:
+          valueCols.map(c => col(c).as(s"new_$c")): _*)
+        val mergedVals = merge(c => col(s"old_$c"), c => col(s"new_$c"))
+        o.join(n, Seq("k"), "full_outer")
+          .select(col("k").as(keyCol) +:
+            valueCols.zip(mergedVals).map { case (c, m) =>
+              coalesce(m, col(s"old_$c"), col(s"new_$c")).as(c)
+            }: _*)
+    }
+    merged.write.mode("overwrite").parquet(s"$dir/$version")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(pointer, version)
+  }
+}
