@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bibliometrics
+
+/** The reference's star-schema warehouse load
+  * (/root/reference/dags/pop_DWH.py + dags/sql/DWH_tables.sql) as one
+  * Spark job per batch: dims as Type-1 insert-if-absent upserts with
+  * deterministic surrogate keys, fact insert idempotent on arxiv_ID,
+  * multi-valued author/affiliation legs via group (bridge) tables, and
+  * the incremental h/g-index update scoped to authors touched by the
+  * batch (pop_DWH.py:272-302) collapsed from N+1 queries into one
+  * groupBy.
+  *
+  * State is a plain case class of DataFrames — callers persist however
+  * they like (parquet dirs at test scale; Delta/Iceberg MERGE at 100 TB,
+  * same logical flow, SURVEY §7 risk 6).
+  */
+object Warehouse {
+
+  case class State(
+      dimYear: DataFrame,        // (year_key, publication_year)
+      dimDomain: DataFrame,      // (domain_key, scientific_domain)
+      dimType: DataFrame,        // (type_key, type_name)
+      dimVenue: DataFrame,       // (venue_key, pub_venue, publisher)
+      dimAuthor: DataFrame,      // (author_key, full_name, gender, h_index, g_index)
+      dimAffiliation: DataFrame, // (affiliation_key, affiliation_name)
+      fact: DataFrame,           // (arxiv_ID, doi, title, latest_version_nr,
+                                 //  citation_count, year_key, domain_key,
+                                 //  type_key, venue_key, author_group_key,
+                                 //  affiliation_group_key)
+      bridgeAuthor: DataFrame,   // (author_group_key, author_key)
+      bridgeAffiliation: DataFrame) // (affiliation_group_key, affiliation_key)
+
+  /** S8 — seed the year dimension 1940–2030 plus the 0 sentinel
+    * (DWH_tables.sql:87-88); year_key == publication_year ordinal. */
+  def seedYearDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val years = (Seq(0) ++ (1940 to 2030)).zipWithIndex
+      .map { case (y, i) => (i + 1, y) }
+    years.toDF("year_key", "publication_year")
+  }
+
+  def emptyState(spark: SparkSession): State = {
+    import spark.implicits._
+    State(
+      dimYear = seedYearDim(spark),
+      dimDomain = Seq.empty[(Int, String)].toDF("domain_key", "scientific_domain"),
+      dimType = Seq.empty[(Int, String)].toDF("type_key", "type_name"),
+      dimVenue = Seq.empty[(Int, String, String)].toDF("venue_key", "pub_venue", "publisher"),
+      dimAuthor = Seq.empty[(Int, String, String, Int, Int)]
+        .toDF("author_key", "full_name", "gender", "h_index", "g_index"),
+      dimAffiliation = Seq.empty[(Int, String)].toDF("affiliation_key", "affiliation_name"),
+      fact = Seq.empty[(String, String, String, String, Int, Int, Int, Int, Int, Int, Int)]
+        .toDF("arxiv_ID", "doi", "title", "latest_version_nr", "citation_count",
+          "year_key", "domain_key", "type_key", "venue_key",
+          "author_group_key", "affiliation_group_key"),
+      bridgeAuthor = Seq.empty[(Int, Int)].toDF("author_group_key", "author_key"),
+      bridgeAffiliation = Seq.empty[(Int, Int)].toDF("affiliation_group_key", "affiliation_key"))
+  }
+
+  /** D2/D3 — generic Type-1 dim upsert: new natural keys get surrogate
+    * keys continuing from the current max, minted by row_number over the
+    * natural-key order (deterministic; replaces Postgres SERIAL). */
+  def upsertDim(dim: DataFrame, incoming: DataFrame, keyName: String,
+      natCols: Seq[String]): DataFrame = {
+    val fresh = incoming.select(natCols.map(col): _*).na.fill("Unknown")
+      .distinct()
+      .join(dim, natCols, "left_anti")
+    val maxKey = dim.agg(coalesce(max(col(keyName)), lit(0))).head.getInt(0)
+    val minted = fresh.withColumn(keyName,
+      (row_number().over(Window.orderBy(natCols.map(col): _*)) + maxKey)
+        .cast("int"))
+    dim.unionByName(minted.select(dim.columns.map(c =>
+      if (dim.columns.contains(c) && !natCols.contains(c) && c != keyName)
+        lit(null).cast(dim.schema(c).dataType).as(c)
+      else col(c)): _*), allowMissingColumns = false)
+  }
+
+  /** Staged batch schema (post clean+enrich): one row per paper with
+    * `authors_merged` array<struct<family,given,affiliation,gender,
+    * full_name>>. Loads the batch into the warehouse: all dims upserted,
+    * fact + bridges appended idempotently, metrics updated incrementally.
+    */
+  def loadBatch(spark: SparkSession, state: State, batch0: DataFrame): State = {
+    val batch = batch0.cache()
+
+    // --- dims (D2/J1: insert-if-absent, then key lookup by broadcast join)
+    val dimDomain = upsertDim(state.dimDomain,
+      batch.select(col("subject").as("scientific_domain")),
+      "domain_key", Seq("scientific_domain"))
+    val dimType = upsertDim(state.dimType,
+      batch.select(col("type").as("type_name")), "type_key", Seq("type_name"))
+    val dimVenue = upsertDim(state.dimVenue,
+      batch.select(col("container-title").as("pub_venue"), col("publisher")),
+      "venue_key", Seq("pub_venue", "publisher"))
+    val authorsExpl = batch.select(col("id"),
+        explode(col("authors_merged")).as("a"))
+      .select(col("id"), col("a.full_name").as("full_name"),
+        col("a.gender").as("gender"),
+        coalesce(col("a.affiliation"), lit("Unknown")).as("affiliation_name"))
+      .cache()
+    val dimAuthorNoMetrics = upsertDim(state.dimAuthor,
+      authorsExpl.select(col("full_name")),
+      "author_key", Seq("full_name"))
+    // carry gender onto newly minted authors (Type-1: latest wins)
+    val genderOf = authorsExpl.groupBy("full_name")
+      .agg(max(col("gender")).as("g_new"))
+    val dimAuthor = dimAuthorNoMetrics
+      .join(broadcast(genderOf), Seq("full_name"), "left")
+      .select(col("author_key"), col("full_name"),
+        coalesce(col("gender"), col("g_new"), lit("unknown")).as("gender"),
+        coalesce(col("h_index"), lit(0)).as("h_index"),
+        coalesce(col("g_index"), lit(0)).as("g_index"))
+    val dimAffiliation = upsertDim(state.dimAffiliation,
+      authorsExpl.select(col("affiliation_name")),
+      "affiliation_key", Seq("affiliation_name"))
+
+    // --- fact (D4: idempotent on arxiv_ID) with group keys (D3)
+    val newPapers = batch.join(state.fact.select(col("arxiv_ID")),
+      batch("id") === col("arxiv_ID"), "left_anti")
+    val maxGroup = state.fact
+      .agg(coalesce(max(col("author_group_key")), lit(0))).head.getInt(0)
+    val withGroups = newPapers.withColumn("author_group_key",
+        (row_number().over(Window.orderBy(col("id"))) + maxGroup).cast("int"))
+      .withColumn("affiliation_group_key", col("author_group_key"))
+      .cache()
+
+    val fact = state.fact.unionByName(withGroups
+      .withColumnRenamed("publisher", "b_publisher") // avoid dimVenue clash
+      .join(broadcast(state.dimYear),
+        coalesce(col("published-year"), lit(0)) === col("publication_year"), "left")
+      .join(broadcast(dimDomain),
+        coalesce(col("subject"), lit("Unknown")) === col("scientific_domain"), "left")
+      .join(broadcast(dimType),
+        coalesce(col("type"), lit("Unknown")) === col("type_name"), "left")
+      .join(broadcast(dimVenue),
+        coalesce(col("container-title"), lit("Unknown")) === col("pub_venue") &&
+          coalesce(col("b_publisher"), lit("Unknown")) === col("publisher"), "left")
+      .select(
+        col("id").as("arxiv_ID"), col("doi"), col("title"),
+        col("latest_version").as("latest_version_nr"),
+        coalesce(col("is-referenced-by-count"), lit(0)).cast("int")
+          .as("citation_count"),
+        coalesce(col("year_key"), lit(1)).as("year_key"),
+        coalesce(col("domain_key"), lit(0)).as("domain_key"),
+        coalesce(col("type_key"), lit(0)).as("type_key"),
+        coalesce(col("venue_key"), lit(0)).as("venue_key"),
+        col("author_group_key"), col("affiliation_group_key")))
+
+    // --- bridges (J2/J4): group key ↔ member keys, dedup on the pair
+    val batchAuthors = withGroups.select(col("id"), col("author_group_key"),
+        col("affiliation_group_key"), explode(col("authors_merged")).as("a"))
+      .cache()
+    val bridgeAuthor = state.bridgeAuthor.unionByName(
+      batchAuthors
+        .join(broadcast(dimAuthor.select(col("author_key"), col("full_name"))),
+          col("a.full_name") === col("full_name"))
+        .select(col("author_group_key"), col("author_key")).distinct()
+        .join(state.bridgeAuthor, Seq("author_group_key", "author_key"), "left_anti"))
+    val bridgeAffiliation = state.bridgeAffiliation.unionByName(
+      batchAuthors
+        .join(broadcast(dimAffiliation),
+          coalesce(col("a.affiliation"), lit("Unknown")) === col("affiliation_name"))
+        .select(col("affiliation_group_key"), col("affiliation_key")).distinct()
+        .join(state.bridgeAffiliation,
+          Seq("affiliation_group_key", "affiliation_key"), "left_anti"))
+
+    // --- T5: incremental h/g-index for touched authors only, one job
+    val touched = batchAuthors.select(col("a.full_name").as("full_name")).distinct()
+    val touchedCites = dimAuthor.join(broadcast(touched), Seq("full_name"))
+      .join(bridgeAuthor, Seq("author_key"))
+      .join(fact, Seq("author_group_key"))
+      .select(col("author_key"), col("citation_count"), col("arxiv_ID"))
+    val h = Bibliometrics.hIndex(touchedCites, col("author_key"),
+      col("citation_count"), col("arxiv_ID")).withColumnRenamed("grp", "ak")
+    val g = Bibliometrics.gIndex(touchedCites, col("author_key"),
+      col("citation_count"), col("arxiv_ID")).withColumnRenamed("grp", "ak")
+    val dimAuthorFinal = dimAuthor
+      .join(broadcast(h), dimAuthor("author_key") === h("ak"), "left")
+      .join(broadcast(g), dimAuthor("author_key") === g("ak"), "left")
+      .select(col("author_key"), col("full_name"), col("gender"),
+        coalesce(h("h_index"), dimAuthor("h_index")).as("h_index"),
+        coalesce(g("g_index"), dimAuthor("g_index")).as("g_index"))
+
+    State(state.dimYear, dimDomain, dimType, dimVenue, dimAuthorFinal,
+      dimAffiliation, fact, bridgeAuthor, bridgeAffiliation)
+  }
+}
