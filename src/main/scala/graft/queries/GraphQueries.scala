@@ -67,7 +67,7 @@ object GraphQueries extends QueryModule {
     "g_jaccard_parts" -> ((s, dir) => {
       val membership = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
-      Graph.jaccardSimilarity(membership, 0.5)
+      Graph.jaccardSimilarity(membership, 0.05)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -164,7 +164,7 @@ object GraphQueries extends QueryModule {
         |       i.inter * 1.0 / (da.deg + db.deg - i.inter) AS jaccard
         |FROM inter i JOIN deg da ON da.src = i.id_a
         |             JOIN deg db ON db.src = i.id_b
-        |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.5
+        |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
 
     "g_2hop_reach" ->
