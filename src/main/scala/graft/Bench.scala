@@ -44,10 +44,17 @@ object Bench {
     // and file-footer caches don't bill the first timed query.
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     qs(headline.head)(spark, sfDir).count()
+    // min of 2 runs per query: single-shot local timings swing ±30% from
+    // GC/JIT/page-cache noise; min-of-n is the standard stabilizer.
     val results = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // drop per-query persisted intermediates
+        dt
+      }
+      name -> times.min
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -144,11 +144,14 @@ object TextAnalysis {
     * MOSS/winnowing, with md5 standing in for the rolling hash so both
     * engines derive identical values). */
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val grams = graft.functions.TextFns.shingles(lower(text), 8)
-    df.select(
-      id.as("doc_id"),
-      md5(lower(text)).as("content_md5"),
-      array_min(transform(grams, g => md5Hash54(g))).as("min_gram_hash"))
+    // lower(text) as an attribute first — inside the shingle lambda it
+    // would re-lowercase the document once per 8-gram.
+    val grams = graft.functions.TextFns.shingles(col("lt"), 8)
+    df.select(id.as("doc_id"), lower(text).as("lt"))
+      .select(
+        col("doc_id"),
+        md5(col("lt")).as("content_md5"),
+        array_min(transform(grams, g => md5Hash54(g))).as("min_gram_hash"))
   }
 
   def fingerprintSql(table: String): String =
