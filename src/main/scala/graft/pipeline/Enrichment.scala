@@ -85,6 +85,24 @@ object Enrichment {
         .as("authors_merged"))
   }
 
+  /** F19 — display-name parse heuristics (openalex.py:63-82), expressed
+    * as a `when` chain rather than a UDF: "Family, Given" when a comma is
+    * present; otherwise last token = family, rest = given; single token →
+    * family only. Returns struct<family, given>. */
+  def parseDisplayName(name: Column): Column = {
+    val t = trim(name)
+    val commaSplit = split(t, ",\\s*")
+    val tokens = split(t, "\\s+")
+    val n = size(tokens)
+    when(t.contains(","), struct(
+        trim(element_at(commaSplit, 1)).as("family"),
+        trim(element_at(commaSplit, 2)).as("given")))
+      .when(n === 1, struct(t.as("family"), lit(null).cast("string").as("given")))
+      .otherwise(struct(
+        element_at(tokens, -1).as("family"),
+        array_join(slice(tokens, lit(1), n - 1), " ").as("given")))
+  }
+
   /** F17 — collect non-null reference DOIs (enrich.py:74-80). */
   def referenceDois(refs: Column): Column =
     filter(transform(refs, r => r.getField("DOI")), x => x.isNotNull)

@@ -25,7 +25,7 @@ import graft.functions.TextFns._
 object RelationalQueries extends QueryModule {
   private val dec = DecimalType(18, 2)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = skewQueries ++ Map(
     // W1 — global dense_rank ranking ("ranking papers by citation count",
     // reference dags/sql/queries.sql:43-45).
     "q05_rank_orders_by_price" -> ((s, dir) => {
@@ -201,7 +201,46 @@ object RelationalQueries extends QueryModule {
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  // Skew-mitigation: salted join + two-phase salted aggregation. The
+  // oracle is the PLAIN join/aggregation — salting must be
+  // result-transparent; only the partitioning changes.
+  // lazy: referenced by `queries` which initializes earlier in the file
+  private lazy val skewQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_join_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      graft.operators.SkewJoin.saltedJoin(
+          li.select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber")),
+          sup, "s_suppkey", col("l_orderkey") * 10 + col("l_linenumber"),
+          nSalts = 8)
+        .groupBy(col("s_name"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_name"))
+    }),
+    "skew_salted_sum" -> ((s, dir) => {
+      graft.operators.SkewJoin.saltedSum(
+          Tables.lineitem(s, dir), "l_returnflag",
+          col("l_quantity").cast(DecimalType(18, 2)),
+          col("l_orderkey") * 10 + col("l_linenumber"), nSalts = 16)
+        .select(col("l_returnflag"), col("total").cast("double").as("total_qty"))
+        .orderBy(col("l_returnflag"))
+    }))
+
+  private val skewOracle: Map[String, String] = Map(
+    "skew_salted_join_agg" ->
+      """SELECT s.s_name,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin,
+    "skew_salted_sum" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  val oracle: Map[String, String] = skewOracle ++ Map(
     "q05_rank_orders_by_price" ->
       """SELECT o_orderkey, o_totalprice,
         |       DENSE_RANK() OVER (ORDER BY o_totalprice DESC) AS ranking
