@@ -32,8 +32,16 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composable HOF cosine — the reference formulation the native
+    * expression is verified against (CosineSimilaritySpec). */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Hot-path cosine: the native codegen expression
+    * [[graft.plans.CosineSimilarity]] — one fused loop, no intermediate
+    * arrays, bit-identical to [[cosineHof]] (same accumulation order). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.GraftExtensions.cosineSim(a, b)
 
   /** Brute-force cosine top-k: queries × corpus, ranked per query. */
   def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
