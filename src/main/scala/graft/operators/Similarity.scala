@@ -74,20 +74,34 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
   }
 
-  /** IVF single-probe ANN: per query, search only its own centroid's
-    * bucket. Returns top-k per query (query's self-match excluded). */
-  def ivfTopK(emb: DataFrame, isQuery: Column, nCentroids: Int, k: Int): DataFrame = {
-    val assign = ivfAssign(emb, nCentroids)
-    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-      .join(assign, "vec_id")
-    val q = e.filter(isQuery)
+  /** IVF ANN with multi-probe: per query, search the buckets of its
+    * `nProbe` nearest centroids (nProbe=1 → classic single-probe; higher
+    * nProbe trades compute for recall — the standard IVF knob). Returns
+    * top-k per query (query's self-match excluded). */
+  def ivfTopK(emb: DataFrame, isQuery: Column, nCentroids: Int, k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val e0 = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val c = e0.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_id"))
+    val scored = e0.crossJoin(broadcast(c))
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rnk", row_number().over(wAssign))
+    // corpus side: each vector lives in its single nearest bucket
+    val assigned = scored.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+    // query side: probe the nProbe nearest buckets
+    val q = scored.filter(isQuery && col("rnk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("centroid_id").as("qc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q).join(e, col("centroid_id") === col("qc"))
+    broadcast(q).join(assigned, col("centroid_id") === col("qc"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
+      // a neighbor can surface from several probed buckets → dedup first
+      .select(col("query_id"), col("vec_id"), col("cos")).distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))

@@ -46,6 +46,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.count(bf.contains) * 2 >= pairs.size)
   }
 
+  test("multi-probe IVF recall dominates single-probe") {
+    val rnd = new scala.util.Random(21)
+    val e = embDf((0L until 150L).map { i =>
+      i -> Seq.fill(12)(rnd.nextFloat() - 0.5f)
+    })
+    val bf = Similarity.bruteForceTopK(e, col("vec_id") < 10, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.ivfTopK(e, col("vec_id") < 10, 6, 3, nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(bf.contains).toDouble / bf.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    val r6 = recall(6) // probing all buckets == brute force
+    assert(r3 >= r1)
+    assert(math.abs(r6 - 1.0) < 1e-9)
+  }
+
   test("lshNearPairs agrees with exactNearPairs on found pairs") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(8)(rnd.nextFloat() - 0.5f)
