@@ -70,11 +70,11 @@ object Warehouse {
     val fresh = incoming.select(natCols.map(col): _*).na.fill("Unknown")
       .distinct()
       .join(dim, natCols, "left_anti")
-    val maxKey = dim.agg(coalesce(max(col(keyName)), lit(0))).head.getInt(0)
+    val maxKey = dim.agg(coalesce(max(col(keyName)), lit(0))).head().getInt(0)
     val minted = fresh.withColumn(keyName,
       (row_number().over(Window.orderBy(natCols.map(col): _*)) + maxKey)
         .cast("int"))
-    dim.unionByName(minted.select(dim.columns.map(c =>
+    dim.unionByName(minted.select(dim.columns.toIndexedSeq.map(c =>
       if (dim.columns.contains(c) && !natCols.contains(c) && c != keyName)
         lit(null).cast(dim.schema(c).dataType).as(c)
       else col(c)): _*), allowMissingColumns = false)
@@ -123,7 +123,7 @@ object Warehouse {
     val newPapers = batch.join(state.fact.select(col("arxiv_ID")),
       batch("id") === col("arxiv_ID"), "left_anti")
     val maxGroup = state.fact
-      .agg(coalesce(max(col("author_group_key")), lit(0))).head.getInt(0)
+      .agg(coalesce(max(col("author_group_key")), lit(0))).head().getInt(0)
     val withGroups = newPapers.withColumn("author_group_key",
         (row_number().over(Window.orderBy(col("id"))) + maxGroup).cast("int"))
       .withColumn("affiliation_group_key", col("author_group_key"))

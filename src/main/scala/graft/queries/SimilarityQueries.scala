@@ -37,6 +37,11 @@ object SimilarityQueries extends QueryModule {
       Similarity.ivfTopK(Tables.embeddings(s, dir),
         col("vec_id") < nQueries, nCentroids, ivfK)),
 
+    // IVF multi-probe (nProbe=2): the recall-vs-compute knob.
+    "sim_ivf_probe2" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir),
+        col("vec_id") < nQueries, nCentroids, ivfK, nProbe = 2)),
+
     // Random-hyperplane LSH buckets + cosine-verified near pairs.
     "sim_lsh_near_pairs" -> ((s, dir) =>
       Similarity.lshNearPairs(Tables.embeddings(s, dir), lshBits, dim, nearThreshold)),
@@ -115,6 +120,29 @@ object SimilarityQueries extends QueryModule {
          |cand AS (SELECT q.query_id, ea.vec_id, ${cosExpr("q", "ea")} AS cos
          |         FROM q JOIN ea ON ea.centroid_id = q.qc
          |                       AND ea.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, vec_id, cos,
+         |                  ROW_NUMBER() OVER (PARTITION BY query_id
+         |                    ORDER BY cos DESC, vec_id) AS rnk
+         |           FROM cand)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, cos
+         |FROM ranked WHERE rnk <= $ivfK
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ivf_probe2" ->
+      s"""WITH $eCte,
+         |c AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < $nCentroids),
+         |scored AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosExpr("e", "c")} AS cos
+         |           FROM e CROSS JOIN c),
+         |ranked0 AS (SELECT vec_id, v, centroid_id, cos,
+         |                   ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                     ORDER BY cos DESC, centroid_id) AS rnk
+         |            FROM scored),
+         |assigned AS (SELECT vec_id, v, centroid_id FROM ranked0 WHERE rnk = 1),
+         |q AS (SELECT vec_id AS query_id, v, centroid_id AS qc
+         |      FROM ranked0 WHERE vec_id < $nQueries AND rnk <= 2),
+         |cand AS (SELECT DISTINCT q.query_id, a.vec_id, ${cosExpr("q", "a")} AS cos
+         |         FROM q JOIN assigned a ON a.centroid_id = q.qc
+         |                               AND a.vec_id <> q.query_id),
          |ranked AS (SELECT query_id, vec_id, cos,
          |                  ROW_NUMBER() OVER (PARTITION BY query_id
          |                    ORDER BY cos DESC, vec_id) AS rnk
