@@ -215,6 +215,49 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash near-pair search: byte-banding over the 32-bit fingerprint
+    * (two fingerprints within hamming distance d < 4 must agree on at
+    * least one of the 4 bytes — pigeonhole), then exact hamming ≤
+    * `maxHamming` on band-collision candidates. Same candidates-scale-
+    * with-duplicates property as MinHash LSH. */
+  def simHashPairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        (shiftright(col("simhash"), 8 * j) % 256).as("bk"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bk").as("bk"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SQL twin of [[simHashPairs]] (DuckDB), from the same constants — the
+    * fingerprint query nests as a CTE (a CTE body may carry its own WITH). */
+  def simHashPairsSql(table: String, maxHamming: Int): String = {
+    val bandSelects = (0 until 4)
+      .map(j => s"SELECT doc_id, simhash, $j AS band, (simhash // ${1L << (8 * j)}) % 256 AS bk FROM fp")
+      .mkString("\n          UNION ALL ")
+    s"""WITH fp AS (
+       |${simHashSql(table)}),
+       |banded AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** SQL twin of [[simHash]] for the DuckDB oracle — generated from the
     * same bit constants so the two can't drift. */
   def simHashSql(table: String): String = {

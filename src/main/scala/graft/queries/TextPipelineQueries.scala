@@ -50,6 +50,13 @@ object TextPipelineQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash near-pairs: byte-banding + exact hamming verify.
+    "dd_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(
+        Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")),
+        maxHamming = 6)
+    }),
+
     // Token counting (whitespace tokenization).
     "txt_token_stats" -> ((s, dir) => {
       TextAnalysis.tokenStats(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -154,6 +161,9 @@ object TextPipelineQueries extends QueryModule {
 
     "dd_simhash" ->
       (Dedup.simHashSql("documents") + "\nORDER BY doc_id"),
+
+    "dd_simhash_pairs" ->
+      Dedup.simHashPairsSql("documents", maxHamming = 6),
 
     "txt_token_stats" ->
       (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),
