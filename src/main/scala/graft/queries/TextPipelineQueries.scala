@@ -54,7 +54,7 @@ object TextPipelineQueries extends QueryModule {
     "dd_simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(
         Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text")),
-        maxHamming = 6)
+        maxHamming = 2)
     }),
 
     // Token counting (whitespace tokenization).
@@ -163,7 +163,7 @@ object TextPipelineQueries extends QueryModule {
       (Dedup.simHashSql("documents") + "\nORDER BY doc_id"),
 
     "dd_simhash_pairs" ->
-      Dedup.simHashPairsSql("documents", maxHamming = 6),
+      Dedup.simHashPairsSql("documents", maxHamming = 2),
 
     "txt_token_stats" ->
       (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),
