@@ -133,29 +133,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** Per-salt mixing constants for the derived MinHash family: xor with a
+    * 54-bit md5-derived constant, multiply by a small prime (54+5 bits <
+    * 63, no overflow — DuckDB BIGINT overflow would *error*, Java wraps),
+    * mask back to 54 bits. One real md5 per shingle; k derivations are
+    * integer arithmetic. Embedded as literals in the SQL twin. */
+  val saltXor: Seq[Long] = (0 until 16).map(i =>
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"salt:$i".getBytes("UTF-8"))
+        .take(7).map("%02x".format(_)).mkString, 16))
+  val saltMul: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L,
+    29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L)
+  val hashMask: Long = (1L << 54) - 1
+
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int, k: Int, threshold: Double): DataFrame = {
-    // One fused aggregation pass computes everything per doc — k MinHash
-    // minima, the compacted shingle array, and its size — so the big
-    // exploded table is shuffled exactly once. (A naive staging of
-    // signatures / sizes / arrays as separate groupBys re-scans it three
-    // times; measured ~2x slower at sf0.1.)
-    val sh = shingleSet(df, id, text, shingleN).persist()
-    val hashed = sh.select(col("s")).distinct()
-      .select(col("s") +: (0 until k).map { i =>
-        md5Hash54(concat(lit(s"$i:"), col("s"))).as(s"h$i")
-      }: _*)
-    val perDoc = sh.join(broadcast(hashed), "s")
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("arr"),
-        (count(lit(1)).as("n") +:
-          (0 until k).map(i => min(col(s"h$i")).as(s"mh$i"))): _*)
+    // Shuffle-free per-doc stage: shingle array hashed ONCE per element
+    // (md5 on 880k shingles is the real cost — salting the md5 input k
+    // ways costs k× that), then the k MinHash minima derive from the
+    // hashed array by xor/multiply/mask. No explode, no exchange until
+    // the band self-join. Only the narrow signature rows persist —
+    // caching the shingle arrays costs ~10s of columnar serialization at
+    // sf0.1, so the verify stage recomputes arrays for candidate docs.
+    val sig = df.select(id.as("doc_id"), lower(text).as("lt"))
+      .select(col("doc_id"), shingles(col("lt"), shingleN).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n"),
+        transform(col("arr"), s => md5Hash54(s)).as("harr"))
+      .select(Seq(col("doc_id"), col("n")) ++
+        (0 until k).map { i =>
+          array_min(transform(col("harr"),
+            h => ((h.bitwiseXOR(lit(saltXor(i)))) * lit(saltMul(i)))
+              .bitwiseAND(lit(hashMask)))).as(s"mh$i")
+        }: _*)
       .persist()
-    val sig = perDoc.select(col("doc_id") +:
-      (0 until k).map(i => col(s"mh$i")): _*)
     val cand = lshCandidates(sig, k)
     val pruned = estimateFilter(cand, sig, k, minMatches = k / 2)
-    val docArr = perDoc.select(col("doc_id"), col("arr"), col("n"))
+      .persist()
+    val candDocs = pruned.select(col("doc_a").as("doc_id"))
+      .union(pruned.select(col("doc_b"))).distinct()
+    val docArr = df.select(id.as("doc_id"), lower(text).as("lt"))
+      .join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"), shingles(col("lt"), shingleN).as("arr"))
+      .withColumn("n", size(col("arr")))
     pruned
       .join(broadcast(docArr.select(col("doc_id").as("doc_a"),
         col("arr").as("arr_a"), col("n").as("n_a"))), "doc_a")

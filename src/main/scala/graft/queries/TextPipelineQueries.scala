@@ -97,7 +97,7 @@ object TextPipelineQueries extends QueryModule {
   private def minhashOracle: String = {
     val k = minhashK
     val mhCols = (0 until k)
-      .map(i => s"MIN(CASE WHEN salt = $i THEN mh END) AS mh$i")
+      .map(i => s"MIN((xor(h, ${Dedup.saltXor(i)}) * ${Dedup.saltMul(i)}) & ${Dedup.hashMask}) AS mh$i")
       .mkString(",\n         ")
     val bandSelects = (0 until k / 2)
       .map(j => s"SELECT doc_id, $j AS band, mh${2 * j} AS m0, mh${2 * j + 1} AS m1 FROM sigw")
@@ -106,13 +106,12 @@ object TextPipelineQueries extends QueryModule {
       .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH ${shCte(shingleN)},
-       |salts AS (SELECT unnest(range(0, $k)) AS salt),
-       |sig AS (SELECT doc_id, salt,
-       |               MIN(CAST(('0x' || substr(md5(CAST(salt AS VARCHAR) || ':' || s), 1, 14)) AS BIGINT)) AS mh
-       |        FROM sh, salts GROUP BY doc_id, salt),
+       |hashed AS (SELECT doc_id,
+       |                  CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h
+       |           FROM sh),
        |sigw AS (SELECT doc_id,
        |         $mhCols
-       |         FROM sig GROUP BY doc_id),
+       |         FROM hashed GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
