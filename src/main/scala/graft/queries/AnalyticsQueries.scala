@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytic-function breadth beyond the reference's window surface:
+  * lead/lag/ntile/percent_rank/cume_dist/first/last in one pass, exact
+  * distributional stats (mean/stddev from integer power sums — bit-exact
+  * across engines, unlike streaming variance), ROLLUP hierarchies, and an
+  * approximate-distinct sketch (rows-only: HLL implementations differ by
+  * engine; the spec bounds its error against the exact count).
+  */
+object AnalyticsQueries extends QueryModule {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The full ranking/offset window family over per-customer orders.
+    "win_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 10).as("pct_rank"),
+          round(cume_dist().over(w), 10).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Exact mean/stddev per language from integer power sums: Σx and Σx²
+    // are exact in BIGINT, then one double formula — deterministic where
+    // distributed streaming variance is not.
+    "stats_by_lang" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_chars") * col("n_chars")).as("sum_sq"))
+        .select(col("lang"), col("n"),
+          (col("sum_chars").cast("double") / col("n")).as("mean_chars"),
+          sqrt((col("sum_sq").cast("double") -
+            col("sum_chars").cast("double") * col("sum_chars") / col("n")) /
+            (col("n") - 1)).as("stddev_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ROLLUP hierarchy: order counts by (year, status) with subtotals and
+    // a grand total — the standard drill-down cube slice.
+    "rollup_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("order_year").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // HLL sketch (approx distinct users per event type) — rows-only:
+    // engines implement different sketches; AnalyticsSpec bounds the
+    // error against the exact count instead.
+    "sketch_approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       LAG(o_totalprice, 1) OVER w AS prev_price,
+        |       LEAD(o_totalprice, 1) OVER w AS next_price,
+        |       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |       NTILE(4) OVER w AS quartile,
+        |       ROUND(PERCENT_RANK() OVER w, 10) AS pct_rank,
+        |       ROUND(CUME_DIST() OVER w, 10) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "stats_by_lang" ->
+      """SELECT lang, COUNT(*) AS n,
+        |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+        |       sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+        |              - CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars) / COUNT(*))
+        |            / (COUNT(*) - 1)) AS stddev_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "rollup_orders" ->
+      """SELECT year(o_orderdate) AS order_year, o_orderstatus,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.AnalyticsQueries
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 10% of exact per event type") {
+    val approx = AnalyticsQueries.queries("sketch_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.10,
+        s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
+  test("rollup produces leaf+subtotal+grand-total levels") {
+    val rows = AnalyticsQueries.queries("rollup_orders")(spark, dir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val subtotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == Tables.orders(spark, dir).count())
+    assert(subtotals.nonEmpty)
+    // each year subtotal equals the sum of its leaves
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    subtotals.foreach { st =>
+      val y = st.getInt(0)
+      val leafSum = leaves.filter(_.getInt(0) == y).map(_.getLong(2)).sum
+      assert(st.getLong(2) == leafSum, s"year $y subtotal")
+    }
+  }
+}
