@@ -114,6 +114,53 @@ object EventStream {
   }
 }
 
+/** Pure-streaming stateful aggregation (SURVEY T5's alternative path):
+  * per-user running totals in the state store via `mapGroupsWithState`,
+  * rather than re-reading the warehouse each batch. State is one small
+  * case class per key — bounded, partitioned by user, checkpointed. */
+object StatefulCounts {
+  case class UserAgg(userId: Long, nEvents: Long, sumValue: Double)
+
+  def run(spark: SparkSession, srcDir: String, checkpointDir: String,
+      sinkName: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val updated = stream
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+          val (n, v) = rows.foldLeft((0L, 0.0)) {
+            case ((c, s), (_, value)) => (c + 1, s + value)
+          }
+          val next = UserAgg(user, prev.nEvents + n, prev.sumValue + v)
+          state.update(next)
+          next
+      }
+    val q = updated.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // memory sink in update mode appends each update; latest row per user
+    // is the final state
+    val t = spark.table(sinkName)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId"))
+      .orderBy(col("nEvents").desc)
+    t.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+}
+
 /** A Type-1-upsert parquet table (SURVEY §2.9 D2–D5 on plain parquet):
   * versioned directories + a pointer file stand in for ACID MERGE
   * (Delta/Iceberg at real scale — same logical flow). Re-applying a batch

@@ -67,6 +67,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin == Seq((1L, 3L, 7.0), (2L, 2L, 8.0)))
   }
 
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    val src = tmp("ev-src4")
+    writeEvents(src, 1, batch1)
+    writeEvents(src, 2, batch2)
+    val fin = graft.streaming.StatefulCounts
+      .run(spark, src, tmp("ev-ck5"), "state_sink")
+      .orderBy("userId").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // user1: events 0,1,3 -> n=3, sum=1+2+4; user2: events 2,4 -> n=2, sum=8
+    assert(fin == Seq((1L, 3L, 7.0), (2L, 2L, 8.0)))
+  }
+
+  test("batched client fetches in <=batchSize groups inside partitions") {
+    import spark.implicits._
+    val ids = (0 until 137).map(i => s"id$i").toDS().repartition(3)
+    val got = graft.sources.BatchedClient.fetchBatched(ids, 50) { group =>
+      assert(group.size <= 50 && group.nonEmpty)
+      group.map(id => id -> s"payload-of-$id")
+    }.collect()
+    assert(got.length == 137)
+    assert(got.forall(r => r.getString(1) == s"payload-of-${r.getString(0)}"))
+  }
+
   test("dead-letter split: invalid rows land in failures") {
     val src = tmp("ev-src3")
     val out = tmp("ev-out")
