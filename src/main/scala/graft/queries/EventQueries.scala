@@ -49,6 +49,21 @@ object EventQueries extends QueryModule {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Built-in session windows — same 30-min-gap semantics as
+    // evt_sessionize, via Spark's native merge-based session_window
+    // operator (the streaming-capable formulation). The oracle derives
+    // sessions with the lag+running-count construction, proving the two
+    // formulations agree.
+    "evt_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // F20-analog — JSON field extraction from the props column.
     "evt_json_extract" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -118,6 +133,28 @@ object EventQueries extends QueryModule {
         |       CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "evt_session_window" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR ts - prev_ts > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |       COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "evt_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value
