@@ -41,6 +41,33 @@ object TextAnalysis {
        |         / len($toksSql) AS avg_token_len
        |FROM $table""".stripMargin
 
+  /** BPE-ish pre-tokenization regex (the GPT-2 pattern family, reduced to
+    * syntax both java.util.regex and RE2/DuckDB support — no lookahead):
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs, residual whitespace. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** Token statistics under BPE-ish pre-tokenization — the token-count
+    * estimator a training pipeline budgets with. */
+  def bpeTokenStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        regexp_extract_all(text, lit(bpePattern), lit(0)).as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => !t.rlike("^\\s+$"))).as("n_bpe_tokens"),
+        size(array_distinct(filter(col("toks"), t => !t.rlike("^\\s+$"))))
+          .as("n_distinct_bpe"))
+
+  def bpeTokenStatsSql(table: String): String = {
+    val sqlPattern = bpePattern.replace("'", "''") // SQL string-literal quoting
+    s"""SELECT doc_id,
+       |       len(list_filter(regexp_extract_all(text, '$sqlPattern'),
+       |                       t -> NOT regexp_matches(t, '^\\s+$$'))) AS n_bpe_tokens,
+       |       len(list_distinct(list_filter(regexp_extract_all(text, '$sqlPattern'),
+       |                       t -> NOT regexp_matches(t, '^\\s+$$')))) AS n_distinct_bpe
+       |FROM $table""".stripMargin
+  }
+
   // ---- quality scoring -----------------------------------------------
 
   /** Tiny fixed English stoplist — quality scoring wants "does this look

@@ -63,6 +63,13 @@ object TextPipelineQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Token counting under BPE-ish pre-tokenization (the training-budget
+    // estimator).
+    "txt_bpe_tokens" -> ((s, dir) => {
+      TextAnalysis.bpeTokenStats(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: length/punctuation/stopword signals.
     "txt_quality" -> ((s, dir) => {
       TextAnalysis.qualityScore(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -166,6 +173,9 @@ object TextPipelineQueries extends QueryModule {
 
     "txt_token_stats" ->
       (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),
+
+    "txt_bpe_tokens" ->
+      (TextAnalysis.bpeTokenStatsSql("documents") + "\nORDER BY doc_id"),
 
     "txt_quality" ->
       (TextAnalysis.qualityScoreSql("documents") + "\nORDER BY doc_id"),
