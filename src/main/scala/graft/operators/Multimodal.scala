@@ -71,6 +71,25 @@ object Multimodal {
     MediaFeatures(m.doc_id, m.media_type, m.payload.length, checksum, nFrames, feature)
   }
 
+  /** Frame sampling over binary payloads: split each payload into
+    * fixed-size byte frames (posexplode of computed offsets + binary
+    * substring — all relational, no decode), yielding one row per frame
+    * with its length and content hash. The real-codec version would
+    * replace the byte slice with an I-frame extraction at the same
+    * operator shape. */
+  def sampleFrames(media: DataFrame, frameBytes: Int): DataFrame =
+    media
+      .select(col("doc_id"), col("media_type"), col("payload"),
+        explode(sequence(lit(0),
+          floor((octet_length(col("payload")) - 1) / frameBytes).cast("int")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        octet_length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+
   /** End-to-end media pipeline as a DataFrame op (for the query layer). */
   def mediaFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._

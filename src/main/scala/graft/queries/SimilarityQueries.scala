@@ -62,6 +62,17 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal frame sampling: fixed-size byte frames from video
+    // payloads, one row per frame with content hash. Oracle slices the
+    // source text (payloads are its UTF-8 bytes; corpus is pure ASCII so
+    // varchar slicing in DuckDB sees identical bytes).
+    "mm_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.toMedia(Tables.documents(s, dir))
+            .filter(col("media_type") === "video"), 64)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Multimodal decode stub end-to-end (rows-only; see MultimodalSpec).
     "mm_decode_stub" -> ((s, dir) =>
       Multimodal.mediaFeatures(s, Tables.documents(s, dir))
@@ -165,6 +176,17 @@ object SimilarityQueries extends QueryModule {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${cosExpr("a", "b")} >= $nearThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        |       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |       CAST(i AS INT) AS frame_idx,
+        |       length(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_len,
+        |       md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM documents, generate_series(0, 40) t(i)
+        |WHERE (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] = 'video'
+        |  AND i <= (length(text) - 1) // 64
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_media_table" ->
       """SELECT doc_id,
