@@ -44,23 +44,6 @@ object Dedup {
     df.select(id.as("doc_id"), lower(text).as("lt"))
       .select(col("doc_id"), explode(shingles(col("lt"), n)).as("s"))
 
-  /** MinHash signatures, wide layout (doc_id, mh0..mh{k-1}).
-    *
-    * The k salted hashes are computed once per *distinct* shingle (the
-    * shingle vocabulary is orders of magnitude smaller than the
-    * doc×shingle pair table) and broadcast-joined back — so the expensive
-    * md5 work is O(|vocab|·k), and the big pair table only flows through
-    * one broadcast join + one map-side-combining groupBy. */
-  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val hashed = sh.select(col("s")).distinct()
-      .select(col("s") +: (0 until k).map { i =>
-        md5Hash54(concat(lit(s"$i:"), col("s"))).as(s"h$i")
-      }: _*)
-    sh.join(broadcast(hashed), "s")
-      .groupBy(col("doc_id"))
-      .agg(min(col("h0")).as("mh0"),
-        (1 until k).map(i => min(col(s"h$i")).as(s"mh$i")): _*)
-  }
 
   /** LSH banding with 2 rows per band over a wide signature: docs sharing
     * any full band become candidate pairs. Join key is (band, m0, m1) — a
@@ -84,36 +67,7 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given candidate pairs over a shingle set.
-    *
-    * Intersections run as per-pair `array_intersect` over compacted
-    * per-doc shingle arrays, not as a shingle-level equi-join — the join
-    * shuffles |pairs| + 2·|docs| rows instead of Σ |pair shingles| (a
-    * ~100× row reduction here), and a doc's shingle array is bounded by
-    * its text length so the row stays small at any corpus scale. */
-  def jaccardOnCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
-    // Broadcast the compacted doc→shingle-array table: the candidate rows
-    // then never shuffle with array payloads attached. (At a scale where
-    // the doc-array table outgrows broadcast, bucket both sides by doc id
-    // instead — the pair table still never carries arrays through a wide
-    // exchange.)
-    // cache: the table feeds two broadcast sides; without it the groupBy
-    // + collect_set pass over the shingle table runs twice
-    val docArr = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("arr"), count(lit(1)).as("n"))
-      .persist()
-    cand
-      .join(broadcast(docArr.select(col("doc_id").as("doc_a"),
-        col("arr").as("arr_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(docArr.select(col("doc_id").as("doc_b"),
-        col("arr").as("arr_b"), col("n").as("n_b"))), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("arr_a"), col("arr_b"))) * lit(1.0) /
-          (col("n_a") + col("n_b") -
-            size(array_intersect(col("arr_a"), col("arr_b"))))).as("jaccard"))
-  }
 
-  /** MinHash → LSH → exact-Jaccard near-dup pipeline. */
   /** Signature-agreement estimate filter: of the LSH candidates, keep only
     * pairs whose MinHash signatures agree on ≥ minMatches of k positions
     * (agreement fraction is an unbiased Jaccard estimate). Exact
@@ -134,10 +88,14 @@ object Dedup {
   }
 
   /** Per-salt mixing constants for the derived MinHash family: xor with a
-    * 54-bit md5-derived constant, multiply by a small prime (54+5 bits <
-    * 63, no overflow — DuckDB BIGINT overflow would *error*, Java wraps),
-    * mask back to 54 bits. One real md5 per shingle; k derivations are
-    * integer arithmetic. Embedded as literals in the SQL twin. */
+    * 56-bit md5-derived constant (14 hex digits), multiply by a prime
+    * ≤ 59, mask back to 54 bits. Worst pre-mask product is 56+6 = 62 bits
+    * < 63, so no Long overflow — which matters on BOTH engines: DuckDB
+    * errors on BIGINT overflow and Spark 4's default ANSI mode would
+    * throw too. Widening the hash beyond 56 bits or the multipliers
+    * beyond 6 bits breaks this bound. One real md5 per shingle; the k
+    * derivations are integer arithmetic. Embedded as literals in the SQL
+    * twin. Supports k ≤ 16. */
   val saltXor: Seq[Long] = (0 until 16).map(i =>
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
@@ -149,6 +107,8 @@ object Dedup {
 
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int, k: Int, threshold: Double): DataFrame = {
+    require(k <= saltXor.length && k <= saltMul.length,
+      s"nearDupPairs: derived-salt family supports k <= ${saltXor.length}, got $k")
     // Shuffle-free per-doc stage: shingle array hashed ONCE per element
     // (md5 on 880k shingles is the real cost — salting the md5 input k
     // ways costs k× that), then the k MinHash minima derive from the
@@ -241,6 +201,10 @@ object Dedup {
     * `maxHamming` on band-collision candidates. Same candidates-scale-
     * with-duplicates property as MinHash LSH. */
   def simHashPairs(fp: DataFrame, maxHamming: Int): DataFrame = {
+    // 4-byte banding only guarantees recall for distances < 4 — at d >= 4
+    // a pair can differ in every byte and silently never collide.
+    require(maxHamming < 4,
+      s"simHashPairs: byte-banding guarantees recall only for maxHamming < 4, got $maxHamming")
     val bands = (0 until 4).map { j =>
       struct(lit(j).as("band"),
         (shiftright(col("simhash"), 8 * j) % 256).as("bk"))

@@ -79,6 +79,9 @@ object Multimodal {
     * operator shape. */
   def sampleFrames(media: DataFrame, frameBytes: Int): DataFrame =
     media
+      // empty payloads yield no frames (unguarded, floor((0-1)/n) = -1 and
+      // sequence(0,-1) emits [0,-1] — two spurious rows)
+      .filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"), col("media_type"), col("payload"),
         explode(sequence(lit(0),
           floor((octet_length(col("payload")) - 1) / frameBytes).cast("int")))

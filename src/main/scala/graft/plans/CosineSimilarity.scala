@@ -17,12 +17,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (composition > native Expression > UDF).
   *
   * Accumulation order is index-ascending, identical to the sequential
-  * HOF fold and to DuckDB's `list_dot_product` — swapping this in does
-  * not change a single output bit.
+  * HOF fold and to DuckDB's `list_dot_product` — for non-degenerate
+  * inputs, swapping this in does not change a single output bit.
   *
-  * Null semantics: null if either array is null (BinaryExpression
-  * default); null elements are treated as 0.0. Arrays shorter than the
-  * other are zip-truncated like `zip_with`.
+  * Degenerate-input semantics (deliberately SAFER than the HOF): a
+  * zero-norm or empty array yields null, where the HOF formulation
+  * produces NaN (which ranks above every real cosine in a descending
+  * window) or throws under ANSI. Null arrays → null (BinaryExpression
+  * default); null elements are treated as 0.0; length mismatch
+  * zip-truncates like `zip_with`.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,6 +42,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Result can be null even for non-null inputs (zero-norm guard below).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -53,7 +59,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / math.sqrt(nx * ny)
+    // Zero-norm (or empty) input has no defined angle: return null rather
+    // than NaN — NaN sorts ABOVE every real cosine in a descending rank,
+    // which would crown a zero vector nearest-neighbor of everything.
+    if (nx * ny == 0.0) null else dot / math.sqrt(nx * ny)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -73,7 +82,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yi = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |if ($nx * $ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny);
+         |}
        """.stripMargin
     })
 

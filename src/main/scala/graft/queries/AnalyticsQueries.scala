@@ -42,9 +42,12 @@ object AnalyticsQueries extends QueryModule {
           sum(col("n_chars") * col("n_chars")).as("sum_sq"))
         .select(col("lang"), col("n"),
           (col("sum_chars").cast("double") / col("n")).as("mean_chars"),
-          sqrt((col("sum_sq").cast("double") -
-            col("sum_chars").cast("double") * col("sum_chars") / col("n")) /
-            (col("n") - 1)).as("stddev_chars"))
+          // null for singleton groups: (n-1)=0 would throw under ANSI
+          // (Spark 4 default) where DuckDB yields NaN — diverging engines
+          when(col("n") > 1,
+            sqrt((col("sum_sq").cast("double") -
+              col("sum_chars").cast("double") * col("sum_chars") / col("n")) /
+              (col("n") - 1))).as("stddev_chars"))
         .orderBy(col("lang"))
     }),
 
@@ -86,9 +89,10 @@ object AnalyticsQueries extends QueryModule {
     "stats_by_lang" ->
       """SELECT lang, COUNT(*) AS n,
         |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
-        |       sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
-        |              - CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars) / COUNT(*))
-        |            / (COUNT(*) - 1)) AS stddev_chars
+        |       CASE WHEN COUNT(*) > 1 THEN
+        |         sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+        |                - CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars) / COUNT(*))
+        |              / (COUNT(*) - 1)) END AS stddev_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "rollup_orders" ->

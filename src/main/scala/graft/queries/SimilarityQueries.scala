@@ -65,7 +65,9 @@ object SimilarityQueries extends QueryModule {
     // Multimodal frame sampling: fixed-size byte frames from video
     // payloads, one row per frame with content hash. Oracle slices the
     // source text (payloads are its UTF-8 bytes; corpus is pure ASCII so
-    // varchar slicing in DuckDB sees identical bytes).
+    // varchar slicing in DuckDB sees identical bytes). The oracle's
+    // generate_series(0, 40) bound allows 41*64 = 2624-char docs — the
+    // corpus max is 577 (the Spark side uses the true length).
     "mm_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
           Multimodal.toMedia(Tables.documents(s, dir))
@@ -185,6 +187,7 @@ object SimilarityQueries extends QueryModule {
         |       md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM documents, generate_series(0, 40) t(i)
         |WHERE (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] = 'video'
+        |  AND length(text) > 0
         |  AND i <= (length(text) - 1) // 64
         |ORDER BY doc_id, frame_idx""".stripMargin,
 

@@ -51,6 +51,25 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("zero-norm and empty arrays yield null, not NaN") {
+    val df = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),   // zero vector
+      (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("x", "y")
+    val rows = df.select(GraftExtensions.cosineSim(col("x"), col("y")).as("c"))
+      .collect()
+    assert(rows.forall(_.isNullAt(0)))
+    // and therefore a zero vector can never win a descending cosine rank
+    val ranked = vecs.limit(5)
+      .union(Seq((999L, Seq.fill(64)(0.0))).toDF("id", "v"))
+      .select(col("id"),
+        GraftExtensions.cosineSim(col("v"),
+          typedLit(Seq.fill(64)(0.5))).as("c"))
+      .orderBy(col("c").desc_nulls_last)
+      .collect()
+    assert(ranked.last.getLong(0) == 999L)
+  }
+
   test("interpreted path agrees with codegen path") {
     val x = Seq.fill(16)(rnd.nextDouble())
     val y = Seq.fill(16)(rnd.nextDouble())
