@@ -100,9 +100,12 @@ object GraphQueries extends QueryModule {
       Graph.pageRank(refEdges(s, dir), iters = 15)
         .orderBy(col("rank").desc, col("id"))),
 
-    // G5 — community detection via connected components (rows-only).
+    // G5 — community detection via connected components. Min-label
+    // propagation converges to min-node-id-per-component, which a
+    // recursive CTE can re-derive → oracle-checked (the one iterative
+    // graph algorithm with an exact integer fixpoint).
     "g_components" -> ((s, dir) =>
-      Graph.connectedComponents(refEdges(s, dir))
+      Graph.connectedComponents(refEdges(s, dir), maxIters = 100)
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("component"))),
 
@@ -166,6 +169,18 @@ object GraphQueries extends QueryModule {
         |             JOIN deg db ON db.src = i.id_b
         |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "g_components" ->
+      s"""WITH RECURSIVE $refEdgesSql,
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |r(id, comp) AS (
+         |  SELECT src AS id, src AS comp FROM und
+         |  UNION
+         |  SELECT u.dst AS id, r.comp FROM r JOIN und u ON u.src = r.id
+         |  WHERE r.comp < u.dst),
+         |comps AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id)
+         |SELECT component, COUNT(*) AS size FROM comps
+         |GROUP BY component ORDER BY size DESC, component""".stripMargin,
 
     "g_2hop_reach" ->
       s"""WITH $refEdgesSql,
