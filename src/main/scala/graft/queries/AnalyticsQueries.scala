@@ -61,6 +61,17 @@ object AnalyticsQueries extends QueryModule {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Exact interpolated quantiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition;
+    // integer inputs make the arithmetic identical).
+    "quantiles_by_lang" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"))
+        .orderBy(col("lang"))
+    }),
+
     // HLL sketch (approx distinct users per event type) — rows-only:
     // engines implement different sketches; AnalyticsSpec bounds the
     // error against the exact count instead.
@@ -93,6 +104,12 @@ object AnalyticsQueries extends QueryModule {
         |         sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
         |                - CAST(SUM(n_chars) AS DOUBLE) * SUM(n_chars) / COUNT(*))
         |              / (COUNT(*) - 1)) END AS stddev_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "quantiles_by_lang" ->
+      """SELECT lang,
+        |       quantile_cont(n_chars, 0.5) AS p50,
+        |       quantile_cont(n_chars, 0.9) AS p90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "rollup_orders" ->
