@@ -25,10 +25,12 @@ object Tables {
     */
   private def normalizeTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integral `div`, not `/`: double division of an epoch-nanos Long
+      // (~1.7e18 > 2^53) carries ±128 ns of rounding error, enough to land
+      // on the wrong microsecond vs DuckDB's exact truncation
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000)
-            .cast(org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

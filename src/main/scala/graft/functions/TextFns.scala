@@ -29,9 +29,13 @@ object TextFns {
   def fillUnknown(c: Column): Column = coalesce(c, lit("Unknown"))
 
   /** F7 — year normalization: "2004.0" → 2004, 'Unknown'/garbage → 0
-    * (`dags/pop_DWH.py:64-65,78`). */
-  def normalizeYear(c: Column): Column =
-    coalesce(split(c, "\\.").getItem(0).cast("int"), lit(0))
+    * (`dags/pop_DWH.py:64-65,78`). The digit guard keeps the cast off
+    * non-numeric input — under Spark 4's default ANSI mode a bare
+    * cast("int") of "Unknown" throws instead of yielding null. */
+  def normalizeYear(c: Column): Column = {
+    val tok = split(c, "\\.").getItem(0)
+    coalesce(when(tok.rlike("^-?[0-9]+$"), tok.cast("int")), lit(0))
+  }
 
   /** F9 — full-name concat (`dags/enrich.py:69`). */
   def fullName(given: Column, family: Column): Column =

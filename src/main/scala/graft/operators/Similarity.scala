@@ -108,15 +108,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Hyperplane weight (j, i): same md5-derived value the SQL twin
+    * computes, evaluated ONCE on the driver — an expression inside a
+    * `transform` lambda would re-derive nBits×dim md5s per input row. */
+  private def planeWeight(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+      .take(7).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble
+  }
+
   /** Random-hyperplane LSH bucket code (`nBits` sign bits). Hyperplane
     * weights are integer-valued md5-derived pseudo-randoms in [-1000,1000]
     * so the oracle derives the identical planes; the dot with an integer
-    * plane is still a sequential double fold. */
+    * plane is still a sequential double fold. Planes are driver-side
+    * literals (constant per (j,i)). */
   def lshBucket(v: Column, nBits: Int, dim: Int): Column = {
     val codes = (0 until nBits).map { j =>
-      val plane = transform(sequence(lit(0), lit(dim - 1)),
-        i => (md5Hash54(concat(lit(s"$j:"), i.cast("string"))) % 2001 - 1000)
-          .cast("double"))
+      val plane = typedLit((0 until dim).map(i => planeWeight(j, i)))
       when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     codes.reduce(_ + _)

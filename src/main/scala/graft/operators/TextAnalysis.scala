@@ -30,15 +30,18 @@ object TextAnalysis {
       id.as("doc_id"),
       size(toks(text)).as("n_tokens"),
       size(array_distinct(toks(text))).as("n_distinct"),
+      // nullif-guarded: an empty/whitespace-only doc has 0 tokens, and a
+      // 0 denominator aborts under ANSI where DuckDB yields NULL
       (aggregate(transform(toks(text), t => length(t)), lit(0),
-        (acc, x) => acc + x) * lit(1.0) / size(toks(text))).as("avg_token_len"))
+        (acc, x) => acc + x) * lit(1.0) /
+        nullif(size(toks(text)), lit(0))).as("avg_token_len"))
 
   def tokenStatsSql(table: String): String =
     s"""SELECT doc_id,
        |       len($toksSql) AS n_tokens,
        |       len(list_distinct($toksSql)) AS n_distinct,
        |       list_sum(list_transform($toksSql, t -> length(t))) * 1.0
-       |         / len($toksSql) AS avg_token_len
+       |         / NULLIF(len($toksSql), 0) AS avg_token_len
        |FROM $table""".stripMargin
 
   /** BPE-ish pre-tokenization regex (the GPT-2 pattern family, reduced to
@@ -81,10 +84,11 @@ object TextAnalysis {
   def qualityScore(df: DataFrame, id: Column, text: Column): DataFrame = {
     val nChars = length(text)
     val nAlnumSpace = length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
-    val punctRatio = (nChars - nAlnumSpace) * lit(1.0) / nChars
+    // nullif guards: empty docs would divide by zero (ANSI abort)
+    val punctRatio = (nChars - nAlnumSpace) * lit(1.0) / nullif(nChars, lit(0))
     val t = toks(text)
     val stopRatio = size(filter(t, x => x.isInCollection(stopwords))) *
-      lit(1.0) / size(t)
+      lit(1.0) / nullif(size(t), lit(0))
     val lenScore = least(nChars * lit(1.0) / 200.0, lit(1.0))
     val score = (lenScore + (lit(1.0) - punctRatio) + least(stopRatio * 5.0, lit(1.0))) / 3.0
     df.select(id.as("doc_id"), nChars.as("n_chars_m"),
@@ -97,12 +101,12 @@ object TextAnalysis {
     s"""SELECT doc_id,
        |       length(text) AS n_chars_m,
        |       (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
-       |         / length(text) AS punct_ratio,
+       |         / NULLIF(length(text), 0) AS punct_ratio,
        |       len(list_filter($toksSql, x -> x IN ($stops))) * 1.0
-       |         / len($toksSql) AS stopword_ratio,
+       |         / NULLIF(len($toksSql), 0) AS stopword_ratio,
        |       (least(length(text) * 1.0 / 200.0, 1.0)
-       |        + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / length(text))
-       |        + least(len(list_filter($toksSql, x -> x IN ($stops))) * 1.0 / len($toksSql) * 5.0, 1.0)) / 3.0
+       |        + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0 / NULLIF(length(text), 0))
+       |        + least(len(list_filter($toksSql, x -> x IN ($stops))) * 1.0 / NULLIF(len($toksSql), 0) * 5.0, 1.0)) / 3.0
        |         AS quality_score
        |FROM $table""".stripMargin
   }

@@ -25,9 +25,11 @@ object Cleaning {
   /** P2 — the reference's dropped columns (transforms.py:39). */
   val droppedColumns = Seq("comments", "abstract", "license", "update_date", "report-no")
 
-  /** F13 — keep only the latest version tag (transforms.py:32-35). */
+  /** F13 — keep only the latest version tag (transforms.py:32-35).
+    * `try_element_at`: an empty versions array yields null rather than
+    * throwing under ANSI mode. */
   def latestVersion(versions: Column): Column =
-    element_at(versions, -1).getField("version")
+    try_element_at(versions, lit(-1)).getField("version")
 
   /** F2 — newline strip on the reference's three columns
     * (transforms.py:42-44). */

@@ -111,11 +111,13 @@ object Enrichment {
     * to level-0 (openalex.py:96-105). Concepts:
     * array<struct<display_name, level, score>>. */
   def selectSubject(concepts: Column): Column = {
+    // try_element_at: no level-1 concepts is normal OpenAlex data — an
+    // ANSI element_at would throw and make the level-0 fallback unreachable
     def best(level: Int): Column =
-      element_at(array_sort(
+      try_element_at(array_sort(
         filter(concepts, c => c.getField("level") === level),
         (l, r) => when(l.getField("score") > r.getField("score"), -1)
-          .when(l.getField("score") < r.getField("score"), 1).otherwise(0)), 1)
+          .when(l.getField("score") < r.getField("score"), 1).otherwise(0)), lit(1))
         .getField("display_name")
     coalesce(best(1), best(0))
   }

@@ -78,9 +78,11 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val isValid = col("value").isNotNull && col("value") >= 0 &&
           col("event_type").isNotNull
-        batch.filter(isValid).write.mode("append")
+        // overwrite per batch-id dir: a foreachBatch retry with the same
+        // id replaces rather than duplicates (append would double rows)
+        batch.filter(isValid).write.mode("overwrite")
           .parquet(s"$outDir/clean/batch_id=$batchId")
-        batch.filter(!isValid).write.mode("append")
+        batch.filter(!isValid).write.mode("overwrite")
           .parquet(s"$outDir/failures/batch_id=$batchId")
         ()
       }
@@ -184,7 +186,10 @@ class ParquetUpsertTable(spark: SparkSession, dir: String,
               String => org.apache.spark.sql.Column) =>
              Seq[org.apache.spark.sql.Column]): Unit = {
     val version = s"v$batchId"
-    if (Files.exists(Paths.get(dir, version))) return // idempotent replay
+    // replay guard keys on the writer's COMMIT marker, not bare directory
+    // existence — a crashed partial write leaves the dir without _SUCCESS
+    // and must be redone, or the batch would be silently lost
+    if (Files.exists(Paths.get(dir, version, "_SUCCESS"))) return
     val merged = current match {
       case None =>
         updates.select(col(keyCol) +: valueCols.map(col): _*)
