@@ -26,6 +26,17 @@ object RelationalQueries extends QueryModule {
   private val dec = DecimalType(18, 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = skewQueries ++ Map(
+    // SURVEY §3.3 dual exposure: the same BI query submitted as SQL TEXT
+    // through spark.sql over registered views — Catalyst's
+    // parse→analyze→optimize path, not the DataFrame builder.
+    "sql_entry_rank_orders" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |       DENSE_RANK() OVER (ORDER BY o_totalprice DESC) AS ranking
+          |FROM orders_v ORDER BY ranking, o_orderkey""".stripMargin)
+    }),
+
     // W1 — global dense_rank ranking ("ranking papers by citation count",
     // reference dags/sql/queries.sql:43-45).
     "q05_rank_orders_by_price" -> ((s, dir) => {
@@ -242,6 +253,11 @@ object RelationalQueries extends QueryModule {
 
   val oracle: Map[String, String] = skewOracle ++ Map(
     "q05_rank_orders_by_price" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       DENSE_RANK() OVER (ORDER BY o_totalprice DESC) AS ranking
+        |FROM orders ORDER BY ranking, o_orderkey""".stripMargin,
+
+    "sql_entry_rank_orders" ->
       """SELECT o_orderkey, o_totalprice,
         |       DENSE_RANK() OVER (ORDER BY o_totalprice DESC) AS ranking
         |FROM orders ORDER BY ranking, o_orderkey""".stripMargin,
