@@ -51,19 +51,19 @@ object Graph {
     * excluded. Pure joins: Σ_v deg(v)² pair generation through the shared
     * neighbor, exact — the deterministic, oracle-checkable one. */
   def jaccardSimilarity(edges: DataFrame, threshold: Double): DataFrame = {
-    val adj = edges.select(col("src"), col("dst")).distinct()
+    // null endpoints dropped up front: a groupBy- or join-based pair
+    // generator would otherwise treat NULL as a shared neighbor
+    val adj = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
     val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
-    // pair generation per shared neighbor: group sources into a sorted
-    // array per dst, emit ordered pairs with one HOF flatten — one shuffle
-    // on dst instead of a self-join exchange over the full edge list, and
-    // the per-dst fan-out (deg²/2) is explicit in the plan
-    val bySrcList = adj.groupBy(col("dst"))
-      .agg(sort_array(collect_list(col("src"))).as("srcs"))
-    val inter = bySrcList
-      .select(explode(flatten(transform(col("srcs"), (a, i) =>
-        transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
-          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // pair generation stays a streamed self-join: a per-dst
+    // collect_list+combination variant materializes a hub's full deg²/2
+    // pair array in ONE row — an OOM on celebrity neighbors — where the
+    // join emits pairs incrementally with spill.
+    val inter = adj.as("a")
+      .join(adj.as("b"), col("a.dst") === col("b.dst") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("id_a"), col("b.src").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(deg.as("da"), col("da.src") === col("id_a"))

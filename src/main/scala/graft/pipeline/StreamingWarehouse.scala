@@ -42,7 +42,11 @@ object StreamingWarehouse {
     * to parquet per batch so lineage never grows unboundedly. */
   def run(spark: SparkSession, srcDir: String, checkpointDir: String,
       stateDir: String): Warehouse.State = {
-    var state = Warehouse.emptyState(spark)
+    // recover the newest committed state version — a restart resumes from
+    // it while the checkpoint skips already-committed batches; without
+    // this, previously loaded warehouse contents would silently vanish
+    @volatile var state = loadLatestState(spark, stateDir)
+      .getOrElse(Warehouse.emptyState(spark))
     val stream = spark.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", 1) // the reference's 50-papers-per-pull cadence analog
       .parquet(srcDir)
@@ -52,11 +56,50 @@ object StreamingWarehouse {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         state = persistState(
           Warehouse.loadBatch(spark, state, batch), s"$stateDir/v$batchId")
+        pruneOldVersions(stateDir, keep = 2)
+        // release the per-batch caches loadBatch pinned — the state now
+        // reads from parquet, so nothing references them anymore
+        spark.catalog.clearCache()
         ()
       }
       .start()
     q.awaitTermination()
     state
+  }
+
+  /** Newest state version whose fact table committed (_SUCCESS). */
+  def loadLatestState(spark: SparkSession, stateDir: String): Option[Warehouse.State] = {
+    val base = new java.io.File(stateDir)
+    val versions = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("v") &&
+        new java.io.File(d, "paper_fact/_SUCCESS").exists())
+      .flatMap(d => d.getName.drop(1).toLongOption.map(_ -> d))
+      .sortBy(_._1)
+    versions.lastOption.map { case (_, d) =>
+      def rd(name: String) = spark.read.parquet(s"${d.getPath}/$name")
+      Warehouse.State(rd("dim_year"), rd("dim_domain"), rd("dim_type"),
+        rd("dim_venue"), rd("dim_author"), rd("dim_affiliation"),
+        rd("paper_fact"), rd("bridge_author_group"), rd("bridge_affiliation_group"))
+    }
+  }
+
+  /** Drop all but the newest `keep` committed versions — per-batch full
+    * rewrites are the plain-parquet Type-1 reality (an ACID table format
+    * MERGEs instead); without pruning the directory grows one complete
+    * warehouse copy per batch. */
+  private def pruneOldVersions(stateDir: String, keep: Int): Unit = {
+    val base = new java.io.File(stateDir)
+    val versions = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("v"))
+      .flatMap(d => d.getName.drop(1).toLongOption.map(_ -> d))
+      .sortBy(_._1)
+    versions.dropRight(keep).foreach { case (_, d) =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
   }
 
   /** Write every state table as parquet and reload — truncates lineage

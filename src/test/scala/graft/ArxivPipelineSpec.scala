@@ -104,27 +104,15 @@ class ArxivPipelineSpec extends AnyFunSuite {
     assert(out("Zzz X") == "unknown")      // miss -> unknown
   }
 
-  /** Staged batch shaped like the enriched record (FIXTURES.md §A2). */
-  private def staged(rows: Seq[(String, String, Int, String, String, String, Int,
-      Seq[(String, String, String, String, String)])]): DataFrame =
-    rows.toDF("id", "subject", "published-year", "type", "container-title",
-        "publisher", "is-referenced-by-count", "am")
-      .withColumn("doi", concat(lit("10.0/"), col("id")))
-      .withColumn("title", concat(lit("T-"), col("id")))
-      .withColumn("latest_version", lit("v1"))
-      .withColumn("authors_merged", col("am").cast(
-        "array<struct<family:string,given:string,affiliation:string," +
-          "gender:string,full_name:string>>"))
-      .drop("am")
 
-  private val batch1 = staged(Seq(
+  private val batch1 = Fixtures.staged(Seq(
     ("p1", "Physics", 2020, "journal-article", "PRL", "APS", 10,
       Seq(("Doe", "John", "Tartu Univ.", "male", "John Doe"),
         ("Balázs", "C.", null, "unknown", "C. Balázs"))),
     ("p2", "Mathematics", 2021, "journal-article", "AMS", "AMS", 0,
       Seq(("Doe", "John", "Tartu Univ.", "male", "John Doe")))))
 
-  private val batch2 = staged(Seq(
+  private val batch2 = Fixtures.staged(Seq(
     // p1 again (replay) + one new paper by the same author
     ("p1", "Physics", 2020, "journal-article", "PRL", "APS", 10,
       Seq(("Doe", "John", "Tartu Univ.", "male", "John Doe"))),

@@ -14,22 +14,11 @@ class BiWarehouseSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  private def staged(rows: Seq[(String, String, Int, String, String, String, Int,
-      Seq[(String, String, String, String, String)])]): DataFrame =
-    rows.toDF("id", "subject", "published-year", "type", "container-title",
-        "publisher", "is-referenced-by-count", "am")
-      .withColumn("doi", concat(lit("10.0/"), col("id")))
-      .withColumn("title", concat(lit("T-"), col("id")))
-      .withColumn("latest_version", lit("v1"))
-      .withColumn("authors_merged", col("am").cast(
-        "array<struct<family:string,given:string,affiliation:string," +
-          "gender:string,full_name:string>>"))
-      .drop("am")
 
   // 4 papers: 2 physics (Ada: 10+4 cites; Bob on one), 1 math (Ada, 0
   // cites), 1 Astrophysics 2005 (Cay). Venues: PRL(2), AMS(1), ApJ(1).
   private lazy val state = Warehouse.loadBatch(spark, Warehouse.emptyState(spark),
-    staged(Seq(
+    Fixtures.staged(Seq(
       ("a1", "physics", 2020, "journal-article", "PRL", "APS", 10,
         Seq(("Ada", "A", "MIT", "female", "A Ada"),
           ("Bob", "B", "ETH", "male", "B Bob"))),

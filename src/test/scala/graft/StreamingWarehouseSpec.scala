@@ -15,22 +15,11 @@ class StreamingWarehouseSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  private def staged(rows: Seq[(String, String, Int, String, String, String, Int,
-      Seq[(String, String, String, String, String)])]): DataFrame =
-    rows.toDF("id", "subject", "published-year", "type", "container-title",
-        "publisher", "is-referenced-by-count", "am")
-      .withColumn("doi", concat(lit("10.0/"), col("id")))
-      .withColumn("title", concat(lit("T-"), col("id")))
-      .withColumn("latest_version", lit("v1"))
-      .withColumn("authors_merged", col("am").cast(
-        "array<struct<family:string,given:string,affiliation:string," +
-          "gender:string,full_name:string>>"))
-      .drop("am")
 
-  private val b1 = staged(Seq(
+  private val b1 = Fixtures.staged(Seq(
     ("s1", "physics", 2020, "journal-article", "PRL", "APS", 9,
       Seq(("Ada", "A", "MIT", "female", "A Ada")))))
-  private val b2 = staged(Seq(
+  private val b2 = Fixtures.staged(Seq(
     ("s2", "physics", 2021, "journal-article", "PRL", "APS", 4,
       Seq(("Ada", "A", "MIT", "female", "A Ada"))),
     ("s3", "mathematics", 2019, "preprint", "arXiv", "arXiv", 0,
