@@ -54,8 +54,13 @@ object StreamingWarehouse {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // version = max existing + 1, NOT batchId: after a restart with a
+        // fresh checkpoint, batch ids restart at 0 and writing v0 would
+        // overwrite the directory the recovered state is lazily reading
+        // (a self-overwrite that fails mid-scan)
+        val next = nextVersion(stateDir)
         state = persistState(
-          Warehouse.loadBatch(spark, state, batch), s"$stateDir/v$batchId")
+          Warehouse.loadBatch(spark, state, batch), s"$stateDir/v$next")
         pruneOldVersions(stateDir, keep = 2)
         // release the per-batch caches loadBatch pinned — the state now
         // reads from parquet, so nothing references them anymore
@@ -65,6 +70,14 @@ object StreamingWarehouse {
       .start()
     q.awaitTermination()
     state
+  }
+
+  private def nextVersion(stateDir: String): Long = {
+    val base = new java.io.File(stateDir)
+    val ids = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("v"))
+      .flatMap(_.getName.drop(1).toLongOption)
+    if (ids.isEmpty) 0L else ids.max + 1
   }
 
   /** Newest state version whose fact table committed (_SUCCESS). */

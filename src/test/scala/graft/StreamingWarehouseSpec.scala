@@ -50,6 +50,31 @@ class StreamingWarehouseSpec extends AnyFunSuite {
     assert(ranked.length == 3 && ranked.map(_.getInt(0)).min == 1)
   }
 
+  test("restart recovers persisted state instead of starting empty") {
+    val src = Files.createTempDirectory("wh-src2").toString
+    val stateDir = Files.createTempDirectory("wh-state2").toString
+    val selectCols = StreamingWarehouse.stagedSchema.fieldNames.map(col)
+    b1.select(selectCols: _*).coalesce(1).write.mode("append").parquet(src)
+    StreamingWarehouse.run(spark, src,
+      Files.createTempDirectory("wh-ckA").toString, stateDir)
+    // recovery reads the committed version back
+    val recovered = StreamingWarehouse.loadLatestState(spark, stateDir)
+    assert(recovered.isDefined && recovered.get.fact.count() == 1)
+
+    // second run: new file, FRESH checkpoint (worst case — batch 0 replays
+    // too); recovery + loadBatch idempotence must preserve s1 and add s2/s3
+    b2.select(selectCols: _*).coalesce(1).write.mode("append").parquet(src)
+    val after = StreamingWarehouse.run(spark, src,
+      Files.createTempDirectory("wh-ckB").toString, stateDir)
+    assert(after.fact.count() == 3)
+    assert(after.fact.select("arxiv_ID").collect().map(_.getString(0)).sorted
+      .sameElements(Array("s1", "s2", "s3")))
+    // pruning keeps at most 2 version dirs
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(_.getName.startsWith("v"))
+    assert(versions.length <= 2)
+  }
+
   test("ParquetUpsertTable redoes a crashed partial write (no _SUCCESS)") {
     val dir = Files.createTempDirectory("upsert").toString
     val t = new graft.streaming.ParquetUpsertTable(spark, dir, "k", Seq("v"))
