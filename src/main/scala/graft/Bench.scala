@@ -47,19 +47,39 @@ object Bench {
     // min of 2 runs per query: single-shot local timings swing ±30% from
     // GC/JIT/page-cache noise; min-of-n is the standard stabilizer.
     val results = headline.filter(qs.contains).map { name =>
+      var error: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try qs(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          error = Some(e.toString.takeWhile(_ != '\n').take(200))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // drop per-query persisted intermediates
         dt
       }
-      name -> times.min
+      (name, times.min, error)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    // A crashed query reports null, never its time-to-failure.
+    val qJson = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + err.fold(v.toString)(_ => "null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    results.foreach { case (k, _, err) =>
+      err.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))
+    }
+    val total = results.collect { case (_, v, None) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","failed":$failed}"""
+    // stdout goes through sbt, which prefixes "[info]" and breaks the
+    // driver's parser (BENCH_r01 "parsed": null) — also write the line to a
+    // file and to stderr so a clean copy always survives.
+    println(line)
+    System.err.println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
 }

@@ -10,7 +10,12 @@ object Verify {
     val spark = Sessions.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // localCheckpoint pins the query's final global sort as materialized
+      // range partitions before the single-file coalesce: the optimizer can
+      // no longer fold/eliminate the Sort under Repartition, and
+      // CoalesceExec concatenates checkpointed partitions in range order,
+      // so the written row order is exactly the query's ORDER BY.
+      try fn(spark, sfDir).localCheckpoint().coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -154,7 +154,8 @@ object GraphQueries extends QueryModule {
          |  UNION ALL
          |  SELECT src + 1000000, dst + 1000000, 'REFERENCES' FROM e)
          |SELECT etype, COUNT(*) AS n_edges,
-         |       SUM(src) AS sum_src, SUM(dst) AS sum_dst
+         |       CAST(SUM(src) AS BIGINT) AS sum_src,
+         |       CAST(SUM(dst) AS BIGINT) AS sum_dst
          |FROM all_edges GROUP BY etype ORDER BY etype""".stripMargin,
 
     "g_jaccard_parts" ->
