@@ -82,7 +82,10 @@ object Dedup {
     val matches = (0 until k).map { i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)
     }.reduce(_ + _)
-    cand.join(broadcast(sigA), "doc_a").join(broadcast(sigB), "doc_b")
+    // No broadcast hints: the signature table grows with |docs| and would
+    // OOM a 100 TB run if pinned driver-side. Plain shuffle joins keyed on
+    // doc_a/doc_b — AQE still picks broadcast while the side fits.
+    cand.join(sigA, "doc_a").join(sigB, "doc_b")
       .filter(matches >= minMatches)
       .select(col("doc_a"), col("doc_b"))
   }
@@ -132,15 +135,23 @@ object Dedup {
       .persist()
     val candDocs = pruned.select(col("doc_a").as("doc_id"))
       .union(pruned.select(col("doc_b"))).distinct()
+    // candDocs and the shingle arrays scale with the number of near-dup
+    // candidates — unbounded at 100 TB, so no broadcast hints anywhere in
+    // the verify stage: shuffle joins on doc_a/doc_b, AQE broadcasts only
+    // while a side actually fits.
+    // Persisted so the two pair-side joins don't recompute the shingle
+    // arrays, and so AQE sees exact (candidates-only, small) sizes and can
+    // still choose broadcast at runtime.
     val docArr = df.select(id.as("doc_id"), lower(text).as("lt"))
-      .join(broadcast(candDocs), "doc_id")
+      .join(candDocs, "doc_id")
       .select(col("doc_id"), shingles(col("lt"), shingleN).as("arr"))
       .withColumn("n", size(col("arr")))
+      .persist()
     pruned
-      .join(broadcast(docArr.select(col("doc_id").as("doc_a"),
-        col("arr").as("arr_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(docArr.select(col("doc_id").as("doc_b"),
-        col("arr").as("arr_b"), col("n").as("n_b"))), "doc_b")
+      .join(docArr.select(col("doc_id").as("doc_a"),
+        col("arr").as("arr_a"), col("n").as("n_a")), "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"),
+        col("arr").as("arr_b"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("arr_a"), col("arr_b"))) * lit(1.0) /
           (col("n_a") + col("n_b") -

@@ -109,8 +109,14 @@ object Warehouse {
     // carry gender onto newly minted authors (Type-1: latest wins)
     val genderOf = authorsExpl.groupBy("full_name")
       .agg(max(col("gender")).as("g_new"))
+    // No broadcast hints on batch- or corpus-scaled frames anywhere below:
+    // dimAuthor/dimAffiliation/dimVenue grow monotonically with the corpus
+    // and genderOf/touched/h/g with the batch — at 100 TB none is
+    // guaranteed to fit driver-side. AQE still picks broadcast while a
+    // side is actually small; only the bounded dims (year: fixed 92 rows,
+    // domain/type: closed vocabularies) keep explicit hints.
     val dimAuthor = dimAuthorNoMetrics
-      .join(broadcast(genderOf), Seq("full_name"), "left")
+      .join(genderOf, Seq("full_name"), "left")
       .select(col("author_key"), col("full_name"),
         coalesce(col("gender"), col("g_new"), lit("unknown")).as("gender"),
         coalesce(col("h_index"), lit(0)).as("h_index"),
@@ -137,7 +143,7 @@ object Warehouse {
         coalesce(col("subject"), lit("Unknown")) === col("scientific_domain"), "left")
       .join(broadcast(dimType),
         coalesce(col("type"), lit("Unknown")) === col("type_name"), "left")
-      .join(broadcast(dimVenue),
+      .join(dimVenue,
         coalesce(col("container-title"), lit("Unknown")) === col("pub_venue") &&
           coalesce(col("b_publisher"), lit("Unknown")) === col("publisher"), "left")
       .select(
@@ -157,13 +163,13 @@ object Warehouse {
       .cache()
     val bridgeAuthor = state.bridgeAuthor.unionByName(
       batchAuthors
-        .join(broadcast(dimAuthor.select(col("author_key"), col("full_name"))),
+        .join(dimAuthor.select(col("author_key"), col("full_name")),
           col("a.full_name") === col("full_name"))
         .select(col("author_group_key"), col("author_key")).distinct()
         .join(state.bridgeAuthor, Seq("author_group_key", "author_key"), "left_anti"))
     val bridgeAffiliation = state.bridgeAffiliation.unionByName(
       batchAuthors
-        .join(broadcast(dimAffiliation),
+        .join(dimAffiliation,
           coalesce(col("a.affiliation"), lit("Unknown")) === col("affiliation_name"))
         .select(col("affiliation_group_key"), col("affiliation_key")).distinct()
         .join(state.bridgeAffiliation,
@@ -171,7 +177,7 @@ object Warehouse {
 
     // --- T5: incremental h/g-index for touched authors only, one job
     val touched = batchAuthors.select(col("a.full_name").as("full_name")).distinct()
-    val touchedCites = dimAuthor.join(broadcast(touched), Seq("full_name"))
+    val touchedCites = dimAuthor.join(touched, Seq("full_name"))
       .join(bridgeAuthor, Seq("author_key"))
       .join(fact, Seq("author_group_key"))
       .select(col("author_key"), col("citation_count"), col("arxiv_ID"))
@@ -180,8 +186,8 @@ object Warehouse {
     val g = Bibliometrics.gIndex(touchedCites, col("author_key"),
       col("citation_count"), col("arxiv_ID")).withColumnRenamed("grp", "ak")
     val dimAuthorFinal = dimAuthor
-      .join(broadcast(h), dimAuthor("author_key") === h("ak"), "left")
-      .join(broadcast(g), dimAuthor("author_key") === g("ak"), "left")
+      .join(h, dimAuthor("author_key") === h("ak"), "left")
+      .join(g, dimAuthor("author_key") === g("ak"), "left")
       .select(col("author_key"), col("full_name"), col("gender"),
         coalesce(h("h_index"), dimAuthor("h_index")).as("h_index"),
         coalesce(g("g_index"), dimAuthor("g_index")).as("g_index"))
