@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics as iterative DataFrame programs — the reference's
@@ -75,20 +76,39 @@ object Graph {
   }
 
   /** G8 — bounded k-hop reachability (the `REFERENCES*1..k` pattern):
-    * distinct (src, dst) pairs reachable in 1..k hops. */
+    * distinct (src, dst) pairs reachable in 1..k hops.
+    *
+    * BFS semantics, not path enumeration: the frontier carries only pairs
+    * whose SHORTEST distance is the current hop (anti-join against the
+    * accumulated reach), and the loop exits as soon as the frontier
+    * empties. On dense graphs the closure saturates well before k — a
+    * fixed k-1 iterations of full-size joins would re-expand the whole
+    * closure each hop and turn `*1..10` into 10× the work of `*1..3`. */
   def kHopReach(edges: DataFrame, k: Int): DataFrame = {
     val base = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     var reach = base
     var frontier = base
-    for (_ <- 2 to k) {
+    var hop = 2
+    var done = k < 2
+    while (!done) {
       // column-renamed join (not string aliases): self-join attribute
       // resolution is fragile across localCheckpoint'd plans
       val f = frontier.select(col("src").as("f_src"), col("dst").as("f_dst"))
       frontier = f.join(base, col("f_dst") === col("src"))
         .select(col("f_src").as("src"), col("dst"))
         .distinct()
+        .join(reach.select(col("src").as("r_src"), col("dst").as("r_dst")),
+          col("src") === col("r_src") && col("dst") === col("r_dst"),
+          "left_anti")
         .localCheckpoint(true)
-      reach = reach.union(frontier).distinct().localCheckpoint(true)
+      if (frontier.isEmpty) done = true
+      else {
+        // frontier is disjoint from reach by construction — plain union
+        reach = reach.union(frontier).localCheckpoint(true)
+        hop += 1
+        if (hop > k) done = true
+      }
     }
     reach
   }
@@ -126,66 +146,108 @@ object Graph {
   }
 
   /** G6 — Brandes betweenness centrality from a sampled source set
-    * (unweighted). Forward BFS accumulates shortest-path counts σ per
-    * level; the backward sweep pushes dependencies level by level. Exact
-    * when `sources` = all nodes; sampling bounds work at scale. */
+    * (unweighted). ALL sampled sources advance as ONE frontier DataFrame
+    * keyed by (source, id): the forward BFS and the backward dependency
+    * sweep each run one job per graph *level*, not per source × level —
+    * the per-source driver loop would serialize |sources| independent
+    * BFSs that are trivially batchable. Exact when `sources` = all nodes;
+    * sampling bounds work at scale. */
   def betweennessSampled(edges: DataFrame, sources: Seq[Long]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
-    var acc = spark.emptyDataset[(Long, Double)].toDF("id", "delta")
 
-    for (s <- sources) {
-      // forward: dist + sigma per node (column-renamed joins throughout —
-      // string aliases don't survive localCheckpoint'd self-joins)
-      var levels = Seq((s, 0, 1.0)).toDF("id", "dist", "sigma").localCheckpoint(true)
-      var frontier = levels
-      var level = 0
-      var done = false
-      while (!done) {
-        val f = frontier.select(col("id").as("f_id"), col("sigma").as("f_sigma"))
-        val nxt = f.join(adj, col("f_id") === col("src"))
-          .select(col("dst").as("id"), col("f_sigma").as("sigma"))
-          .join(levels.select(col("id").as("seen")),
-            col("id") === col("seen"), "left_anti")
-          .groupBy("id").agg(sum("sigma").as("sigma"))
-          .withColumn("dist", lit(level + 1))
-          .select("id", "dist", "sigma")
-          .localCheckpoint(true)
-        if (nxt.isEmpty) done = true
-        else {
-          levels = levels.union(nxt).localCheckpoint(true)
-          frontier = nxt
-          level += 1
-        }
+    // forward: dist + sigma per (source, id) — column-renamed joins
+    // throughout; string aliases don't survive localCheckpoint'd self-joins
+    var levels = sources.map(s => (s, s, 0, 1.0))
+      .toDF("source", "id", "dist", "sigma").localCheckpoint(true)
+    var frontier = levels
+    var level = 0
+    var done = false
+    while (!done) {
+      val f = frontier.select(col("source").as("f_source"),
+        col("id").as("f_id"), col("sigma").as("f_sigma"))
+      val nxt = f.join(adj, col("f_id") === col("src"))
+        .select(col("f_source").as("source"), col("dst").as("id"),
+          col("f_sigma").as("sigma"))
+        .join(levels.select(col("source").as("s_seen"), col("id").as("seen")),
+          col("source") === col("s_seen") && col("id") === col("seen"),
+          "left_anti")
+        .groupBy("source", "id").agg(sum("sigma").as("sigma"))
+        .withColumn("dist", lit(level + 1))
+        .select("source", "id", "dist", "sigma")
+        .localCheckpoint(true)
+      if (nxt.isEmpty) done = true
+      else {
+        levels = levels.union(nxt).localCheckpoint(true)
+        frontier = nxt
+        level += 1
       }
-      // backward: delta accumulation from deepest level
-      var delta = levels.select(col("id"), lit(0.0).as("delta")).localCheckpoint(true)
-      for (l <- level to 1 by -1) {
-        val w = levels.filter(col("dist") === l)
-          .select(col("id").as("w_id"), col("sigma").as("w_sigma"))
-          .join(delta.select(col("id").as("d_id"), col("delta").as("w_delta")),
-            col("w_id") === col("d_id"))
-          .select(col("w_id"), col("w_sigma"), col("w_delta"))
-        val prev = levels.filter(col("dist") === l - 1)
-          .select(col("id").as("v_id"), col("sigma").as("v_sigma"))
-        val msgs = adj.join(w, col("dst") === col("w_id"))
-          .join(prev, col("src") === col("v_id"))
-          .select(col("v_id").as("id"),
-            (col("v_sigma") / col("w_sigma") * (lit(1.0) + col("w_delta")))
-              .as("m"))
-          .groupBy("id").agg(sum("m").as("madd"))
-        delta = delta
-          .join(msgs.select(col("id").as("m_id"), col("madd")),
-            col("id") === col("m_id"), "left")
-          .select(col("id"),
-            (col("delta") + coalesce(col("madd"), lit(0.0))).as("delta"))
-          .localCheckpoint(true)
-      }
-      acc = acc.union(delta.filter(col("id") =!= s)).localCheckpoint(true)
+    }
+    // backward: delta accumulation from the deepest level; sources whose
+    // BFS ended shallower simply contribute no rows at deeper levels
+    var delta = levels.select(col("source"), col("id"), lit(0.0).as("delta"))
+      .localCheckpoint(true)
+    for (l <- level to 1 by -1) {
+      val w = levels.filter(col("dist") === l)
+        .select(col("source").as("w_source"), col("id").as("w_id"),
+          col("sigma").as("w_sigma"))
+        .join(delta.select(col("source").as("d_source"), col("id").as("d_id"),
+            col("delta").as("w_delta")),
+          col("w_source") === col("d_source") && col("w_id") === col("d_id"))
+        .select(col("w_source"), col("w_id"), col("w_sigma"), col("w_delta"))
+      val prev = levels.filter(col("dist") === l - 1)
+        .select(col("source").as("v_source"), col("id").as("v_id"),
+          col("sigma").as("v_sigma"))
+      val msgs = adj.join(w, col("dst") === col("w_id"))
+        .join(prev, col("src") === col("v_id") &&
+          col("v_source") === col("w_source"))
+        .select(col("v_source").as("source"), col("v_id").as("id"),
+          (col("v_sigma") / col("w_sigma") * (lit(1.0) + col("w_delta")))
+            .as("m"))
+        .groupBy("source", "id").agg(sum("m").as("madd"))
+      delta = delta
+        .join(msgs.select(col("source").as("m_source"), col("id").as("m_id"),
+            col("madd")),
+          col("source") === col("m_source") && col("id") === col("m_id"),
+          "left")
+        .select(col("source"), col("id"),
+          (col("delta") + coalesce(col("madd"), lit(0.0))).as("delta"))
+        .localCheckpoint(true)
     }
     adj.unpersist()
-    acc.groupBy("id").agg(sum("delta").as("betweenness"))
+    delta.filter(col("id") =!= col("source"))
+      .groupBy("id").agg(sum("delta").as("betweenness"))
+  }
+
+  /** G5 — community detection via synchronous label propagation:
+    * each node adopts the most frequent label among its neighbors plus
+    * its own (the self-vote damps bipartite oscillation), ties broken by
+    * MIN label — fully deterministic at a fixed iteration count, which is
+    * what makes the result reproducible (LPA has no unique fixpoint).
+    * Complements [[connectedComponents]]: CC merges every weakly-connected
+    * node into one community; LPA recovers internal community structure.
+    * Each iteration is one shuffle keyed by node id. */
+  def labelPropagation(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val nodes = und.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = und.join(labels, und("dst") === labels("id"))
+        .select(col("src"), col("label"))
+        .union(labels.select(col("id").as("src"), col("label")))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("votes").desc, col("label"))
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("label"))
+        .localCheckpoint(true)
+    }
+    und.unpersist()
+    labels
   }
 
   /** G2–G4 — "ArticleRank"-style projected PageRank: project an
@@ -193,4 +255,27 @@ object Graph {
     * co-referenced pieces), then PageRank it. */
   def projectedPageRank(projection: DataFrame, iters: Int = 15): DataFrame =
     pageRank(projection, iters)
+
+  /** Project an entity→entity graph through a bounded transitive closure —
+    * the reference's `(E)-[:R]-(node)-[:REFERENCES*1..k]->(node)-[:R]-(E2)`
+    * GDS projection (graph_queries.cyp:10,53,66). `ends(entity, node)`
+    * attaches entities to graph nodes; `closure(src, dst)` is a 1..k-hop
+    * reachability table (from [[kHopReach]]). Self-edges are kept, as in
+    * the Cypher pattern (an author citing their own earlier piece projects
+    * a→a). Both joins shuffle on node id — the closure is never
+    * collected or broadcast, so the projection scales with the closure's
+    * own cardinality. */
+  def projectViaClosure(ends: DataFrame, closure: DataFrame): DataFrame =
+    ends.select(col("entity").as("e_src"), col("node").as("n1"))
+      .join(closure, col("n1") === col("src"))
+      // collapse to (entity, reachable node) BEFORE attaching the far
+      // side: without it the row count multiplies by BOTH attachment
+      // degrees (|closure|·deg²); with it each join is capped at
+      // |entities|·|nodes| — the difference between 10⁸ and 10⁹+ rows
+      // on a dense closure
+      .select(col("e_src"), col("dst")).distinct()
+      .join(ends.select(col("entity").as("e_dst"), col("node").as("n2")),
+        col("dst") === col("n2"))
+      .select(col("e_src").as("src"), col("e_dst").as("dst"))
+      .distinct()
 }

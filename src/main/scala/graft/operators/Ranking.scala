@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ranking (SURVEY §7 risk 2).
+  *
+  * `DENSE_RANK() OVER (ORDER BY v)` with no PARTITION BY — the reference's
+  * own BI idiom (dags/sql/queries.sql:43-45) — moves EVERY row into one
+  * window partition. That is fine when the ranked input is an aggregate
+  * whose cardinality is a dimension's (q01–q14), but ranking a full fact
+  * table single-threads the whole dataset at 100 TB.
+  *
+  * [[globalDenseRank]] is the two-pass rewrite: dense rank depends only on
+  * the DISTINCT values of the ordering column, so
+  *  1. distinct values are range-partitioned and ranked LOCALLY per
+  *     partition (row_number within spark_partition_id);
+  *  2. per-partition counts — `parts` rows, not data — turn into running
+  *     offsets via a triangular self-join (no unpartitioned window
+  *     anywhere, so nothing ever sits in a single partition);
+  *  3. value→rank maps back onto the fact rows with a plain join that AQE
+  *     broadcasts while the distinct-value set is small.
+  * Output is bit-identical to the single-partition window; only the
+  * physical plan changes. Range boundaries come from sampling, but ranks
+  * are boundary-independent, so the result is deterministic.
+  */
+object Ranking {
+
+  /** Global dense rank of `df` by `valueCol` (descending by default),
+    * appended as `rankName`. `valueCol` must be non-null. */
+  def globalDenseRank(df: DataFrame, valueCol: String, rankName: String,
+      ascending: Boolean = false, parts: Int = 32): DataFrame = {
+    def sortCol = if (ascending) col(valueCol).asc else col(valueCol).desc
+    // Pass 1: local dense rank per range partition. _pid is materialized
+    // BEFORE the window's exchange; AQE may coalesce range partitions but
+    // coalesced partitions stay contiguous ranges, so "all values in a
+    // lower _pid sort strictly earlier" still holds.
+    val local = df.select(col(valueCol)).distinct()
+      .repartitionByRange(parts, sortCol)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lr",
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCol)))
+    // Pass 2: rank offset per partition = distinct values in earlier
+    // partitions. Triangular join over `parts` single-row groups — O(parts²)
+    // tiny rows, fully parallel, no global window.
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+    val offsets = counts.select(col("_pid"), col("_n"))
+      .join(counts.select(col("_pid").as("_q"), col("_n").as("_qn")),
+        col("_q") < col("_pid"), "left")
+      .groupBy(col("_pid"))
+      .agg(coalesce(sum(col("_qn")), lit(0L)).as("_off"))
+    val valueRank = local.join(offsets, "_pid")
+      .select(col(valueCol),
+        (col("_lr") + col("_off")).cast("int").as(rankName))
+    // USING-join hoists the key column first; restore the input's order.
+    df.join(valueRank, valueCol)
+      .select((df.columns.map(col) :+ col(rankName)): _*)
+  }
+}

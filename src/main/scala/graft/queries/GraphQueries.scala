@@ -114,22 +114,68 @@ object GraphQueries extends QueryModule {
       Graph.betweennessSampled(refEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L))
         .orderBy(col("betweenness").desc, col("id"))),
 
-    // G2-G4 — projected "ArticleRank": customer→customer via co-purchased
-    // parts, then PageRank (rows-only).
+    // G5 (second half) — label-propagation communities: unlike
+    // g_components (whose bench graph is ONE weak component), LPA
+    // recovers internal community structure. Rows-only: no exact SQL
+    // fixpoint, spec'd on a two-community graph in GraphSpec.
+    "g_lpa_communities" -> ((s, dir) =>
+      Graph.labelPropagation(refEdges(s, dir), iters = 10)
+        .groupBy(col("label")).agg(count(lit(1)).as("size"))
+        .select(col("label").as("community"), col("size"))
+        .orderBy(col("size").desc, col("community"))),
+
+    // G2 — author ArticleRank through the reference's own projection
+    // (graph_queries.cyp:48-58): (Author)-[:AUTHORSHIP]-(Piece)
+    // -[:REFERENCES*1..10]->(Piece)-[:AUTHORSHIP]-(Author2), i.e. the
+    // bounded 10-hop citation closure, NOT 1-hop co-purchase. Rows-only
+    // (float loop); projection semantics spec'd in GraphSpec.
     "g_articlerank_customers" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val o = Tables.orders(s, dir)
-      val buys = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val proj = Graph.projectViaClosure(
+        authorship(s, dir), Graph.kHopReach(refEdges(s, dir), 10))
+      Graph.projectedPageRank(proj, iters = 10)
+        .orderBy(col("rank").desc, col("id"))
+    }),
+
+    // G3 — venue ArticleRank (graph_queries.cyp:61-72):
+    // (Venue)-[:PUBLICATION]-(Piece)-[:REFERENCES*1..10]->(Piece)
+    // -[:PUBLICATION]-(Venue2). The reference's projection RETURNs
+    // `id(v2) as source, id(v2) as target` — an evident typo (all edges
+    // would be self-loops); this implements the intended v1→v2.
+    "g_articlerank_venues" -> ((s, dir) => {
+      val pub = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("entity"), col("l_partkey").as("node"))
         .distinct()
-      val proj = buys.as("a").join(buys.as("b"),
-          col("a.part") === col("b.part") && col("a.cust") =!= col("b.cust"))
-        .select(col("a.cust").as("src"), col("b.cust").as("dst"))
-        .distinct()
+      val proj = Graph.projectViaClosure(
+        pub, Graph.kHopReach(refEdges(s, dir), 10))
+      Graph.projectedPageRank(proj, iters = 10)
+        .orderBy(col("rank").desc, col("id"))
+    }),
+
+    // G4 — institution PageRank (graph_queries.cyp:5-16): (Institution)
+    // -[:AFFILIATION]-(Author)-[:AUTHORSHIP]-(Piece)-[:REFERENCES*1..10]
+    // ->(Piece)-[:AUTHORSHIP]-(Author)-[:AFFILIATION]-(Institution2).
+    // The institution→piece attachment composes AFFILIATION∘AUTHORSHIP.
+    "g_pagerank_institutions" -> ((s, dir) => {
+      val aff = Tables.customer(s, dir)
+        .select(col("c_custkey").as("cust"), col("c_nationkey").as("entity"))
+      val instPieces = aff
+        .join(authorship(s, dir).withColumnRenamed("entity", "cust"),
+          "cust")
+        .select(col("entity"), col("node")).distinct()
+      val proj = Graph.projectViaClosure(
+        instPieces, Graph.kHopReach(refEdges(s, dir), 10))
       Graph.projectedPageRank(proj, iters = 10)
         .orderBy(col("rank").desc, col("id"))
     })
   )
+
+  /** AUTHORSHIP attachment (entity=customer, node=part) for the G2/G4
+    * closure projections. */
+  private def authorship(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("entity"), col("l_partkey").as("node"))
+      .distinct()
 
   private val refEdgesSql =
     """e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

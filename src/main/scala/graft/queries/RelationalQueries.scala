@@ -28,7 +28,10 @@ object RelationalQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = skewQueries ++ Map(
     // SURVEY §3.3 dual exposure: the same BI query submitted as SQL TEXT
     // through spark.sql over registered views — Catalyst's
-    // parse→analyze→optimize path, not the DataFrame builder.
+    // parse→analyze→optimize path, not the DataFrame builder. This keeps
+    // the reference's literal single-partition window idiom on purpose
+    // (it IS the reference's SQL); the scale-safe execution of the same
+    // ranking is q05 via Ranking.globalDenseRank.
     "sql_entry_rank_orders" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
       s.sql(
@@ -37,13 +40,17 @@ object RelationalQueries extends QueryModule {
           |FROM orders_v ORDER BY ranking, o_orderkey""".stripMargin)
     }),
 
-    // W1 — global dense_rank ranking ("ranking papers by citation count",
-    // reference dags/sql/queries.sql:43-45).
+    // W1 — global dense_rank over the FULL fact table ("ranking papers by
+    // citation count", reference dags/sql/queries.sql:43-45), via the
+    // two-pass [[graft.operators.Ranking.globalDenseRank]] rewrite: the
+    // naive windowed form moves every order into one partition (Spark
+    // warns "No Partition Defined"), which is a scale-killer at 100 TB.
+    // Same oracle SQL — the result is bit-identical, only the plan changes
+    // (RankingSpec asserts no unpartitioned WindowExec survives).
     "q05_rank_orders_by_price" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      o.select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("ranking",
-          dense_rank().over(Window.orderBy(col("o_totalprice").desc)))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.Ranking.globalDenseRank(o, "o_totalprice", "ranking")
+        .select(col("o_orderkey"), col("o_totalprice"), col("ranking"))
         .orderBy(col("ranking"), col("o_orderkey"))
     }),
 

@@ -52,6 +52,36 @@ class GraphSpec extends AnyFunSuite {
     assert(!j.contains((1L, 1L)))
   }
 
+  test("labelPropagation separates two triangles joined by a bridge") {
+    val lpa = Graph.labelPropagation(
+      edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L, 4L -> 6L, 5L -> 6L,
+        3L -> 4L), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(1L) == lpa(2L) && lpa(2L) == lpa(3L))
+    assert(lpa(4L) == lpa(5L) && lpa(5L) == lpa(6L))
+    assert(lpa(1L) != lpa(4L))
+  }
+
+  test("projectViaClosure: REFERENCES*1..10 projection, hand-computed") {
+    // pieces 1→2→…→12 (chain). Authors: 100 on piece 1, 200 on piece 11,
+    // 300 on piece 12. Piece 1 reaches 11 in exactly 10 hops (in), but 12
+    // in 11 hops (out); 11 reaches 12 in 1 hop.
+    val chain = edges((1L to 11L).map(i => i -> (i + 1)): _*)
+    val ends = Seq((100L, 1L), (200L, 11L), (300L, 12L))
+      .toDF("entity", "node")
+    val proj = Graph.projectViaClosure(ends, Graph.kHopReach(chain, 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(proj == Set((100L, 200L), (200L, 300L)))
+  }
+
+  test("projectViaClosure keeps self-citation self-loops (Cypher parity)") {
+    // one author on both endpoints of a citation: a→a projects
+    val ends = Seq((100L, 1L), (100L, 2L)).toDF("entity", "node")
+    val proj = Graph.projectViaClosure(ends, Graph.kHopReach(edges(1L -> 2L), 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(proj == Set((100L, 100L)))
+  }
+
   test("betweenness: path-graph center carries all pairs") {
     // 1 -> 2 -> 3, plus reverse; exact Brandes from all sources.
     val b = Graph.betweennessSampled(
