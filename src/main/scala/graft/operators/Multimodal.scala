@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
   * typed metadata structs, plus a partition-batched decode/feature-extract
   * operator.
   *
-  * The decode step is a clearly-marked STUB (this container has no codec
-  * libraries): it produces deterministic fake features from the bytes. The
-  * Spark-side plumbing is real and what actually matters at scale —
-  * declared schema, binary column handling, partition-batched iteration
-  * (the Scala shape of a batched pandas-UDF: amortize per-batch setup such
-  * as a codec context across `batchSize` records), and no driver-side
-  * collection anywhere.
+  * Two decode paths:
+  *  - [[imageRoundtrip]] — a REAL codec path: per row, a PNG is encoded
+  *    (`javax.imageio`, the one codec stack in a bare JVM) from pixels
+  *    that are a closed-form function of `doc_id`, then decoded back and
+  *    reduced to integer pixel sums. PNG is lossless, so the decoded sums
+  *    equal the closed form — which a SQL oracle can recompute exactly.
+  *  - [[decodeFeatures]] — the generic byte-payload path. For `image`
+  *    payloads it first tries a real `ImageIO` decode; for non-image
+  *    bytes (this corpus: UTF-8 text standing in for encoded media) it
+  *    falls back to the clearly-marked deterministic STUB.
+  * Either way the Spark-side plumbing is what matters at scale — declared
+  * schema, binary columns, partition-batched iteration (the Scala shape of
+  * a batched pandas-UDF: amortize per-batch codec-context setup across
+  * `batchSize` records), and no driver-side collection anywhere.
   */
 object Multimodal {
 
@@ -55,10 +62,50 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder — deterministic fake in place of a real codec call.
-    * Real version: image decode → (w, h, pixel stats); audio → PCM frame
-    * stats; video → sampled frames. */
-  private def decodeOne(m: MediaRecord): MediaFeatures = {
+  /** Decode one record: real `ImageIO` decode for image payloads that
+    * actually parse (PNG/BMP/GIF/JPEG — the bare-JVM codec set), STUB
+    * fallback otherwise (this corpus's payloads are text bytes). */
+  private def decodeOne(m: MediaRecord): MediaFeatures =
+    (if (m.media_type == "image") imageFeatures(m.doc_id, m.payload) else None)
+      .getOrElse(decodeStub(m))
+
+  /** Real image decode: parse the bytes with `javax.imageio` (PNG/BMP/
+    * GIF/JPEG — the bare-JVM codec set). Returns None when the payload
+    * isn't a decodable image (ImageIO.read yields null) — the caller
+    * falls back to the stub. Checksum stays the byte-rolling hash
+    * (content identity); nFrames = 1; feature = [w, h, mean r/g/b] —
+    * what a real extractor's head would see. */
+  private[operators] def imageFeatures(docId: Long, payload: Array[Byte]): Option[MediaFeatures] =
+    decodeSums(payload).map { case (w, h, sr, sg, sb) =>
+      val n = (w * h).toFloat
+      val checksum = payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xFFFFFFFFL)
+      MediaFeatures(docId, "image", payload.length, checksum, 1,
+        Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n))
+    }
+
+  /** The codec call itself: decode bytes → (width, height, exact integer
+    * RGB channel sums). None when the bytes aren't a decodable image. */
+  private[operators] def decodeSums(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sr, sg, sb)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** STUB decoder — deterministic fake in place of a real codec call. */
+  private def decodeStub(m: MediaRecord): MediaFeatures = {
     val checksum = m.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xFFFFFFFFL)
     val nFrames = m.media_type match {
       case "video" => (m.meta.duration_ms / 40).toInt // 25 fps stub
@@ -97,5 +144,55 @@ object Multimodal {
   def mediaFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     decodeFeatures(toMedia(documents).as[MediaRecord]).toDF()
+  }
+
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Closed-form pixel grid for [[imageRoundtrip]]: dimensions and RGB are
+    * pure integer functions of (doc_id, x, y), so an oracle can recompute
+    * the decoded sums with SQL arithmetic alone. */
+  private[graft] def gridW(id: Long): Int = (8 + id % 9).toInt   // 8..16
+  private[graft] def gridH(id: Long): Int = (6 + id % 5).toInt   // 6..10
+  private[graft] def gridR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  private[graft] def gridG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
+  private[graft] def gridB(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 5 + y * 19) % 256).toInt
+
+  /** REAL codec roundtrip, fully distributed and oracle-checkable: per
+    * doc, render the closed-form pixel grid, ENCODE it to genuine PNG
+    * bytes, DECODE those bytes back through `javax.imageio`, and reduce
+    * the decoded bitmap to integer channel sums. PNG is lossless, so the
+    * sums equal the closed form — any codec bug (stride, channel order,
+    * color model) breaks the oracle hash. Partition-batched like
+    * [[decodeFeatures]]; a real pipeline would swap the synthetic render
+    * for bytes read from the lake and keep everything downstream. */
+  def imageRoundtrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        // one encoder/decoder context per batch (amortization point)
+        batch.iterator.map { id =>
+          val (w, h) = (gridW(id), gridH(id))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (gridR(id, x, y) << 16) | (gridG(id, x, y) << 8) | gridB(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val png = bos.toByteArray                       // real PNG bytes
+          val (dw, dh, sr, sg, sb) = decodeSums(png).getOrElse(
+            sys.error(s"PNG roundtrip failed for doc $id"))
+          ImageStats(id, dw, dh, sr, sg, sb)
+        }
+      }
+    }.toDF()
   }
 }

@@ -59,30 +59,76 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** IVF centroid assignment: nearest (max-cosine) centroid per vector.
-    * Centroids = deterministic corpus prefix of size `nCentroids`. */
-  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame = {
+  /** Deterministic Lloyd's k-means over the embedding corpus.
+    *
+    * Init = the `vec_id < k` corpus prefix (the previous centroid choice,
+    * now just the seed); then `iters` fixed assignment/update rounds —
+    * fixed iteration count, not convergence, is what keeps the result
+    * reproducible and oracle-checkable.
+    *
+    * The update step uses EXACT integer accumulation: each element is
+    * snapped to a 1e-6 grid (`floor(x·1e6 + 0.5)` — identical IEEE ops in
+    * both engines, unlike ROUND whose half-rule differs) and summed as
+    * BIGINT, so the mean is independent of partition/summation order and
+    * bit-identical to the DuckDB twin. A double SUM would be
+    * order-dependent in BOTH engines and un-hashable. Empty clusters drop
+    * out identically on both sides (inner join semantics).
+    *
+    * Scale: assignment broadcasts only the k centroids (bounded by k·dim,
+    * not data); the update is one posexplode + groupBy(centroid, pos)
+    * shuffle of |corpus|·dim narrow rows per round. */
+  def kMeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val c = e.filter(col("vec_id") < nCentroids)
+    var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("centroid_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("v"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("centroid_id"), col("v"))
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg((sum(floor(col("val") * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / (lit(1e6) * count(lit(1)))).as("m"))
+      cents = sums.groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF centroid assignment against an explicit centroid table
+    * `(centroid_id, cv)`: nearest (max-cosine) centroid per vector. */
+  def ivfAssignWith(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id"))
-    e.crossJoin(broadcast(c))
+    e.crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"))))
       .withColumn("cos", cosine(col("v"), col("cv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("centroid_id"))
   }
 
+  /** IVF centroid assignment with prefix centroids (k-means seed state —
+    * kept as the zero-training baseline). */
+  def ivfAssign(emb: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignWith(emb, kMeansCentroids(emb, nCentroids, iters = 0))
+
   /** IVF ANN with multi-probe: per query, search the buckets of its
     * `nProbe` nearest centroids (nProbe=1 → classic single-probe; higher
     * nProbe trades compute for recall — the standard IVF knob). Returns
     * top-k per query (query's self-match excluded). */
-  def ivfTopK(emb: DataFrame, isQuery: Column, nCentroids: Int, k: Int,
+  def ivfTopKWith(emb: DataFrame, cents: DataFrame, isQuery: Column, k: Int,
       nProbe: Int = 1): DataFrame = {
     val e0 = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val c = e0.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val c = cents.select(col("centroid_id"), col("cv"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_id"))
     val scored = e0.crossJoin(broadcast(c))
@@ -108,6 +154,11 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF ANN with prefix centroids (zero-training baseline). */
+  def ivfTopK(emb: DataFrame, isQuery: Column, nCentroids: Int, k: Int,
+      nProbe: Int = 1): DataFrame =
+    ivfTopKWith(emb, kMeansCentroids(emb, nCentroids, iters = 0), isQuery, k, nProbe)
+
   /** Hyperplane weight (j, i): same md5-derived value the SQL twin
     * computes, evaluated ONCE on the driver — an expression inside a
     * `transform` lambda would re-derive nBits×dim md5s per input row. */
@@ -129,6 +180,34 @@ object Similarity {
       when(dot(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     codes.reduce(_ + _)
+  }
+
+  /** SQL twin of [[kMeansCentroids]]: unrolled CTE chain (one
+    * assign/sums/cents block per iteration) over a CTE `e(vec_id, v)`.
+    * The final centroid table is `cents$iters(centroid_id, v)`; the final
+    * per-dimension means are `sums$iters(centroid_id, pos, m)`. Uses the
+    * identical floor-scaled BIGINT accumulation, so the lists are
+    * bit-equal to the Spark side. */
+  def kMeansCtesSql(k: Int, iters: Int, dim: Int): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a.v, $b.v) / sqrt(list_dot_product($a.v, $a.v) * list_dot_product($b.v, $b.v))"
+    val init = s"cents0 AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < $k)"
+    val rounds = (1 to iters).map { t =>
+      s"""assign$t AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cos("e", "c")} DESC, c.centroid_id) AS rnk
+         |  FROM e CROSS JOIN cents${t - 1} c) WHERE rnk = 1),
+         |sums$t AS (SELECT a.centroid_id, r.i AS pos,
+         |         CAST(SUM(CAST(FLOOR(e.v[CAST(r.i + 1 AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |           / (1000000.0 * COUNT(*)) AS m
+         |       FROM assign$t a JOIN e ON e.vec_id = a.vec_id
+         |            CROSS JOIN range(0, $dim) r(i)
+         |       GROUP BY a.centroid_id, r.i),
+         |cents$t AS (SELECT centroid_id, list(m ORDER BY pos) AS v
+         |       FROM sums$t GROUP BY centroid_id)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
   }
 
   /** SQL twin of [[lshBucket]] over a column named `v` (double list). */

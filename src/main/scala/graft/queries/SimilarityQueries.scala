@@ -16,10 +16,14 @@ object SimilarityQueries extends QueryModule {
   private val nQueries = 20     // query set = vec_id < 20
   private val topK = 5
   private val nCentroids = 8
+  private val kmIters = 3       // fixed Lloyd's rounds — reproducibility
   private val ivfK = 3
   private val lshBits = 8
   private val dim = 64
   private val nearThreshold = 0.4
+
+  private def trained(s: SparkSession, dir: String) =
+    Similarity.kMeansCentroids(Tables.embeddings(s, dir), nCentroids, kmIters)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k (correctness baseline for ANN).
@@ -27,20 +31,28 @@ object SimilarityQueries extends QueryModule {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir),
         col("vec_id") < nQueries, topK)),
 
-    // IVF: deterministic centroids, nearest-centroid assignment.
+    // Deterministic Lloyd's k-means: the trained IVF index itself,
+    // exposed per-dimension so the exact integer-accumulated means
+    // hash-check against the DuckDB twin.
+    "sim_kmeans_centroids" -> ((s, dir) =>
+      trained(s, dir)
+        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("pos", "m")))
+        .orderBy(col("centroid_id"), col("pos"))),
+
+    // IVF: k-means-trained centroids, nearest-centroid assignment.
     "sim_ivf_assign" -> ((s, dir) =>
-      Similarity.ivfAssign(Tables.embeddings(s, dir), nCentroids)
+      Similarity.ivfAssignWith(Tables.embeddings(s, dir), trained(s, dir))
         .orderBy(col("vec_id"))),
 
-    // IVF single-probe ANN top-k.
+    // IVF single-probe ANN top-k over the trained index.
     "sim_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir),
-        col("vec_id") < nQueries, nCentroids, ivfK)),
+      Similarity.ivfTopKWith(Tables.embeddings(s, dir), trained(s, dir),
+        col("vec_id") < nQueries, ivfK)),
 
     // IVF multi-probe (nProbe=2): the recall-vs-compute knob.
     "sim_ivf_probe2" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir),
-        col("vec_id") < nQueries, nCentroids, ivfK, nProbe = 2)),
+      Similarity.ivfTopKWith(Tables.embeddings(s, dir), trained(s, dir),
+        col("vec_id") < nQueries, ivfK, nProbe = 2)),
 
     // Random-hyperplane LSH buckets + cosine-verified near pairs.
     "sim_lsh_near_pairs" -> ((s, dir) =>
@@ -80,6 +92,14 @@ object SimilarityQueries extends QueryModule {
       Multimodal.mediaFeatures(s, Tables.documents(s, dir))
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           col("checksum"), col("n_frames"))
+        .orderBy(col("doc_id"))),
+
+    // REAL codec path: PNG encode→javax.imageio decode roundtrip; the
+    // decoded integer channel sums hash-check against the oracle's pure
+    // SQL arithmetic (pixels are a closed form of doc_id — PNG is
+    // lossless, so any codec/stride/channel bug breaks the hash).
+    "mm_decode_image" -> ((s, dir) =>
+      Multimodal.imageRoundtrip(s, Tables.documents(s, dir))
         .orderBy(col("doc_id")))
   )
 
@@ -104,11 +124,17 @@ object SimilarityQueries extends QueryModule {
          |FROM ranked WHERE rnk <= $topK
          |ORDER BY query_id, rnk""".stripMargin,
 
+    "sim_kmeans_centroids" ->
+      s"""WITH $eCte,
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)}
+         |SELECT centroid_id, CAST(pos AS INT) AS pos, m
+         |FROM sums$kmIters ORDER BY centroid_id, pos""".stripMargin,
+
     "sim_ivf_assign" ->
       s"""WITH $eCte,
-         |c AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < $nCentroids),
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
          |scored AS (SELECT e.vec_id, c.centroid_id, ${cosExpr("e", "c")} AS cos
-         |           FROM e CROSS JOIN c),
+         |           FROM e CROSS JOIN cents$kmIters c),
          |ranked AS (SELECT vec_id, centroid_id,
          |                  ROW_NUMBER() OVER (PARTITION BY vec_id
          |                    ORDER BY cos DESC, centroid_id) AS rnk
@@ -118,9 +144,9 @@ object SimilarityQueries extends QueryModule {
 
     "sim_ivf_topk" ->
       s"""WITH $eCte,
-         |c AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < $nCentroids),
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
          |scored AS (SELECT e.vec_id, c.centroid_id, ${cosExpr("e", "c")} AS cos
-         |           FROM e CROSS JOIN c),
+         |           FROM e CROSS JOIN cents$kmIters c),
          |assign AS (SELECT vec_id, centroid_id FROM (
          |             SELECT vec_id, centroid_id,
          |                    ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -143,9 +169,9 @@ object SimilarityQueries extends QueryModule {
 
     "sim_ivf_probe2" ->
       s"""WITH $eCte,
-         |c AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < $nCentroids),
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
          |scored AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosExpr("e", "c")} AS cos
-         |           FROM e CROSS JOIN c),
+         |           FROM e CROSS JOIN cents$kmIters c),
          |ranked0 AS (SELECT vec_id, v, centroid_id, cos,
          |                   ROW_NUMBER() OVER (PARTITION BY vec_id
          |                     ORDER BY cos DESC, centroid_id) AS rnk
@@ -190,6 +216,20 @@ object SimilarityQueries extends QueryModule {
         |  AND length(text) > 0
         |  AND i <= (length(text) - 1) // 64
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_decode_image" ->
+      """SELECT d.doc_id,
+        |       CAST(8 + d.doc_id % 9 AS INT) AS width,
+        |       CAST(6 + d.doc_id % 5 AS INT) AS height,
+        |       CAST(SUM((d.doc_id * 31 + x.i * 7 + y.i * 13) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((d.doc_id * 17 + x.i * 11 + y.i * 3) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((d.doc_id * 23 + x.i * 5 + y.i * 19) % 256) AS BIGINT) AS sum_b
+        |FROM documents d,
+        |     generate_series(0, 15) x(i),
+        |     generate_series(0, 9) y(i)
+        |WHERE x.i < 8 + d.doc_id % 9 AND y.i < 6 + d.doc_id % 5
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "mm_media_table" ->
       """SELECT doc_id,

@@ -25,6 +25,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.getInt(0) == 11 && meta.getLong(2) == 440L)
   }
 
+  test("imageRoundtrip: decoded PNG sums equal the closed-form grid") {
+    val stats = Multimodal.imageRoundtrip(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(stats.size == 3)
+    for (id <- 0L to 2L) {
+      val (w, h) = (Multimodal.gridW(id), Multimodal.gridH(id))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += Multimodal.gridR(id, x, y)
+        sg += Multimodal.gridG(id, x, y)
+        sb += Multimodal.gridB(id, x, y)
+      }
+      assert(stats(id) == ((w, h, sr, sg, sb)),
+        s"doc $id: codec roundtrip diverged from closed form")
+    }
+  }
+
+  test("decodeOne: real ImageIO path for decodable images, stub otherwise") {
+    // a genuine 3x2 PNG payload routed through media_type=image
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00); img.setRGB(2, 0, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val realDocs = Seq((0L, bos.toByteArray)).toDF("doc_id", "png")
+    import spark.implicits._
+    val media = realDocs.select(col("doc_id"), lit("image").as("media_type"),
+      col("png").as("payload"),
+      struct(lit(3).as("width"), lit(2).as("height"),
+        lit(0L).as("duration_ms"), lit("png").as("codec")).as("meta"))
+      .as[Multimodal.MediaRecord]
+    val f = Multimodal.decodeFeatures(media).collect().head
+    assert(f.feature(0) == 3.0f && f.feature(1) == 2.0f) // real decoded dims
+    assert(f.feature(2) == 255.0f / 6)                   // mean red: one red pixel
+  }
+
   test("decodeFeatures is deterministic, distributed, and batch-shaped") {
     val m = Multimodal.toMedia(docs.repartition(2))
     val f1 = Multimodal.mediaFeatures(spark, docs).orderBy("doc_id").collect()

@@ -65,6 +65,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r6 - 1.0) < 1e-9)
   }
 
+  test("kMeansCentroids recovers two planted clusters") {
+    // Two tight clusters around orthogonal anchors; seeds 0 and 1 land one
+    // in each, so Lloyd's must pull each centroid to its cluster mean.
+    val rnd = new scala.util.Random(7)
+    val vs = (0L until 60L).map { i =>
+      val anchor = if (i % 2 == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f)
+      i -> anchor.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    }
+    val cents = Similarity.kMeansCentroids(embDf(vs), 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.size == 2)
+    assert(cents(0L).head > 0.8 && cents(0L)(1) < 0.2)   // near (1,0,…)
+    assert(cents(1L).head < 0.2 && cents(1L)(1) > 0.8)   // near (0,1,…)
+    // assignment against trained centroids separates the clusters exactly
+    val assign = Similarity.ivfAssignWith(embDf(vs),
+        Similarity.kMeansCentroids(embDf(vs), 2, 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 60L).forall(i => assign(i) == i % 2))
+  }
+
+  test("kMeansCentroids is deterministic across runs") {
+    val rnd = new scala.util.Random(13)
+    val e = embDf((0L until 50L).map(i => i -> Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    def run() = Similarity.kMeansCentroids(e, 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(run() == run())
+  }
+
   test("lshNearPairs agrees with exactNearPairs on found pairs") {
     val rnd = new scala.util.Random(11)
     val base = Seq.fill(8)(rnd.nextFloat() - 0.5f)
