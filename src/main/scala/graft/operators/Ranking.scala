@@ -30,17 +30,26 @@ object Ranking {
   /** Global dense rank of `df` by `valueCol` (descending by default),
     * appended as `rankName`. `valueCol` must be non-null. */
   def globalDenseRank(df: DataFrame, valueCol: String, rankName: String,
+      ascending: Boolean = false, parts: Int = 32): DataFrame =
+    globalDenseRankCols(df, Seq(valueCol), rankName, ascending, parts)
+
+  /** Multi-column form; ranks the distinct `valueCols` combinations.
+    * When the combinations are UNIQUE per row (e.g. natural keys being
+    * minted surrogate ids), dense rank ≡ row_number ≡ rank — so this is
+    * also the scale-safe global `row_number` for key-minting. All
+    * `valueCols` must be non-null (they join the rank back onto `df`). */
+  def globalDenseRankCols(df: DataFrame, valueCols: Seq[String], rankName: String,
       ascending: Boolean = false, parts: Int = 32): DataFrame = {
-    def sortCol = if (ascending) col(valueCol).asc else col(valueCol).desc
+    def sortCols = valueCols.map(c => if (ascending) col(c).asc else col(c).desc)
     // Pass 1: local dense rank per range partition. _pid is materialized
     // BEFORE the window's exchange; AQE may coalesce range partitions but
     // coalesced partitions stay contiguous ranges, so "all values in a
     // lower _pid sort strictly earlier" still holds.
-    val local = df.select(col(valueCol)).distinct()
-      .repartitionByRange(parts, sortCol)
+    val local = df.select(valueCols.map(col): _*).distinct()
+      .repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lr",
-        row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCol)))
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
     // Pass 2: rank offset per partition = distinct values in earlier
     // partitions. Triangular join over `parts` single-row groups — O(parts²)
     // tiny rows, fully parallel, no global window.
@@ -51,10 +60,10 @@ object Ranking {
       .groupBy(col("_pid"))
       .agg(coalesce(sum(col("_qn")), lit(0L)).as("_off"))
     val valueRank = local.join(offsets, "_pid")
-      .select(col(valueCol),
-        (col("_lr") + col("_off")).cast("int").as(rankName))
-    // USING-join hoists the key column first; restore the input's order.
-    df.join(valueRank, valueCol)
+      .select(valueCols.map(col) :+
+        (col("_lr") + col("_off")).cast("int").as(rankName): _*)
+    // USING-join hoists the key columns first; restore the input's order.
+    df.join(valueRank, valueCols)
       .select((df.columns.map(col) :+ col(rankName)): _*)
   }
 }

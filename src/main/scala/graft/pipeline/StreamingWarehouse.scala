@@ -80,12 +80,18 @@ object StreamingWarehouse {
     if (ids.isEmpty) 0L else ids.max + 1
   }
 
-  /** Newest state version whose fact table committed (_SUCCESS). */
+  /** Name of the version-level commit marker: written LAST by
+    * [[persistState]], after all nine tables — `paper_fact/_SUCCESS`
+    * alone would accept a version whose bridge tables (written after the
+    * fact) are missing when a crash lands in that window. */
+  private val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** Newest state version that fully committed (all tables written). */
   def loadLatestState(spark: SparkSession, stateDir: String): Option[Warehouse.State] = {
     val base = new java.io.File(stateDir)
     val versions = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("v") &&
-        new java.io.File(d, "paper_fact/_SUCCESS").exists())
+        new java.io.File(d, CommitMarker).exists())
       .flatMap(d => d.getName.drop(1).toLongOption.map(_ -> d))
       .sortBy(_._1)
     versions.lastOption.map { case (_, d) =>
@@ -123,7 +129,7 @@ object StreamingWarehouse {
       df.write.mode("overwrite").parquet(s"$dir/$name")
       df.sparkSession.read.parquet(s"$dir/$name")
     }
-    Warehouse.State(
+    val out = Warehouse.State(
       dimYear = roundTrip(s.dimYear, "dim_year"),
       dimDomain = roundTrip(s.dimDomain, "dim_domain"),
       dimType = roundTrip(s.dimType, "dim_type"),
@@ -133,5 +139,9 @@ object StreamingWarehouse {
       fact = roundTrip(s.fact, "paper_fact"),
       bridgeAuthor = roundTrip(s.bridgeAuthor, "bridge_author_group"),
       bridgeAffiliation = roundTrip(s.bridgeAffiliation, "bridge_affiliation_group"))
+    // commit marker LAST: recovery only selects versions that reached here
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, CommitMarker))
+    out
   }
 }

@@ -63,17 +63,22 @@ object Warehouse {
   }
 
   /** D2/D3 — generic Type-1 dim upsert: new natural keys get surrogate
-    * keys continuing from the current max, minted by row_number over the
-    * natural-key order (deterministic; replaces Postgres SERIAL). */
+    * keys continuing from the current max, minted by a rank over the
+    * natural-key order (deterministic; replaces Postgres SERIAL). The
+    * rank runs through [[graft.operators.Ranking.globalDenseRankCols]] —
+    * `fresh` is distinct on the natural key, so dense rank ≡ row_number,
+    * and an initial bulk load minting millions of keys never lands in a
+    * single-partition window. */
   def upsertDim(dim: DataFrame, incoming: DataFrame, keyName: String,
       natCols: Seq[String]): DataFrame = {
     val fresh = incoming.select(natCols.map(col): _*).na.fill("Unknown")
       .distinct()
       .join(dim, natCols, "left_anti")
     val maxKey = dim.agg(coalesce(max(col(keyName)), lit(0))).head().getInt(0)
-    val minted = fresh.withColumn(keyName,
-      (row_number().over(Window.orderBy(natCols.map(col): _*)) + maxKey)
-        .cast("int"))
+    val minted = graft.operators.Ranking
+      .globalDenseRankCols(fresh, natCols, "_rn", ascending = true)
+      .withColumn(keyName, (col("_rn") + maxKey).cast("int"))
+      .drop("_rn")
     dim.unionByName(minted.select(dim.columns.toIndexedSeq.map(c =>
       if (dim.columns.contains(c) && !natCols.contains(c) && c != keyName)
         lit(null).cast(dim.schema(c).dataType).as(c)
@@ -130,8 +135,13 @@ object Warehouse {
       batch("id") === col("arxiv_ID"), "left_anti")
     val maxGroup = state.fact
       .agg(coalesce(max(col("author_group_key")), lit(0))).head().getInt(0)
-    val withGroups = newPapers.withColumn("author_group_key",
-        (row_number().over(Window.orderBy(col("id"))) + maxGroup).cast("int"))
+    // group keys via the same two-pass rank (id is unique per paper) —
+    // a bulk initial load would otherwise rank every new paper in one
+    // window partition
+    val withGroups = graft.operators.Ranking
+      .globalDenseRankCols(newPapers, Seq("id"), "_rn", ascending = true)
+      .withColumn("author_group_key", (col("_rn") + maxGroup).cast("int"))
+      .drop("_rn")
       .withColumn("affiliation_group_key", col("author_group_key"))
       .cache()
 

@@ -75,6 +75,28 @@ class StreamingWarehouseSpec extends AnyFunSuite {
     assert(versions.length <= 2)
   }
 
+  test("recovery skips a version that crashed before the commit marker") {
+    val src = Files.createTempDirectory("wh-src3").toString
+    val stateDir = Files.createTempDirectory("wh-state3").toString
+    val selectCols = StreamingWarehouse.stagedSchema.fieldNames.map(col)
+    b1.select(selectCols: _*).coalesce(1).write.mode("append").parquet(src)
+    StreamingWarehouse.run(spark, src,
+      Files.createTempDirectory("wh-ckC").toString, stateDir)
+    val committed = StreamingWarehouse.loadLatestState(spark, stateDir).get
+
+    // simulate a crash mid-persist of the NEXT version: fact table fully
+    // written (its own _SUCCESS exists) but the bridges never landed and
+    // the version-level commit marker was not reached
+    val crashed = Paths.get(stateDir, "v999")
+    committed.fact.write.parquet(crashed.resolve("paper_fact").toString)
+    assert(Files.exists(crashed.resolve("paper_fact").resolve("_SUCCESS")))
+
+    val recovered = StreamingWarehouse.loadLatestState(spark, stateDir)
+    assert(recovered.isDefined)
+    // v999 (no marker) must be skipped — bridge reads would throw
+    assert(recovered.get.bridgeAuthor.count() >= 0L)
+  }
+
   test("ParquetUpsertTable redoes a crashed partial write (no _SUCCESS)") {
     val dir = Files.createTempDirectory("upsert").toString
     val t = new graft.streaming.ParquetUpsertTable(spark, dir, "k", Seq("v"))
