@@ -40,36 +40,48 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
     val qs = SparkEntry.queries
+    // Materialize through the noop sink, not count(): count() lets Catalyst
+    // drop final sorts/projections (a global ORDER BY costs nothing under
+    // count), so timings would under-report the work a real consumer pays.
+    // The noop source ships with Spark and evaluates every output row.
+    def materialize(name: String): Unit =
+      qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
     // Warm-up: touch every table and run one small query so codegen/JIT
     // and file-footer caches don't bill the first timed query.
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    qs(headline.head)(spark, sfDir).count()
+    materialize(headline.head)
+    spark.catalog.clearCache()
     // min of 2 runs per query: single-shot local timings swing ±30% from
     // GC/JIT/page-cache noise; min-of-n is the standard stabilizer.
+    // Each run tracks its own (time, error); a query is failed only when
+    // EVERY run failed, and a crashed run's time-to-failure never competes
+    // with a successful run's timing.
     val results = headline.filter(qs.contains).map { name =>
-      var error: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try qs(name)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          error = Some(e.toString.takeWhile(_ != '\n').take(200))
-        }
+        val err =
+          try { materialize(name); None }
+          catch { case e: Throwable =>
+            Some(e.toString.takeWhile(_ != '\n').take(200))
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // drop per-query persisted intermediates
-        dt
+        (dt, err)
       }
-      (name, times.min, error)
+      val ok = runs.collect { case (t, None) => t }
+      val firstErr = runs.collectFirst { case (_, Some(m)) => m }
+      (name, ok.minOption, if (ok.isEmpty) firstErr else None)
     }
-    // A crashed query reports null, never its time-to-failure.
-    val qJson = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + err.fold(v.toString)(_ => "null")
+    // A query with no successful run reports null, never a time-to-failure.
+    val qJson = results.map { case (k, v, _) =>
+      "\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     results.foreach { case (k, _, err) =>
       err.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))
     }
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.flatMap(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","failed":$failed}"""
     // stdout goes through sbt, which prefixes "[info]" and breaks the

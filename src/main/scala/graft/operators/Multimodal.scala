@@ -102,7 +102,11 @@ object Multimodal {
         }
         (w, h, sr, sg, sb)
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO throws RuntimeExceptions
+      // (ArrayIndexOutOfBounds, IllegalArgument, NegativeArraySize) on
+      // hostile/truncated headers; any decode failure degrades to the stub
+      // instead of failing the task.
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decoder — deterministic fake in place of a real codec call. */
   private def decodeStub(m: MediaRecord): MediaFeatures = {

@@ -45,11 +45,19 @@ object Ranking {
     // BEFORE the window's exchange; AQE may coalesce range partitions but
     // coalesced partitions stay contiguous ranges, so "all values in a
     // lower _pid sort strictly earlier" still holds.
+    // localCheckpoint pins ONE set of range-partition boundaries: both
+    // consumers below (counts and valueRank) must see identical partitioning,
+    // and without pinning that only holds while exchange reuse dedupes the
+    // two identical exchanges. RangePartitioner samples nondeterministically
+    // ordered shuffle output, so a re-executed exchange could split values
+    // differently and corrupt ranks (and the surrogate keys minted from
+    // them). The checkpointed frame is the distinct value set — small.
     val local = df.select(valueCols.map(col): _*).distinct()
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lr",
         row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
+      .localCheckpoint(true)
     // Pass 2: rank offset per partition = distinct values in earlier
     // partitions. Triangular join over `parts` single-row groups — O(parts²)
     // tiny rows, fully parallel, no global window.

@@ -112,13 +112,21 @@ object StreamingWarehouse {
       .filter(d => d.isDirectory && d.getName.startsWith("v"))
       .flatMap(d => d.getName.drop(1).toLongOption.map(_ -> d))
       .sortBy(_._1)
-    versions.dropRight(keep).foreach { case (_, d) =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
     }
+    // Only COMMITTED versions count toward `keep`: crashed partial dirs must
+    // not displace the recovery copies (two crashes would otherwise leave a
+    // single committed snapshot plus junk). Uncommitted dirs older than the
+    // newest committed version are dead — no recovery selects them — so they
+    // are removed unconditionally; a newer uncommitted dir may be a write in
+    // flight and is left alone.
+    val (committed, uncommitted) =
+      versions.partition { case (_, d) => new java.io.File(d, CommitMarker).exists() }
+    committed.dropRight(keep).foreach { case (_, d) => rm(d) }
+    val newestCommitted = committed.lastOption.map(_._1).getOrElse(Long.MinValue)
+    uncommitted.filter(_._1 < newestCommitted).foreach { case (_, d) => rm(d) }
   }
 
   /** Write every state table as parquet and reload — truncates lineage
