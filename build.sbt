@@ -34,5 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // UTF-8 filesystem paths (diacritics in partition dirs) regardless of locale
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default: local[32] runs 32 concurrent tasks against the unified
+  // memory pool; at 8g the persist-heavy queries (LSH dedup, IVF) sat at
+  // the eviction boundary and degraded 3-4x under page-cache/GC pressure
+  // while scan-light queries degraded only 1.5x (BENCH_r03). The host has
+  // 128 GiB; headroom is cheaper than recomputation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

@@ -147,7 +147,7 @@ object Dedup {
       .select(col("doc_id"), shingles(col("lt"), shingleN).as("arr"))
       .withColumn("n", size(col("arr")))
       .persist()
-    pruned
+    val verified = pruned
       .join(docArr.select(col("doc_id").as("doc_a"),
         col("arr").as("arr_a"), col("n").as("n_a")), "doc_a")
       .join(docArr.select(col("doc_id").as("doc_b"),
@@ -158,6 +158,15 @@ object Dedup {
             size(array_intersect(col("arr_a"), col("arr_b"))))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+      // Eagerly materialize the (near-dup-sized) result so the persisted
+      // intermediates can be released HERE: without this, sig/pruned/docArr
+      // stay pinned for the session unless callers remember clearCache —
+      // a leak for library consumers and steady memory pressure in Verify.
+      .localCheckpoint(true)
+    sig.unpersist()
+    pruned.unpersist()
+    docArr.unpersist()
+    verified
   }
 
   /** Exact all-pairs n-gram Jaccard via an inverted shingle index. Cost is
