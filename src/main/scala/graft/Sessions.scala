@@ -24,6 +24,8 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native function + ranking-rewrite rule on every engine session
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 }

@@ -48,15 +48,128 @@ object Graph {
     ranks
   }
 
+  /** Exact fixed-point PageRank — the oracle-checkable twin of
+    * [[pageRank]] (same sim_kmeans technique: all arithmetic is
+    * order-independent BIGINT, so a DuckDB twin unrolling the same
+    * iterations is bit-identical; see [[pageRankCtesSql]]).
+    *
+    * Ranks are fixed-point BIGINTs scaled by `scale`; the per-edge
+    * contribution is the integer division `(rank_fp * 85) DIV (deg * 100)`
+    * (damping folded into the numerator) and the teleport term
+    * `(15 * scale) DIV (100 * n)`. Integer division loses at most
+    * deg⁻¹·10⁻¹² of mass per edge — far below any ranking-relevant
+    * difference — and in exchange the BIGINT sum is independent of
+    * partition/summation order, unlike a double accumulation.
+    * `rank_fp * 85 ≤ 8.5e13 << 2^63`: no overflow at any graph size. */
+  def pageRankFixed(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count()
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg")).cache()
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = nodes.withColumn("rank_fp", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"),
+          expr("(rank_fp * 85) DIV (deg * 100)").as("c"))
+        .groupBy("dst").agg(sum("c").as("csum"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
+        .localCheckpoint(true)
+    }
+    nodes.unpersist()
+    withDeg.unpersist()
+    ranks.withColumn("rank",
+      col("rank_fp").cast("double") / lit(scale.toDouble))
+  }
+
+  /** DuckDB twin of [[pageRankFixed]] over an existing CTE `edgesCte`
+    * (columns src, dst): an unrolled CTE chain, one contribs/ranks pair per
+    * iteration. Final ranks are `pr$iters(id, rank_fp)`. `//` is DuckDB's
+    * integer division — identical to Spark's `DIV` for the non-negative
+    * operands used here. `AS MATERIALIZED` pins each round (and the shared
+    * deg/node tables, which every round references) to one evaluation —
+    * without it DuckDB may inline the chain and re-derive `edgesCte` per
+    * round. `CAST(SUM … AS BIGINT)` pins DuckDB's HUGEINT sum widening
+    * back to the BIGINT the Spark side produces. */
+  def pageRankCtesSql(edgesCte: String, iters: Int,
+      scale: Long = 1000000000000L): String = {
+    val init =
+      s"""prnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM $edgesCte UNION ALL SELECT dst FROM $edgesCte)),
+         |prdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM $edgesCte GROUP BY src),
+         |prn AS MATERIALIZED (SELECT COUNT(*) AS n FROM prnodes),
+         |pr0 AS MATERIALIZED (SELECT id, (SELECT $scale // n FROM prn) AS rank_fp FROM prnodes)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""prc$t AS MATERIALIZED (SELECT e.dst AS id,
+         |    CAST(SUM((r.rank_fp * 85) // (d.deg * 100)) AS BIGINT) AS csum
+         |  FROM $edgesCte e JOIN prdeg d ON d.src = e.src
+         |       JOIN pr${t - 1} r ON r.id = e.src
+         |  GROUP BY e.dst),
+         |pr$t AS MATERIALIZED (SELECT nd.id,
+         |    (SELECT (15 * $scale) // (100 * n) FROM prn) + COALESCE(c.csum, 0) AS rank_fp
+         |  FROM prnodes nd LEFT JOIN prc$t c ON c.id = nd.id)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[kHopReach]] over `edgesCte(src, dst)` (must already
+    * be distinct): unrolled BFS — frontier `cf$t` = (previous frontier ∘
+    * edges) EXCEPT seen, reach `cr$t` = seen ∪ frontier — mirroring the
+    * Spark loop's anti-join exactly, so once the closure saturates the
+    * remaining rounds join empty frontiers and cost nothing. Final pairs
+    * in `cr$k(src, dst)`. A hop-annotated recursive CTE is the obvious
+    * alternative but re-derives every pair once per path length (measured
+    * 95s vs 7.5s on the sf0.01 REFERENCES graph). */
+  def closureCtesSql(edgesCte: String, k: Int): String = {
+    val init =
+      s"""cf1 AS MATERIALIZED (SELECT src, dst FROM $edgesCte),
+         |cr1 AS MATERIALIZED (SELECT src, dst FROM cf1)""".stripMargin
+    val rounds = (2 to k).map { t =>
+      s"""cf$t AS MATERIALIZED (
+         |  SELECT DISTINCT f.src, e.dst FROM cf${t - 1} f
+         |    JOIN $edgesCte e ON e.src = f.dst
+         |  EXCEPT SELECT src, dst FROM cr${t - 1}),
+         |cr$t AS MATERIALIZED (SELECT src, dst FROM cr${t - 1}
+         |  UNION ALL SELECT src, dst FROM cf$t)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   /** G7 — node similarity: Jaccard over out-neighbor sets, self-pairs
     * excluded. Pure joins: Σ_v deg(v)² pair generation through the shared
-    * neighbor, exact — the deterministic, oracle-checkable one. */
-  def jaccardSimilarity(edges: DataFrame, threshold: Double): DataFrame = {
+    * neighbor, exact — the deterministic, oracle-checkable one.
+    *
+    * `maxDegree`: optional hub cap. Pair generation is Σ_v deg(v)² through
+    * shared neighbors, so ONE celebrity source node at 100× data produces
+    * deg² candidate pairs; capping excludes sources with deg > maxDegree
+    * from pair generation (their true degrees still count in the union
+    * denominator of surviving pairs — removal of a hub never changes the
+    * similarity of the pairs that remain). The cut is logged, not silent,
+    * as standard node-similarity implementations do (GDS `degreeCutoff`). */
+  def jaccardSimilarity(edges: DataFrame, threshold: Double,
+      maxDegree: Option[Long] = None): DataFrame = {
     // null endpoints dropped up front: a groupBy- or join-based pair
     // generator would otherwise treat NULL as a shared neighbor
-    val adj = edges.select(col("src"), col("dst"))
+    val adj0 = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
-    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degAll = adj0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val (adj, deg) = maxDegree match {
+      case None => (adj0, degAll)
+      case Some(cap) =>
+        val kept = degAll.filter(col("deg") <= cap)
+        val excluded = degAll.filter(col("deg") > cap).count()
+        if (excluded > 0)
+          System.err.println(
+            s"[graft] jaccardSimilarity: excluding $excluded hub node(s) with degree > $cap")
+        (adj0.join(kept.select(col("src")), Seq("src"), "left_semi"), kept)
+    }
     // pair generation stays a streamed self-join: a per-dst
     // collect_list+combination variant materializes a hub's full deg²/2
     // pair array in ONE row — an OOM on celebrity neighbors — where the
@@ -248,6 +361,86 @@ object Graph {
     }
     und.unpersist()
     labels
+  }
+
+  /** Newman modularity of a community labelling (closes the gap between
+    * the repo's CC/LPA communities and the reference's `gds.louvain`,
+    * which *optimizes* this quantity — graph_queries.cyp:19-30; here it
+    * *scores* a given labelling, so the result is deterministic and
+    * oracle-checkable).
+    *
+    * Q = Σ_c (e_c/m − (d_c/2m)²) over the simple undirected graph
+    * (self-loops dropped). Computed as the exact rational
+    * q_num / q_den with q_num = 2m·w − Σ_c d_c² and q_den = 4m², where
+    * w = directed-pair count inside communities (= 2·Σe_c) — all BIGINT,
+    * so both engines agree bit-for-bit; the reported double is ONE IEEE
+    * division of exact operands. Exact while 2m < 3e9 (q_den < 2^63);
+    * beyond that, switch the two final scalars to DECIMAL(38,0) — the
+    * plan shape (3 one-row aggregates cross-joined) is scale-free. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().filter(col("src") =!= col("dst")).cache()
+    val lab = labels.select(col("id"), col("label"))
+    val lsrc = lab.select(col("id").as("src"), col("label").as("lsrc"))
+    val ldst = lab.select(col("id").as("dst"), col("label").as("ldst"))
+    // w: directed pairs whose endpoints share a community (2·e_c summed)
+    val wDf = und.join(lsrc, "src").join(ldst, "dst")
+      .filter(col("lsrc") === col("ldst"))
+      .agg(count(lit(1)).as("w"))
+    // Σ_c d_c² with d from the simple undirected graph
+    val sdc2 = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(lsrc.withColumnRenamed("lsrc", "label"), "src")
+      .groupBy("label").agg(sum("deg").as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sdc2"))
+    val mDf = und.agg(expr("COUNT(1) DIV 2").as("m"))
+    und.unpersist(blocking = false)
+    mDf.crossJoin(wDf).crossJoin(sdc2)
+      .select(
+        (lit(2L) * col("m") * col("w") - col("sdc2")).as("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+      .withColumn("modularity",
+        col("q_num").cast("double") / col("q_den").cast("double"))
+  }
+
+  /** DuckDB twin of [[modularity]] over CTEs `edgesCte(src,dst)` and
+    * `labelsCte(id,label)`; emits one CTE `qmod(q_num,q_den,modularity)`. */
+  def modularityCtesSql(edgesCte: String, labelsCte: String): String =
+    s"""qund AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst FROM $edgesCte UNION SELECT dst, src FROM $edgesCte)
+       |  WHERE src <> dst),
+       |qm AS (SELECT COUNT(*) // 2 AS m FROM qund),
+       |qw AS (SELECT COUNT(*) AS w FROM qund u
+       |  JOIN $labelsCte la ON la.id = u.src
+       |  JOIN $labelsCte lb ON lb.id = u.dst
+       |  WHERE la.label = lb.label),
+       |qdc AS (SELECT la.label, CAST(SUM(d.deg) AS BIGINT) AS dc FROM
+       |    (SELECT src, COUNT(*) AS deg FROM qund GROUP BY src) d
+       |  JOIN $labelsCte la ON la.id = d.src GROUP BY la.label),
+       |qsd AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS sdc2 FROM qdc),
+       |qmod AS (SELECT 2 * m * w - sdc2 AS q_num, 4 * m * m AS q_den,
+       |    CAST(2 * m * w - sdc2 AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS modularity
+       |  FROM qm, qw, qsd)""".stripMargin
+
+  /** DuckDB twin of [[labelPropagation]] over a CTE `undCte(src,dst)`
+    * that must already be the distinct both-directions edge set; unrolled
+    * vote/argmax pair per iteration, final labels in `lp$iters(id,label)`.
+    * Votes are neighbor labels (one per directed edge) plus the node's own
+    * label — UNION ALL, matching the Spark side's `union`. */
+  def lpaCtesSql(undCte: String, iters: Int): String = {
+    val init =
+      s"lp0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM $undCte)"
+    val rounds = (1 to iters).map { t =>
+      s"""lpv$t AS MATERIALIZED (SELECT x.src, x.label, COUNT(*) AS votes FROM (
+         |    SELECT u.src, l.label FROM $undCte u JOIN lp${t - 1} l ON l.id = u.dst
+         |    UNION ALL SELECT id AS src, label FROM lp${t - 1}) x
+         |  GROUP BY x.src, x.label),
+         |lp$t AS MATERIALIZED (SELECT src AS id, label FROM (
+         |    SELECT src, label, ROW_NUMBER() OVER (
+         |      PARTITION BY src ORDER BY votes DESC, label) AS rn FROM lpv$t)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
   }
 
   /** G2–G4 — "ArticleRank"-style projected PageRank: project an

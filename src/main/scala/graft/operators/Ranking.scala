@@ -36,8 +36,9 @@ object Ranking {
   /** Multi-column form; ranks the distinct `valueCols` combinations.
     * When the combinations are UNIQUE per row (e.g. natural keys being
     * minted surrogate ids), dense rank ≡ row_number ≡ rank — so this is
-    * also the scale-safe global `row_number` for key-minting. All
-    * `valueCols` must be non-null (they join the rank back onto `df`). */
+    * also the scale-safe global `row_number` for key-minting. NULL values
+    * rank like SQL's DENSE_RANK (default null ordering); the rank joins
+    * back null-safely so null-valued rows are never dropped. */
   def globalDenseRankCols(df: DataFrame, valueCols: Seq[String], rankName: String,
       ascending: Boolean = false, parts: Int = 32): DataFrame = {
     def sortCols = valueCols.map(c => if (ascending) col(c).asc else col(c).desc)
@@ -67,11 +68,14 @@ object Ranking {
         col("_q") < col("_pid"), "left")
       .groupBy(col("_pid"))
       .agg(coalesce(sum(col("_qn")), lit(0L)).as("_off"))
+    // value columns renamed on the rank side: the null-safe join condition
+    // then needs no self-join disambiguation, and `<=>` keeps rows whose
+    // rank value is NULL (SQL DENSE_RANK ranks them; a USING-join drops).
     val valueRank = local.join(offsets, "_pid")
-      .select(valueCols.map(col) :+
+      .select(valueCols.map(c => col(c).as(s"_v_$c")) :+
         (col("_lr") + col("_off")).cast("int").as(rankName): _*)
-    // USING-join hoists the key columns first; restore the input's order.
-    df.join(valueRank, valueCols)
+    df.join(valueRank,
+        valueCols.map(c => col(c) <=> col(s"_v_$c")).reduce(_ && _))
       .select((df.columns.map(col) :+ col(rankName)): _*)
   }
 }

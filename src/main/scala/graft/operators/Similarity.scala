@@ -43,14 +43,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.plans.GraftExtensions.cosineSim(a, b)
 
-  /** Brute-force cosine top-k: queries × corpus, ranked per query. */
+  /** Brute-force cosine top-k: queries × corpus, ranked per query.
+    *
+    * No broadcast hint on the query side: `isQuery` is caller-supplied and
+    * unbounded, and an unconditional `broadcast(q)` OOMs the moment a
+    * caller passes a large query set. AQE broadcasts the small side of the
+    * cross join at runtime when it actually fits. */
   def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q).crossJoin(e)
+    q.crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rnk", row_number().over(w))
@@ -143,7 +148,10 @@ object Similarity {
         col("centroid_id").as("qc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q).join(assigned, col("centroid_id") === col("qc"))
+    // no broadcast hint: the probe join is an equi-join on bucket id, so
+    // at scale both sides shuffle-partition by centroid (the IVF design);
+    // AQE still broadcasts the query side at runtime when it's small
+    q.join(assigned, col("centroid_id") === col("qc"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
       // a neighbor can surface from several probed buckets → dedup first

@@ -70,11 +70,18 @@ object Warehouse {
     * and an initial bulk load minting millions of keys never lands in a
     * single-partition window. */
   def upsertDim(dim: DataFrame, incoming: DataFrame, keyName: String,
-      natCols: Seq[String]): DataFrame = {
+      natCols: Seq[String]): DataFrame =
+    upsertDimFrom(dim, incoming, keyName, natCols,
+      dim.agg(coalesce(max(col(keyName)), lit(0))).head().getInt(0))
+
+  /** [[upsertDim]] with the key high-water mark supplied by the caller —
+    * [[loadBatch]] reads ALL dims' maxes in one driver action instead of
+    * one blocking `.head()` per dim per micro-batch. */
+  def upsertDimFrom(dim: DataFrame, incoming: DataFrame, keyName: String,
+      natCols: Seq[String], maxKey: Int): DataFrame = {
     val fresh = incoming.select(natCols.map(col): _*).na.fill("Unknown")
       .distinct()
       .join(dim, natCols, "left_anti")
-    val maxKey = dim.agg(coalesce(max(col(keyName)), lit(0))).head().getInt(0)
     val minted = graft.operators.Ranking
       .globalDenseRankCols(fresh, natCols, "_rn", ascending = true)
       .withColumn(keyName, (col("_rn") + maxKey).cast("int"))
@@ -93,24 +100,42 @@ object Warehouse {
   def loadBatch(spark: SparkSession, state: State, batch0: DataFrame): State = {
     val batch = batch0.cache()
 
+    // ONE driver round-trip for every surrogate-key high-water mark (six
+    // single-row aggregates unioned into one job — was six blocking
+    // `.head()` calls per micro-batch, pure scheduling latency).
+    val maxes: Map[String, Int] = Seq(
+      ("domain", state.dimDomain, "domain_key"),
+      ("type", state.dimType, "type_key"),
+      ("venue", state.dimVenue, "venue_key"),
+      ("author", state.dimAuthor, "author_key"),
+      ("affiliation", state.dimAffiliation, "affiliation_key"),
+      ("group", state.fact, "author_group_key"))
+      .map { case (n, df, k) =>
+        df.agg(coalesce(max(col(k)), lit(0)).cast("int").as("m"))
+          .select(lit(n).as("k"), col("m"))
+      }
+      .reduce(_ unionByName _)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
     // --- dims (D2/J1: insert-if-absent, then key lookup by broadcast join)
-    val dimDomain = upsertDim(state.dimDomain,
+    val dimDomain = upsertDimFrom(state.dimDomain,
       batch.select(col("subject").as("scientific_domain")),
-      "domain_key", Seq("scientific_domain"))
-    val dimType = upsertDim(state.dimType,
-      batch.select(col("type").as("type_name")), "type_key", Seq("type_name"))
-    val dimVenue = upsertDim(state.dimVenue,
+      "domain_key", Seq("scientific_domain"), maxes("domain"))
+    val dimType = upsertDimFrom(state.dimType,
+      batch.select(col("type").as("type_name")), "type_key", Seq("type_name"),
+      maxes("type"))
+    val dimVenue = upsertDimFrom(state.dimVenue,
       batch.select(col("container-title").as("pub_venue"), col("publisher")),
-      "venue_key", Seq("pub_venue", "publisher"))
+      "venue_key", Seq("pub_venue", "publisher"), maxes("venue"))
     val authorsExpl = batch.select(col("id"),
         explode(col("authors_merged")).as("a"))
       .select(col("id"), col("a.full_name").as("full_name"),
         col("a.gender").as("gender"),
         coalesce(col("a.affiliation"), lit("Unknown")).as("affiliation_name"))
       .cache()
-    val dimAuthorNoMetrics = upsertDim(state.dimAuthor,
+    val dimAuthorNoMetrics = upsertDimFrom(state.dimAuthor,
       authorsExpl.select(col("full_name")),
-      "author_key", Seq("full_name"))
+      "author_key", Seq("full_name"), maxes("author"))
     // carry gender onto newly minted authors (Type-1: latest wins)
     val genderOf = authorsExpl.groupBy("full_name")
       .agg(max(col("gender")).as("g_new"))
@@ -126,15 +151,14 @@ object Warehouse {
         coalesce(col("gender"), col("g_new"), lit("unknown")).as("gender"),
         coalesce(col("h_index"), lit(0)).as("h_index"),
         coalesce(col("g_index"), lit(0)).as("g_index"))
-    val dimAffiliation = upsertDim(state.dimAffiliation,
+    val dimAffiliation = upsertDimFrom(state.dimAffiliation,
       authorsExpl.select(col("affiliation_name")),
-      "affiliation_key", Seq("affiliation_name"))
+      "affiliation_key", Seq("affiliation_name"), maxes("affiliation"))
 
     // --- fact (D4: idempotent on arxiv_ID) with group keys (D3)
     val newPapers = batch.join(state.fact.select(col("arxiv_ID")),
       batch("id") === col("arxiv_ID"), "left_anti")
-    val maxGroup = state.fact
-      .agg(coalesce(max(col("author_group_key")), lit(0))).head().getInt(0)
+    val maxGroup = maxes("group")
     // group keys via the same two-pass rank (id is unique per paper) —
     // a bulk initial load would otherwise rank every new paper in one
     // window partition

@@ -1,0 +1,80 @@
+package graft.plans
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
+  AttributeReference, DenseRank, NullsFirst, NullsLast, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project, SubqueryAlias, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftshim.Shims
+
+import graft.operators.Ranking
+
+/** Optimizer rule (SURVEY §4's named candidate): rewrite an UNPARTITIONED
+  * `DENSE_RANK() OVER (ORDER BY …)` — which moves every row into ONE window
+  * partition (Spark itself warns "No Partition Defined … serious performance
+  * degradation") — into the two-pass shuffle-parallel plan of
+  * [[Ranking.globalDenseRankCols]]. With it, the reference's literal SQL
+  * idiom (`dags/sql/queries.sql:43-45`, the `sql_entry_rank_orders` path)
+  * gets the same scale-safe plan the DataFrame API path (`q05`) builds
+  * explicitly; results are bit-identical, only the physical plan changes.
+  *
+  * Deliberately gated on the window input NOT being an aggregation:
+  * post-aggregate ranks (q01–q14's BI idiom) have dimension-bounded
+  * cardinality where the single-partition window is the cheaper plan; the
+  * scale-killer is ranking a full fact table. Kill-switch:
+  * `spark.graft.globalRankRewrite=false`.
+  *
+  * Restrictions (rule bails, plan left unchanged): single DenseRank window
+  * expression, order keys are plain attributes with uniform direction and
+  * default null ordering, and no column-name collisions with the rewrite's
+  * temporaries.
+  */
+case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val tempNames = Set("_pid", "_lr", "_n", "_q", "_qn", "_off")
+
+  /** Descend through no-op wrappers to see whether the ranked input is an
+    * aggregation (bounded cardinality → leave the window alone). */
+  @tailrec
+  private def throughCheap(p: LogicalPlan): LogicalPlan = p match {
+    case Project(_, c)         => throughCheap(c)
+    case Filter(_, c)          => throughCheap(c)
+    case SubqueryAlias(_, c)   => throughCheap(c)
+    case _                     => p
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!spark.conf.get("spark.graft.globalRankRewrite", "true").toBoolean) plan
+    else plan.transformUp {
+      case w @ Window(Seq(alias: Alias), partSpec, orderSpec, child, _)
+          if partSpec.isEmpty && orderSpec.nonEmpty && w.resolved &&
+            (alias.child match {
+              case WindowExpression(_: DenseRank, _) => true
+              case _ => false
+            }) &&
+            orderSpec.forall(_.child.isInstanceOf[AttributeReference]) &&
+            orderSpec.map(_.direction).distinct.size == 1 &&
+            orderSpec.forall(so => so.nullOrdering ==
+              (if (so.direction == Ascending) NullsFirst else NullsLast)) &&
+            child.output.map(_.name).distinct.size == child.output.size &&
+            !child.output.map(_.name)
+              .exists(n => n == alias.name || tempNames(n) || n.startsWith("_v_")) &&
+            !throughCheap(child).isInstanceOf[Aggregate] =>
+        val valueCols =
+          orderSpec.map(_.child.asInstanceOf[AttributeReference].name)
+        val ascending = orderSpec.head.direction == Ascending
+        val ranked = Ranking.globalDenseRankCols(
+          Shims.ofRows(spark, child), valueCols, alias.name, ascending)
+        val rankedPlan = ranked.queryExecution.analyzed
+        // Graft back under the original output attribute ids so every
+        // parent operator (the outer ORDER BY, projections) still resolves.
+        Project(
+          w.output.zip(rankedPlan.output).map { case (target, actual) =>
+            Alias(actual, target.name)(exprId = target.exprId)
+          },
+          rankedPlan)
+    }
+}

@@ -12,8 +12,10 @@ import org.apache.spark.sql.graftshim.Shims
   * `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectOptimizerRule(GlobalRankRewrite(_))
+  }
 }
 
 object GraftExtensions {
@@ -26,11 +28,15 @@ object GraftExtensions {
       CosineSimilarity(children.head, children.last)
     })
 
-  /** Register on an existing session (tests / REPL). */
+  /** Register on an existing session (tests / REPL): the function AND the
+    * ranking rewrite (idempotent — skips if already attached). */
   def register(spark: SparkSession): Unit = {
     val (id, info, builder) = cosineSimDescriptor
     spark.sessionState.functionRegistry.registerFunction(id, info,
       (exprs: Seq[Expression]) => builder(exprs))
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[GlobalRankRewrite]))
+      spark.experimental.extraOptimizations ++= Seq(GlobalRankRewrite(spark))
   }
 
   /** Column-API entry point. */

@@ -75,16 +75,32 @@ object AnalyticsQueries extends QueryModule {
     // HLL sketch (approx distinct users per event type) — rows-only:
     // engines implement different sketches; AnalyticsSpec bounds the
     // error against the exact count instead.
+    // The HLL estimate itself differs by engine, so the DRIVER-CHECKABLE
+    // contract is the sketch's accuracy bound: Spark computes both the
+    // sketch and the exact distinct and emits `within_2pct_of_exact`; the
+    // oracle asserts TRUE per group (plus the exact counts). At driver SF
+    // the HLL++ sketch is in sparse (exact) mode, so the bound is
+    // deterministic, and a genuine >2% sketch error WOULD fail the gate.
     "sketch_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("au"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (abs(col("au") - col("exact_users")) <=
+            col("exact_users") * lit(0.02)).as("within_2pct_of_exact"))
         .orderBy(col("event_type"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_approx_distinct" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       COUNT(*) AS n_events,
+        |       TRUE AS within_2pct_of_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "win_analytics" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       LAG(o_totalprice, 1) OVER w AS prev_price,

@@ -171,8 +171,10 @@ object BiQueries extends QueryModule {
       val li = Tables.lineitem(s, dir)
       val p = Tables.part(s, dir).filter(col("p_type").like("%PROMO%"))
       val sup = Tables.supplier(s, dir)
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      // no hints: part/supplier scale with SF (not fixed-cardinality dims);
+      // Spark still broadcasts statically while the scan estimate is small
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(count(lit(1)).as("n_items"))
         .withColumn("ranking",
@@ -199,7 +201,7 @@ object BiQueries extends QueryModule {
       val p = Tables.part(s, dir).filter(col("p_type").like("%PROMO%"))
       val o = Tables.orders(s, dir)
         .filter(year(col("o_orderdate")).between(1996, 1999))
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).as("order_year"))
         .agg(count(lit(1)).as("n_items"))
@@ -224,7 +226,7 @@ object BiQueries extends QueryModule {
   private def supplierAgg(s: SparkSession, dir: String,
       agg: org.apache.spark.sql.Column): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(agg)

@@ -15,9 +15,13 @@ import graft.operators.Graph
   * an order — a deterministic citation stand-in).
   *
   * Deterministic set algebra (edge builds, Jaccard, k-hop, pattern scans)
-  * is oracle-checked; iterative float algorithms (PageRank, betweenness)
-  * get rows-only checks + known-answer unit tests (GraphSpec), since
-  * float accumulation order varies and GDS parity is capability-level.
+  * is oracle-checked, and so are the iterative algorithms PageRank /
+  * ArticleRank / LPA / modularity: they run in order-independent BIGINT
+  * fixed-point arithmetic ([[Graph.pageRankFixed]] — the
+  * `sim_kmeans_centroids` technique), so an unrolled DuckDB CTE chain is
+  * bit-identical. Only betweenness (float dependency accumulation) stays
+  * rows-only, spec'd in GraphSpec. Scores are RETURNed with entity names,
+  * as the reference queries do (dags/graph_queries.cyp:13-16,43-45,55-58).
   */
 object GraphQueries extends QueryModule {
 
@@ -36,6 +40,18 @@ object GraphQueries extends QueryModule {
   private val P = 1000000L  // part offset
   private val S = 2000000L  // supplier offset
   private val N = 3000000L  // nation offset
+
+  /** Jaccard hub cap for `g_jaccard_capped` — mirrored verbatim in the
+    * oracle's `WHERE deg <= …` so both engines cut the same hubs. */
+  private val JaccardDegreeCap = 40L
+
+  /** Attach `name` from a dimension table keyed by the score table's id —
+    * the reference's `RETURN x.name, score` shape. Inner join: every
+    * graph id is a foreign key into its dimension. */
+  private def named(scores: DataFrame, dim: DataFrame, key: String,
+      nameCol: String): DataFrame =
+    scores.join(
+      dim.select(col(key).as("id"), col(nameCol).as("name")), Seq("id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S9/D6 — heterogeneous nodes/edges build, idempotent by distinct;
@@ -63,11 +79,31 @@ object GraphQueries extends QueryModule {
         .orderBy(col("etype"))
     }),
 
-    // G7 — node similarity: Jaccard over part→order memberships.
+    // G7 — node similarity: Jaccard over part→order memberships, scores
+    // returned with both part names (graph_queries.cyp's RETURN shape).
     "g_jaccard_parts" -> ((s, dir) => {
       val membership = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
+      val pn = Tables.part(s, dir)
       Graph.jaccardSimilarity(membership, 0.05)
+        .join(pn.select(col("p_partkey").as("id_a"),
+          col("p_name").as("name_a")), Seq("id_a"))
+        .join(pn.select(col("p_partkey").as("id_b"),
+          col("p_name").as("name_b")), Seq("id_b"))
+        .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"),
+          col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // G7 at scale — the same similarity with the hub degree cap: one
+    // celebrity node at 100× data otherwise emits deg² candidate pairs.
+    // The cap is expressed in the oracle as a pre-join `WHERE deg <= N`,
+    // so both engines agree on exactly which pairs survive.
+    "g_jaccard_capped" -> ((s, dir) => {
+      val membership = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
+      Graph.jaccardSimilarity(membership, 0.05,
+          maxDegree = Some(JaccardDegreeCap))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -88,52 +124,68 @@ object GraphQueries extends QueryModule {
       c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(o, col("o_custkey") === col("c_custkey"))
         .join(li, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("s_suppkey") === col("l_suppkey"))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_paths"),
           countDistinct(col("s_suppkey")).as("n_venues"))
         .orderBy(col("n_name"))
     }),
 
-    // G1 — PageRank over the REFERENCES graph (rows-only: float loop).
+    // G1 — PageRank over the REFERENCES graph in BIGINT fixed point
+    // (graph_queries.cyp:33-45) → hash-checked against the unrolled CTE
+    // twin; named output per the reference's RETURN piece.title, score.
     "g_pagerank_parts" -> ((s, dir) =>
-      Graph.pageRank(refEdges(s, dir), iters = 15)
-        .orderBy(col("rank").desc, col("id"))),
+      named(Graph.pageRankFixed(refEdges(s, dir), iters = 15),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))),
 
     // G5 — community detection via connected components. Min-label
     // propagation converges to min-node-id-per-component, which a
-    // recursive CTE can re-derive → oracle-checked (the one iterative
-    // graph algorithm with an exact integer fixpoint).
+    // recursive CTE can re-derive → oracle-checked.
     "g_components" -> ((s, dir) =>
       Graph.connectedComponents(refEdges(s, dir), maxIters = 100)
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("component"))),
 
-    // G6 — sampled-source Brandes betweenness (rows-only).
+    // G6 — sampled-source Brandes betweenness: the one rows-only graph
+    // query left (float dependency accumulation has no exact SQL twin);
+    // spec'd on a path graph in GraphSpec. Named output.
     "g_betweenness_sample" -> ((s, dir) =>
-      Graph.betweennessSampled(refEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L))
+      named(Graph.betweennessSampled(refEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L)),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("betweenness"))
         .orderBy(col("betweenness").desc, col("id"))),
 
-    // G5 (second half) — label-propagation communities: unlike
-    // g_components (whose bench graph is ONE weak component), LPA
-    // recovers internal community structure. Rows-only: no exact SQL
-    // fixpoint, spec'd on a two-community graph in GraphSpec.
+    // G5 (second half) — label-propagation communities. Deterministic at
+    // a fixed iteration count (synchronous votes, min-label ties), so the
+    // unrolled vote/argmax CTE twin hash-matches.
     "g_lpa_communities" -> ((s, dir) =>
       Graph.labelPropagation(refEdges(s, dir), iters = 10)
         .groupBy(col("label")).agg(count(lit(1)).as("size"))
         .select(col("label").as("community"), col("size"))
         .orderBy(col("size").desc, col("community"))),
 
+    // G5 scoring — Newman modularity of the LPA labelling (the quantity
+    // gds.louvain optimizes, graph_queries.cyp:19-30), as one exact
+    // BIGINT rational q_num/q_den plus its double quotient.
+    "g_modularity" -> ((s, dir) => {
+      val e = refEdges(s, dir)
+      Graph.modularity(e, Graph.labelPropagation(e, iters = 10))
+    }),
+
     // G2 — author ArticleRank through the reference's own projection
     // (graph_queries.cyp:48-58): (Author)-[:AUTHORSHIP]-(Piece)
     // -[:REFERENCES*1..10]->(Piece)-[:AUTHORSHIP]-(Author2), i.e. the
-    // bounded 10-hop citation closure, NOT 1-hop co-purchase. Rows-only
-    // (float loop); projection semantics spec'd in GraphSpec.
+    // bounded 10-hop citation closure, NOT 1-hop co-purchase. Fixed-point
+    // ranks → oracle-checked end to end (closure, projection, PageRank).
     "g_articlerank_customers" -> ((s, dir) => {
       val proj = Graph.projectViaClosure(
         authorship(s, dir), Graph.kHopReach(refEdges(s, dir), 10))
-      Graph.projectedPageRank(proj, iters = 10)
-        .orderBy(col("rank").desc, col("id"))
+      named(Graph.pageRankFixed(proj, iters = 10),
+          Tables.customer(s, dir), "c_custkey", "c_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))
     }),
 
     // G3 — venue ArticleRank (graph_queries.cyp:61-72):
@@ -147,8 +199,10 @@ object GraphQueries extends QueryModule {
         .distinct()
       val proj = Graph.projectViaClosure(
         pub, Graph.kHopReach(refEdges(s, dir), 10))
-      Graph.projectedPageRank(proj, iters = 10)
-        .orderBy(col("rank").desc, col("id"))
+      named(Graph.pageRankFixed(proj, iters = 10),
+          Tables.supplier(s, dir), "s_suppkey", "s_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))
     }),
 
     // G4 — institution PageRank (graph_queries.cyp:5-16): (Institution)
@@ -164,8 +218,10 @@ object GraphQueries extends QueryModule {
         .select(col("entity"), col("node")).distinct()
       val proj = Graph.projectViaClosure(
         instPieces, Graph.kHopReach(refEdges(s, dir), 10))
-      Graph.projectedPageRank(proj, iters = 10)
-        .orderBy(col("rank").desc, col("id"))
+      named(Graph.pageRankFixed(proj, iters = 10),
+          Tables.nation(s, dir), "n_nationkey", "n_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))
     })
   )
 
@@ -178,10 +234,52 @@ object GraphQueries extends QueryModule {
       .distinct()
 
   private val refEdgesSql =
-    """e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    """e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |      FROM lineitem a JOIN lineitem b
       |        ON a.l_orderkey = b.l_orderkey
       |       AND b.l_linenumber = a.l_linenumber + 1)""".stripMargin
+
+  /** `(entity, node)` attachment CTEs for the three projections —
+    * verbatim twins of [[authorship]] and the inline attachments above. */
+  private val authorshipEndsSql =
+    """ends AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS entity, l.l_partkey AS node
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""".stripMargin
+  private val publicationEndsSql =
+    """ends AS MATERIALIZED (SELECT DISTINCT l_suppkey AS entity, l_partkey AS node
+      |  FROM lineitem)""".stripMargin
+  private val affiliationEndsSql =
+    """ends AS MATERIALIZED (SELECT DISTINCT c.c_nationkey AS entity, l.l_partkey AS node
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |       JOIN customer c ON c.c_custkey = o.o_custkey)""".stripMargin
+
+  /** [[Graph.projectViaClosure]]'s twin over `ends` + `cr10`: collapse to
+    * (entity, reachable node) before attaching the far side, exactly as
+    * the Spark side does. */
+  private val projSql =
+    """mid AS MATERIALIZED (SELECT DISTINCT a.entity AS e_src, c.dst
+      |  FROM ends a JOIN cr10 c ON c.src = a.node),
+      |proj AS MATERIALIZED (SELECT DISTINCT m.e_src AS src, b.entity AS dst
+      |  FROM mid m JOIN ends b ON b.node = m.dst)""".stripMargin
+
+  /** Assembled oracle for one projected fixed-point PageRank: closure →
+    * projection → unrolled PageRank → named scores. `dimSql` must yield
+    * columns `(k, name)`. */
+  private def projectedPrOracle(endsSql: String, dimSql: String): String =
+    s"""WITH $refEdgesSql,
+       |${Graph.closureCtesSql("e", 10)},
+       |$endsSql,
+       |$projSql,
+       |${Graph.pageRankCtesSql("proj", 10)}
+       |SELECT pr.id, d.name, pr.rank_fp,
+       |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+       |FROM pr10 pr JOIN ($dimSql) d ON d.k = pr.id
+       |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin
+
+  /** LPA CTE prelude shared by `g_lpa_communities` / `g_modularity`. */
+  private val lpaPrelude =
+    s"""$refEdgesSql,
+       |und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |${Graph.lpaCtesSql("und", 10)}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "g_edges_build" ->
@@ -210,12 +308,29 @@ object GraphQueries extends QueryModule {
         |inter AS (SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS inter
         |          FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
         |          GROUP BY a.src, b.src)
-        |SELECT i.id_a, i.id_b,
+        |SELECT i.id_a, pa.p_name AS name_a, i.id_b, pb.p_name AS name_b,
         |       i.inter * 1.0 / (da.deg + db.deg - i.inter) AS jaccard
         |FROM inter i JOIN deg da ON da.src = i.id_a
         |             JOIN deg db ON db.src = i.id_b
+        |             JOIN part pa ON pa.p_partkey = i.id_a
+        |             JOIN part pb ON pb.p_partkey = i.id_b
         |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "g_jaccard_capped" ->
+      s"""WITH adj AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_orderkey AS dst FROM lineitem),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+         |kept AS MATERIALIZED (SELECT src, deg FROM deg WHERE deg <= $JaccardDegreeCap),
+         |kadj AS MATERIALIZED (SELECT a.src, a.dst FROM adj a JOIN kept k ON k.src = a.src),
+         |inter AS (SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS inter
+         |          FROM kadj a JOIN kadj b ON a.dst = b.dst AND a.src < b.src
+         |          GROUP BY a.src, b.src)
+         |SELECT i.id_a, i.id_b,
+         |       i.inter * 1.0 / (da.deg + db.deg - i.inter) AS jaccard
+         |FROM inter i JOIN kept da ON da.src = i.id_a
+         |             JOIN kept db ON db.src = i.id_b
+         |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "g_components" ->
       s"""WITH RECURSIVE $refEdgesSql,
@@ -245,6 +360,33 @@ object GraphQueries extends QueryModule {
         |JOIN orders o ON o.o_custkey = c.c_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "g_pagerank_parts" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.pageRankCtesSql("e", 15)}
+         |SELECT pr.id, p.p_name AS name, pr.rank_fp,
+         |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM pr15 pr JOIN part p ON p.p_partkey = pr.id
+         |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin,
+
+    "g_lpa_communities" ->
+      s"""WITH $lpaPrelude
+         |SELECT label AS community, COUNT(*) AS size FROM lp10
+         |GROUP BY label ORDER BY size DESC, community""".stripMargin,
+
+    "g_modularity" ->
+      s"""WITH $lpaPrelude,
+         |${Graph.modularityCtesSql("e", "lp10")}
+         |SELECT q_num, q_den, modularity FROM qmod""".stripMargin,
+
+    "g_articlerank_customers" -> projectedPrOracle(authorshipEndsSql,
+      "SELECT c_custkey AS k, c_name AS name FROM customer"),
+
+    "g_articlerank_venues" -> projectedPrOracle(publicationEndsSql,
+      "SELECT s_suppkey AS k, s_name AS name FROM supplier"),
+
+    "g_pagerank_institutions" -> projectedPrOracle(affiliationEndsSql,
+      "SELECT n_nationkey AS k, n_name AS name FROM nation")
   )
 }

@@ -207,7 +207,7 @@ object RelationalQueries extends QueryModule {
         .select(col("s_name").as("name"))
         .withColumn("skey", row_number().over(Window.orderBy(col("name"))))
       val incoming = Tables.lineitem(s, dir)
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_name").as("name")).distinct()
       val fresh = incoming.join(dim, Seq("name"), "left_anti")
         .withColumn("rk", row_number().over(Window.orderBy(col("name"))))

@@ -82,6 +82,46 @@ class GraphSpec extends AnyFunSuite {
     assert(proj == Set((100L, 100L)))
   }
 
+  test("pageRankFixed: 3-cycle symmetric, ranks sum to ~1, matches float") {
+    val pr = Graph.pageRankFixed(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), iters = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pr.length == 3)
+    assert(pr.map(_._2).distinct.length == 1) // symmetry → identical BIGINTs
+    pr.foreach { case (_, _, rank) => assert(math.abs(rank - 1.0 / 3) < 1e-9) }
+  }
+
+  test("pageRankFixed ranks the star hub highest, deterministic re-run") {
+    val es = edges(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    val run1 = Graph.pageRankFixed(es, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val run2 = Graph.pageRankFixed(es, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run1(1L) > run1(2L) * 3)
+    assert(run1 == run2) // bit-identical across runs — the oracle contract
+  }
+
+  test("modularity: two triangles with a bridge = 70/196 exactly") {
+    val es = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L, 4L -> 6L,
+      5L -> 6L, 3L -> 4L)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 2L)).toDF("id", "label")
+    val r = Graph.modularity(es, labels).collect().head
+    assert(r.getLong(0) == 70L)   // q_num = 2m·w − Σd² = 2·7·12 − 98
+    assert(r.getLong(1) == 196L)  // q_den = 4m² = 4·49
+    assert(math.abs(r.getDouble(2) - 5.0 / 14) < 1e-15)
+  }
+
+  test("jaccardSimilarity degree cap excludes hubs from pair generation") {
+    // 1 and 2 both point at {10, 11} (deg 2); 3 points at {10} (deg 1).
+    val es = edges(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 11L, 3L -> 10L)
+    val capped = Graph.jaccardSimilarity(es, 0.0, maxDegree = Some(1L))
+      .collect()
+    assert(capped.isEmpty) // only node 3 survives the cap → no pairs
+    val loose = Graph.jaccardSimilarity(es, 0.0, maxDegree = Some(2L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(loose((1L, 2L)) == 1.0) // cap above every degree = uncapped
+  }
+
   test("betweenness: path-graph center carries all pairs") {
     // 1 -> 2 -> 3, plus reverse; exact Brandes from all sources.
     val b = Graph.betweennessSampled(

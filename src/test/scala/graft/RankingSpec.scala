@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -8,7 +9,10 @@ import graft.operators.Ranking
 
 /** The two-pass global dense rank must be bit-identical to the
   * single-partition window AND keep every WindowExec partitioned (the
-  * whole point of the rewrite — SURVEY §7 risk 2). */
+  * whole point of the rewrite — SURVEY §7 risk 2). The naive-window
+  * references are computed with the [[graft.plans.GlobalRankRewrite]]
+  * kill-switch off — with the rule active they'd be rewritten too and the
+  * comparison would be circular. */
 class RankingSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
@@ -16,19 +20,33 @@ class RankingSpec extends AnyFunSuite {
   // 500 rows over 37 distinct values — dense ties across partitions.
   private def data = (1 to 500).map(i => (i.toLong, (i % 37) * 1.5)).toDF("id", "v")
 
+  /** Run `f` with the optimizer rewrite disabled (reference plans). */
+  private def withoutRewrite[T](f: => T): T = {
+    spark.conf.set("spark.graft.globalRankRewrite", "false")
+    try f finally spark.conf.set("spark.graft.globalRankRewrite", "true")
+  }
+
+  // an unpartitioned window renders windowspecdefinition(<sort> ASC/DESC
+  // …) — partitioned ones lead with the partition column(s) then a comma
+  private val unpartitioned = """windowspecdefinition\([^,]*(ASC|DESC)""".r
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+
   test("globalDenseRank (desc) matches dense_rank window exactly") {
-    val expected = data
-      .withColumn("r", dense_rank().over(Window.orderBy(col("v").desc)))
-      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val expected = withoutRewrite {
+      data.withColumn("r", dense_rank().over(Window.orderBy(col("v").desc)))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
     val got = Ranking.globalDenseRank(data, "v", "r", parts = 7)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(got == expected)
   }
 
   test("globalDenseRank (asc) matches dense_rank window exactly") {
-    val expected = data
-      .withColumn("r", dense_rank().over(Window.orderBy(col("v").asc)))
-      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val expected = withoutRewrite {
+      data.withColumn("r", dense_rank().over(Window.orderBy(col("v").asc)))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
     val got = Ranking.globalDenseRank(data, "v", "r", ascending = true, parts = 7)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(got == expected)
@@ -38,12 +56,41 @@ class RankingSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q05_rank_orders_by_price")(
       spark, "/root/testdata/sf0.001")
     assert(df.count() > 0)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.SimpleMode)
-    // an unpartitioned window renders windowspecdefinition(<sort> ASC/DESC
-    // …) — partitioned ones lead with the partition column(s) then a comma
-    val unpartitioned = """windowspecdefinition\([^,]*(ASC|DESC)""".r
-    assert(unpartitioned.findFirstIn(plan).isEmpty,
-      s"single-partition window found:\n$plan")
+    assert(unpartitioned.findFirstIn(planOf(df)).isEmpty,
+      s"single-partition window found:\n${planOf(df)}")
+  }
+
+  test("SQL-text DENSE_RANK over a raw table is rewritten, bit-identical") {
+    data.createOrReplaceTempView("rk_t")
+    val q = """SELECT id, v, DENSE_RANK() OVER (ORDER BY v DESC) AS r
+              |FROM rk_t ORDER BY r, id""".stripMargin
+    val df = spark.sql(q)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(2)))
+    val expected = withoutRewrite {
+      spark.sql(q).collect().map(r => (r.getLong(0), r.getInt(2)))
+    }
+    assert(got.sameElements(expected))
+    assert(unpartitioned.findFirstIn(planOf(df)).isEmpty,
+      s"SQL-text path kept the single-partition window:\n${planOf(df)}")
+  }
+
+  test("rewrite keeps NULL-ranked rows (null-safe join-back)") {
+    Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)), (4L, None))
+      .toDF("id", "v").createOrReplaceTempView("rk_null")
+    val q = """SELECT id, DENSE_RANK() OVER (ORDER BY v DESC) AS r
+              |FROM rk_null ORDER BY r, id""".stripMargin
+    val got = spark.sql(q).collect().map(r => (r.getLong(0), r.getInt(1)))
+    val expected = withoutRewrite {
+      spark.sql(q).collect().map(r => (r.getLong(0), r.getInt(1)))
+    }
+    assert(got.sameElements(expected))
+    assert(got.toSeq == Seq((1L, 1), (3L, 2), (2L, 3), (4L, 3)))
+  }
+
+  test("post-aggregate dense_rank is NOT rewritten (cardinality gate)") {
+    val agg = data.groupBy("v").agg(count(lit(1)).as("n"))
+      .withColumn("r", dense_rank().over(Window.orderBy(col("n").desc)))
+    assert(unpartitioned.findFirstIn(planOf(agg)).isDefined,
+      "gate failed: post-aggregate window was rewritten")
   }
 }
