@@ -196,12 +196,21 @@ object Graph {
     * accumulated reach), and the loop exits as soon as the frontier
     * empties. On dense graphs the closure saturates well before k — a
     * fixed k-1 iterations of full-size joins would re-expand the whole
-    * closure each hop and turn `*1..10` into 10× the work of `*1..3`. */
-  def kHopReach(edges: DataFrame, k: Int): DataFrame = {
+    * closure each hop and turn `*1..10` into 10× the work of `*1..3`.
+    *
+    * `maxPairs`: documented scale guard. Closure cardinality approaches
+    * |V|² on a dense graph at 100× data (the `REFERENCES*1..10` pattern's
+    * own semantics); with a cap set, expansion STOPS (loudly, never
+    * silently) before the hop that would exceed it, returning the
+    * shortest-distance-first truncation — every pair within the completed
+    * hop count. Default None = the reference's exact semantics. */
+  def kHopReach(edges: DataFrame, k: Int,
+      maxPairs: Option[Long] = None): DataFrame = {
     val base = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     var reach = base
     var frontier = base
+    var total = if (maxPairs.isDefined) base.count() else 0L
     var hop = 2
     var done = k < 2
     while (!done) {
@@ -215,10 +224,17 @@ object Graph {
           col("src") === col("r_src") && col("dst") === col("r_dst"),
           "left_anti")
         .localCheckpoint(true)
-      if (frontier.isEmpty) done = true
-      else {
+      val fCount = if (maxPairs.isDefined) frontier.count()
+        else if (frontier.isEmpty) 0L else -1L
+      if (fCount == 0L) done = true
+      else if (maxPairs.exists(cap => total + fCount > cap)) {
+        System.err.println(s"[graft] kHopReach: stopping at hop ${hop - 1} — " +
+          s"hop $hop would reach ${total + fCount} pairs > cap ${maxPairs.get}")
+        done = true
+      } else {
         // frontier is disjoint from reach by construction — plain union
         reach = reach.union(frontier).localCheckpoint(true)
+        total += (if (fCount > 0) fCount else 0)
         hop += 1
         if (hop > k) done = true
       }
@@ -331,6 +347,137 @@ object Graph {
     adj.unpersist()
     delta.filter(col("id") =!= col("source"))
       .groupBy("id").agg(sum("delta").as("betweenness"))
+  }
+
+  /** [[betweennessSampled]] in order-independent BIGINT fixed point — the
+    * oracle-checkable variant (same technique as [[pageRankFixed]]).
+    *
+    * Forward pass: σ path counts are exact BIGINTs. Backward pass: the
+    * dependency δ is accumulated as `delta_fp` scaled by `scale`, each
+    * per-edge term the truncating division
+    * `(σ_v * (scale + δ_w)) DIV σ_w` — deterministic and summable in any
+    * order. Truncation error ≤ levels/scale per path, irrelevant at 1e-9.
+    * Overflow bound: σ_max · (scale + δ_max) < 2^63; with scale=1e9 and
+    * δ_max ≤ |V|·scale that holds while σ_max·|V| < 9.2e9 — measured
+    * σ_max=72 on the sf0.01 REFERENCES graph, with ~10⁹ headroom.
+    *
+    * `maxDepth` bounds the BFS (and is the twin's unroll depth — extra
+    * levels past saturation are no-ops on both sides). */
+  def betweennessFixed(edges: DataFrame, sources: Seq[Long], maxDepth: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = edges.select(col("src"), col("dst")).distinct().cache()
+
+    var levels = sources.map(s => (s, s, 0, 1L))
+      .toDF("source", "id", "dist", "sigma").localCheckpoint(true)
+    var frontier = levels
+    var level = 0
+    var done = false
+    while (!done && level < maxDepth) {
+      val f = frontier.select(col("source").as("f_source"),
+        col("id").as("f_id"), col("sigma").as("f_sigma"))
+      val nxt = f.join(adj, col("f_id") === col("src"))
+        .select(col("f_source").as("source"), col("dst").as("id"),
+          col("f_sigma").as("sigma"))
+        .join(levels.select(col("source").as("s_seen"), col("id").as("seen")),
+          col("source") === col("s_seen") && col("id") === col("seen"),
+          "left_anti")
+        .groupBy("source", "id").agg(sum("sigma").as("sigma"))
+        .withColumn("dist", lit(level + 1))
+        .select("source", "id", "dist", "sigma")
+        .localCheckpoint(true)
+      if (nxt.isEmpty) done = true
+      else {
+        levels = levels.union(nxt).localCheckpoint(true)
+        frontier = nxt
+        level += 1
+      }
+    }
+    var delta = levels.select(col("source"), col("id"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    for (l <- maxDepth to 1 by -1) {
+      val w = levels.filter(col("dist") === l)
+        .select(col("source").as("w_source"), col("id").as("w_id"),
+          col("sigma").as("w_sigma"))
+        .join(delta.select(col("source").as("d_source"), col("id").as("d_id"),
+            col("delta").as("w_delta")),
+          col("w_source") === col("d_source") && col("w_id") === col("d_id"))
+        .select(col("w_source"), col("w_id"), col("w_sigma"), col("w_delta"))
+      val prev = levels.filter(col("dist") === l - 1)
+        .select(col("source").as("v_source"), col("id").as("v_id"),
+          col("sigma").as("v_sigma"))
+      val msgs = adj.join(w, col("dst") === col("w_id"))
+        .join(prev, col("src") === col("v_id") &&
+          col("v_source") === col("w_source"))
+        .select(col("v_source").as("source"), col("v_id").as("id"),
+          expr(s"(v_sigma * ($scale + w_delta)) DIV w_sigma").as("m"))
+        .groupBy("source", "id").agg(sum("m").as("madd"))
+      delta = delta
+        .join(msgs.select(col("source").as("m_source"), col("id").as("m_id"),
+            col("madd")),
+          col("source") === col("m_source") && col("id") === col("m_id"),
+          "left")
+        .select(col("source"), col("id"),
+          (col("delta") + coalesce(col("madd"), lit(0L))).as("delta"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist()
+    delta.filter(col("id") =!= col("source"))
+      .groupBy("id").agg(sum("delta").as("betweenness_fp"))
+      .withColumn("betweenness",
+        col("betweenness_fp").cast("double") / lit(scale.toDouble))
+  }
+
+  /** DuckDB twin of [[betweennessFixed]] over `edgesCte(src, dst)` (must
+    * be the distinct edge set): unrolled forward BFS levels `bl0..blK`,
+    * then the backward dependency sweep `bd$maxDepth → bd0`. Final CTE
+    * `bres(id, betweenness_fp)`. Levels past saturation are empty and
+    * no-op, mirroring the Spark loop's early exit. */
+  def betweennessCtesSql(edgesCte: String, sources: Seq[Long], maxDepth: Int,
+      scale: Long = 1000000000L): String = {
+    val srcRows = sources.map(s => s"($s)").mkString(", ")
+    val fwd = Seq(
+      s"""bl0 AS MATERIALIZED (SELECT s AS source, s AS id,
+         |  CAST(1 AS BIGINT) AS sigma FROM (VALUES $srcRows) t(s)),
+         |bseen0 AS MATERIALIZED (SELECT source, id FROM bl0)""".stripMargin) ++
+      (1 to maxDepth).map { d =>
+        s"""bl$d AS MATERIALIZED (
+           |  SELECT f.source, e.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |  FROM bl${d - 1} f JOIN $edgesCte e ON e.src = f.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM bseen${d - 1} s
+           |                    WHERE s.source = f.source AND s.id = e.dst)
+           |  GROUP BY f.source, e.dst),
+           |bseen$d AS MATERIALIZED (SELECT source, id FROM bseen${d - 1}
+           |  UNION ALL SELECT source, id FROM bl$d)""".stripMargin
+      }
+    val ball =
+      "ball AS MATERIALIZED (" +
+        (0 to maxDepth).map(d =>
+          s"SELECT source, id, $d AS dist, sigma FROM bl$d")
+          .mkString(" UNION ALL ") + ")"
+    val bwdInit =
+      s"bd$maxDepth AS MATERIALIZED (SELECT source, id, CAST(0 AS BIGINT) AS delta FROM ball)"
+    val bwd = (maxDepth to 1 by -1).map { l =>
+      s"""bmsg$l AS MATERIALIZED (
+         |  SELECT v.source, v.id,
+         |         CAST(SUM((v.sigma * ($scale + w.delta)) // w.sigma) AS BIGINT) AS madd
+         |  FROM $edgesCte e
+         |  JOIN (SELECT b.source, b.id, b.sigma, d.delta
+         |        FROM ball b JOIN bd$l d ON d.source = b.source AND d.id = b.id
+         |        WHERE b.dist = $l) w ON e.dst = w.id
+         |  JOIN (SELECT source, id, sigma FROM ball WHERE dist = ${l - 1}) v
+         |    ON e.src = v.id AND v.source = w.source
+         |  GROUP BY v.source, v.id),
+         |bd${l - 1} AS MATERIALIZED (
+         |  SELECT d.source, d.id, d.delta + COALESCE(m.madd, 0) AS delta
+         |  FROM bd$l d LEFT JOIN bmsg$l m
+         |    ON m.source = d.source AND m.id = d.id)""".stripMargin
+    }
+    val res =
+      """bres AS (SELECT id, CAST(SUM(delta) AS BIGINT) AS betweenness_fp
+        |  FROM bd0 WHERE id <> source GROUP BY id)""".stripMargin
+    (fwd ++ Seq(ball, bwdInit) ++ bwd ++ Seq(res)).mkString(",\n")
   }
 
   /** G5 — community detection via synchronous label propagation:

@@ -15,13 +15,13 @@ import graft.operators.Graph
   * an order — a deterministic citation stand-in).
   *
   * Deterministic set algebra (edge builds, Jaccard, k-hop, pattern scans)
-  * is oracle-checked, and so are the iterative algorithms PageRank /
-  * ArticleRank / LPA / modularity: they run in order-independent BIGINT
-  * fixed-point arithmetic ([[Graph.pageRankFixed]] — the
+  * is oracle-checked, and so is EVERY iterative algorithm — PageRank /
+  * ArticleRank / LPA / modularity / Brandes betweenness: each runs in
+  * order-independent BIGINT fixed-point arithmetic
+  * ([[Graph.pageRankFixed]], [[Graph.betweennessFixed]] — the
   * `sim_kmeans_centroids` technique), so an unrolled DuckDB CTE chain is
-  * bit-identical. Only betweenness (float dependency accumulation) stays
-  * rows-only, spec'd in GraphSpec. Scores are RETURNed with entity names,
-  * as the reference queries do (dags/graph_queries.cyp:13-16,43-45,55-58).
+  * bit-identical. Scores are RETURNed with entity names, as the reference
+  * queries do (dags/graph_queries.cyp:13-16,43-45,55-58).
   */
 object GraphQueries extends QueryModule {
 
@@ -148,14 +148,18 @@ object GraphQueries extends QueryModule {
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("component"))),
 
-    // G6 — sampled-source Brandes betweenness: the one rows-only graph
-    // query left (float dependency accumulation has no exact SQL twin);
-    // spec'd on a path graph in GraphSpec. Named output.
+    // G6 — sampled-source Brandes betweenness in BIGINT fixed point
+    // (σ counts exact, δ accumulated at 1e-9 grid with truncating
+    // division) → hash-checked against the unrolled BFS/dependency-sweep
+    // twin. maxDepth=8 bounds the unroll on both sides (the sf0.01 graph
+    // saturates at 5). Float [[Graph.betweennessSampled]] stays as the
+    // reference formulation, spec'd in GraphSpec.
     "g_betweenness_sample" -> ((s, dir) =>
-      named(Graph.betweennessSampled(refEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L)),
+      named(Graph.betweennessFixed(refEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L),
+            maxDepth = 8),
           Tables.part(s, dir), "p_partkey", "p_name")
-        .select(col("id"), col("name"), col("betweenness"))
-        .orderBy(col("betweenness").desc, col("id"))),
+        .select(col("id"), col("name"), col("betweenness_fp"), col("betweenness"))
+        .orderBy(col("betweenness_fp").desc, col("id"))),
 
     // G5 (second half) — label-propagation communities. Deterministic at
     // a fixed iteration count (synchronous votes, min-label ties), so the
@@ -361,6 +365,14 @@ object GraphQueries extends QueryModule {
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "g_betweenness_sample" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.betweennessCtesSql("e", Seq(0L, 1L, 2L, 3L, 4L), 8)}
+         |SELECT b.id, p.p_name AS name, b.betweenness_fp,
+         |       CAST(b.betweenness_fp AS DOUBLE) / 1000000000.0 AS betweenness
+         |FROM bres b JOIN part p ON p.p_partkey = b.id
+         |ORDER BY b.betweenness_fp DESC, b.id""".stripMargin,
 
     "g_pagerank_parts" ->
       s"""WITH $refEdgesSql,

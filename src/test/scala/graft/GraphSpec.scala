@@ -42,6 +42,18 @@ class GraphSpec extends AnyFunSuite {
     assert(r == Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L)))
   }
 
+  test("kHopReach maxPairs cap stops expansion loudly, keeps completed hops") {
+    // path 1→2→3→4: 1-hop = 3 pairs, 2-hop adds 2, 3-hop adds 1
+    val chain = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val capped = Graph.kHopReach(chain, 3, maxPairs = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hop 3 would reach 6 pairs > 5 → stops after hop 2
+    assert(capped == Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L)))
+    val uncapped = Graph.kHopReach(chain, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == capped + ((1L, 4L)))
+  }
+
   test("jaccardSimilarity: identical neighbor sets -> 1.0, excludes self") {
     // 1 and 2 both point at {10, 11}; 3 points at {10}.
     val j = Graph.jaccardSimilarity(
@@ -120,6 +132,15 @@ class GraphSpec extends AnyFunSuite {
     val loose = Graph.jaccardSimilarity(es, 0.0, maxDegree = Some(2L))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(loose((1L, 2L)) == 1.0) // cap above every degree = uncapped
+  }
+
+  test("betweennessFixed: path-graph center = 2.0 exactly, matches float") {
+    val es = edges(1L -> 2L, 2L -> 3L, 3L -> 2L, 2L -> 1L)
+    val b = Graph.betweennessFixed(es, Seq(1L, 2L, 3L), maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(b(2L) == ((2000000000L, 2.0))) // σ=1 everywhere → no truncation
+    assert(b.getOrElse(1L, (0L, 0.0))._1 == 0L)
+    assert(b.getOrElse(3L, (0L, 0.0))._1 == 0L)
   }
 
   test("betweenness: path-graph center carries all pairs") {
