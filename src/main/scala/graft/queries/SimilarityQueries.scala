@@ -8,8 +8,9 @@ import graft.operators.{Multimodal, Similarity}
 
 /** Embedding similarity search + multimodal column queries. Cosine values
   * are bit-identical to DuckDB (sequential double folds both sides), so
-  * even the scores hash-match. `mm_decode_stub` has no SQL twin (the
-  * decode stub isn't SQL-expressible) → rows-only check + unit tests.
+  * even the scores hash-match — including `mm_decode_stub`, whose
+  * rolling byte checksum the twin re-derives with a `list_reduce` fold
+  * over the payload bytes (ASCII corpus: `ord` per char == byte).
   */
 object SimilarityQueries extends QueryModule {
 
@@ -230,6 +231,21 @@ object SimilarityQueries extends QueryModule {
         |WHERE x.i < 8 + d.doc_id % 9 AND y.i < 6 + d.doc_id % 5
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |       octet_length(encode(text)) AS byte_len,
+        |       CASE WHEN length(text) = 0 THEN 0
+        |            ELSE list_reduce(
+        |              [CAST(ord(text[i:i]) AS BIGINT) FOR i IN range(1, length(text)+1)],
+        |              (a, b) -> (a * 31 + b) & 4294967295)
+        |       END AS checksum,
+        |       CAST(CASE CAST(doc_id % 3 AS INT)
+        |            WHEN 2 THEN n_chars
+        |            WHEN 1 THEN n_chars * 2
+        |            ELSE 1 END AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_media_table" ->
       """SELECT doc_id,
