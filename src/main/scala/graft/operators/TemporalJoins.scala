@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins a large-scale event/training-data pipeline needs and
+  * plain equi-join SQL can't express efficiently: as-of (nearest key at or
+  * before a time) and range (point-in-interval) joins.
+  *
+  * Both are built to ONE-shuffle plans:
+  *  - [[asofJoin]] unions both sides and carries the latest right-side
+  *    value forward inside a per-key window — the classic distributed
+  *    as-of (one shuffle on the key, no join explosion, no per-row probe).
+  *    A sort-merge inequality join would re-scan the right side per left
+  *    row; a naive approach broadcasts one side (unbounded).
+  *  - [[rangeJoinBinned]] converts the inequality predicate into an
+  *    equi-join on time bins: each interval is exploded onto the bins it
+  *    covers, each point keyed by its single bin, so the join shuffles on
+  *    bin instead of planning a cartesian/BNL join. Exactness is restored
+  *    by the residual containment filter; a point matches an interval in
+  *    exactly one bin (its own), so no dedup is needed.
+  *
+  * Scale notes: both shuffle on (key | bin) — hot keys / clustered
+  * intervals salt the usual way; bin width trades replication factor
+  * (interval span ÷ bin) against bin-partition size.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join: every `left` row picks the `right` row with the
+    * greatest `time` ≤ its own, per `key` (NULLs when none). `right` must
+    * be unique per (key, time) — pre-aggregate ties first, or the carried
+    * value is undefined. Returns all `left` columns plus `valueCols` from
+    * the matched right row.
+    *
+    * DuckDB twin: native `ASOF LEFT JOIN` (`ON l.key = r.key AND
+    * r.time <= l.time`) — used verbatim by the oracle entries. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      valueCols: Seq[String]): DataFrame = {
+    val rv = struct(valueCols.map(col): _*)
+    val rvType = right.select(rv.as("_rv")).schema.head.dataType
+    val lrow = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lrowType = left.select(lrow.as("_lrow")).schema.head.dataType
+    // tag orders right (0) before left (1) at equal timestamps, so a right
+    // row AT the left row's time is visible to it — the `<=` contract
+    val r = right.select(col(key).as("_k"), col(time).as("_t"),
+      rv.as("_rv"), lit(null).cast(lrowType).as("_lrow"), lit(0).as("_tag"))
+    val l = left.select(col(key).as("_k"), col(time).as("_t"),
+      lit(null).cast(rvType).as("_rv"), lrow.as("_lrow"), lit(1).as("_tag"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("_carried", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(left.columns.map(c => col(s"_lrow.$c").as(c)) ++
+        valueCols.map(c => col(s"_carried.$c").as(c)): _*)
+  }
+
+  /** Binned range join: pairs of (interval row, point row) where
+    * `w_start ≤ point.time < w_end`. `windows` must carry `w_start` /
+    * `w_end` timestamp columns; intervals are exploded onto
+    * `binSeconds`-wide bins, points keyed by their single bin, equi-join
+    * on bin, exact containment as a residual filter. Returns all columns
+    * of both inputs (names must be disjoint). */
+  def rangeJoinBinned(windows: DataFrame, points: DataFrame, timeCol: String,
+      binSeconds: Long): DataFrame = {
+    val wb = windows.withColumn("_bin", explode(sequence(
+      expr(s"unix_timestamp(w_start) DIV $binSeconds"),
+      expr(s"unix_timestamp(w_end) DIV $binSeconds"))))
+    val pb = points.withColumn("_bin",
+      expr(s"unix_timestamp($timeCol) DIV $binSeconds"))
+    wb.join(pb, Seq("_bin"))
+      .filter(col(timeCol) >= col("w_start") && col(timeCol) < col("w_end"))
+      .drop("_bin")
+  }
+}

@@ -101,10 +101,78 @@ object EventQueries extends QueryModule {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
         .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // As-of join: each click picks the same user's most recent purchase
+    // at or before it — ONE shuffle on user_id via the union +
+    // carry-forward window ([[graft.operators.TemporalJoins.asofJoin]]),
+    // no join explosion, no unbounded broadcast. Oracle = DuckDB's native
+    // ASOF LEFT JOIN. Purchases pre-aggregated per (user, ts) so the
+    // nearest row is unique; times emitted as epoch seconds.
+    "evt_asof_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          max(col("value")).as("p_value"))
+        .withColumn("p_ts", unix_timestamp(col("ts")))
+      graft.operators.TemporalJoins
+        .asofJoin(clicks, purchases, "user_id", "ts",
+          Seq("p_event_id", "p_ts", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          col("p_event_id"), col("p_ts"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join: 10-minute incident windows (one per error event)
+    // counted against clicks inside them — the inequality predicate
+    // binned into an equi-join on 600 s time bins
+    // ([[graft.operators.TemporalJoins.rangeJoinBinned]]); oracle is the
+    // plain inequality join.
+    "evt_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 600 SECONDS")).as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"))
+      val counts = graft.operators.TemporalJoins
+        .rangeJoinBinned(windows, clicks, "c_ts", 600L)
+        .groupBy(col("win_id")).agg(count(lit(1)).as("n_clicks"))
+      windows.join(counts, Seq("win_id"), "left")
+        .select(col("win_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("win_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_asof_purchase" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+        |                WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ts, MAX(event_id) AS p_event_id,
+        |                 CAST(floor(epoch(ts)) AS BIGINT) AS p_ts,
+        |                 MAX(value) AS p_value
+        |          FROM events WHERE event_type = 'purchase'
+        |          GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+        |       p.p_event_id, p.p_ts, p.p_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "evt_range_join" ->
+      """WITH w AS (SELECT event_id AS win_id, ts AS w_start,
+        |                  ts + INTERVAL 600 SECOND AS w_end
+        |           FROM events WHERE event_type = 'error'),
+        |c AS (SELECT ts FROM events WHERE event_type = 'click')
+        |SELECT w.win_id, COUNT(c.ts) AS n_clicks
+        |FROM w LEFT JOIN c ON c.ts >= w.w_start AND c.ts < w.w_end
+        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin,
+
     "st_window_counts" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |       event_type, COUNT(*) AS n_events,
