@@ -38,6 +38,22 @@ object TextPipelineQueries extends QueryModule {
         shingleN, minhashK, nearDupThreshold)
     }),
 
+    // Dedup RESOLUTION: near-dup pairs -> connected components -> one
+    // survivor per cluster (min doc_id, the keep-first policy of
+    // dd_exact_dedup). What a pipeline actually ships: the keep/drop
+    // decision, not just candidate pairs.
+    "dd_neardup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, dir), col("doc_id"),
+          col("text"), shingleN, minhashK, nearDupThreshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.Graph.connectedComponents(pairs, maxIters = 50)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"), sum(col("id")).as("sum_ids"))
+        .select(col("component").as("keep_id"), col("cluster_size"),
+          col("sum_ids"))
+        .orderBy(col("keep_id"))
+    }),
+
     // Exact all-pairs n-gram Jaccard over selective 12-gram shingles.
     "dd_ngram_jaccard" -> ((s, dir) => {
       Dedup.exactJaccardPairs(Tables.documents(s, dir), col("doc_id"),
@@ -100,8 +116,10 @@ object TextPipelineQueries extends QueryModule {
   /** Oracle twin of [[graft.operators.Dedup.nearDupPairs]]: wide MinHash
     * signatures → 2-row bands → candidates → signature-agreement prune
     * (≥ k/2 of k) → exact Jaccard ≥ threshold. Generated from the same
-    * k/shingleN/threshold constants as the Spark pipeline. */
-  private def minhashOracle: String = {
+    * k/shingleN/threshold constants as the Spark pipeline. Exposed as a
+    * CTE chain ending in `neardup(doc_a, doc_b, jaccard)` so the cluster
+    * oracle can build on the identical pair derivation. */
+  private def minhashPairsCtes: String = {
     val k = minhashK
     val mhCols = (0 until k)
       .map(i => s"MIN((xor(h, ${Dedup.saltXor(i)}) * ${Dedup.saltMul(i)}) & ${Dedup.hashMask}) AS mh$i")
@@ -112,7 +130,7 @@ object TextPipelineQueries extends QueryModule {
     val matchSum = (0 until k)
       .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH ${shCte(shingleN)},
+    s"""${shCte(shingleN)},
        |hashed AS (SELECT doc_id,
        |                  CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h
        |           FROM sh),
@@ -133,14 +151,35 @@ object TextPipelineQueries extends QueryModule {
        |          FROM pruned c
        |          JOIN sh a ON a.doc_id = c.doc_a
        |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-       |          GROUP BY c.doc_a, c.doc_b)
-       |SELECT i.doc_a, i.doc_b,
+       |          GROUP BY c.doc_a, c.doc_b),
+       |neardup AS (SELECT i.doc_a, i.doc_b,
        |       i.inter * 1.0 / (na.n + nb.n - i.inter) AS jaccard
        |FROM inter i JOIN n na ON na.doc_id = i.doc_a
        |             JOIN n nb ON nb.doc_id = i.doc_b
-       |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= $nearDupThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE i.inter * 1.0 / (na.n + nb.n - i.inter) >= $nearDupThreshold)""".stripMargin
   }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM neardup
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cluster resolution over the near-dup pair graph: connected
+    * components (min-label = keep-lowest-doc_id survivor policy, matching
+    * `dd_exact_dedup`), sized + membership-checksummed. */
+  private def clusterOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM neardup
+       |        UNION SELECT doc_b, doc_a FROM neardup),
+       |r(id, comp) AS (
+       |  SELECT src AS id, src AS comp FROM und
+       |  UNION
+       |  SELECT u.dst AS id, r.comp FROM r JOIN und u ON u.src = r.id
+       |  WHERE r.comp < u.dst),
+       |comps AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id)
+       |SELECT component AS keep_id, COUNT(*) AS cluster_size,
+       |       CAST(SUM(id) AS BIGINT) AS sum_ids
+       |FROM comps GROUP BY component ORDER BY keep_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_exact_dedup" ->
@@ -151,6 +190,8 @@ object TextPipelineQueries extends QueryModule {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dd_minhash_lsh_neardup" -> minhashOracle,
+
+    "dd_neardup_clusters" -> clusterOracle,
 
     "dd_ngram_jaccard" ->
       s"""WITH ${shCte(exactN)},
