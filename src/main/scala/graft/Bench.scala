@@ -26,6 +26,8 @@ object Bench {
     "o6_latest_event_per_user",
     "st_window_counts",
     "evt_sessionize",
+    "evt_asof_purchase",
+    "evt_range_join",
     "dd_exact_dedup",
     "dd_minhash_lsh_neardup",
     "txt_quality",
@@ -51,13 +53,14 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     materialize(headline.head)
     spark.catalog.clearCache()
-    // min of 2 runs per query: single-shot local timings swing ±30% from
-    // GC/JIT/page-cache noise; min-of-n is the standard stabilizer.
+    // min of 3 runs per query: single-shot local timings swing ±30% from
+    // GC/JIT/page-cache noise (and the round-3 bench showed the driver
+    // machine itself can be contended) — min-of-n is the stabilizer.
     // Each run tracks its own (time, error); a query is failed only when
     // EVERY run failed, and a crashed run's time-to-failure never competes
     // with a successful run's timing.
     val results = headline.filter(qs.contains).map { name =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val err =
           try { materialize(name); None }
