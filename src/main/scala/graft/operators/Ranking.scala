@@ -74,8 +74,42 @@ object Ranking {
     val valueRank = local.join(offsets, "_pid")
       .select(valueCols.map(c => col(c).as(s"_v_$c")) :+
         (col("_lr") + col("_off")).cast("int").as(rankName): _*)
+    joinBack(df, valueRank, valueCols, rankName)
+  }
+
+  /** Scale-safe global RANK() (gap semantics): rank = 1 + number of ROWS
+    * ordered strictly before. Same two-pass shape as
+    * [[globalDenseRankCols]], but pass 1 carries each distinct value's ROW
+    * COUNT: the within-partition prior is a running sum of counts, and the
+    * partition offset is the total row count of earlier partitions. */
+  def globalRankCols(df: DataFrame, valueCols: Seq[String], rankName: String,
+      ascending: Boolean = false, parts: Int = 32): DataFrame = {
+    def sortCols = valueCols.map(c => if (ascending) col(c).asc else col(c).desc)
+    val local = df.groupBy(valueCols.map(col): _*)
+      .agg(count(lit(1)).as("_vn"))
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_prior", coalesce(
+        sum(col("_vn")).over(Window.partitionBy(col("_pid"))
+          .orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(true) // pin ONE range partitioning (see above)
+    val counts = local.groupBy(col("_pid")).agg(sum(col("_vn")).as("_n"))
+    val offsets = counts.select(col("_pid"), col("_n"))
+      .join(counts.select(col("_pid").as("_q"), col("_n").as("_qn")),
+        col("_q") < col("_pid"), "left")
+      .groupBy(col("_pid"))
+      .agg(coalesce(sum(col("_qn")), lit(0L)).as("_off"))
+    val valueRank = local.join(offsets, "_pid")
+      .select(valueCols.map(c => col(c).as(s"_v_$c")) :+
+        (col("_prior") + col("_off") + lit(1L)).cast("int").as(rankName): _*)
+    joinBack(df, valueRank, valueCols, rankName)
+  }
+
+  /** Null-safe value→rank join-back preserving the input's column order. */
+  private def joinBack(df: DataFrame, valueRank: DataFrame,
+      valueCols: Seq[String], rankName: String): DataFrame =
     df.join(valueRank,
         valueCols.map(c => col(c) <=> col(s"_v_$c")).reduce(_ && _))
       .select((df.columns.map(col) :+ col(rankName)): _*)
-  }
 }

@@ -4,7 +4,8 @@ import scala.annotation.tailrec
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
-  AttributeReference, DenseRank, NullsFirst, NullsLast, WindowExpression}
+  AttributeReference, DenseRank, NullsFirst, NullsLast, Rank,
+  WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -27,10 +28,14 @@ import graft.operators.Ranking
   * scale-killer is ranking a full fact table. Kill-switch:
   * `spark.graft.globalRankRewrite=false`.
   *
-  * Restrictions (rule bails, plan left unchanged): single DenseRank window
-  * expression, order keys are plain attributes with uniform direction and
-  * default null ordering, and no column-name collisions with the rewrite's
-  * temporaries.
+  * Covers `DENSE_RANK()` (two-pass over distinct values) and `RANK()`
+  * (two-pass over value row counts — gap semantics). Restrictions (rule
+  * bails, plan left unchanged): a single rank window expression, order
+  * keys are plain attributes with uniform direction and default null
+  * ordering, and no column-name collisions with the rewrite's
+  * temporaries. `ROW_NUMBER()` is deliberately NOT rewritten: without a
+  * unique total order its assignment inside ties is arbitrary, so a plan
+  * change could legally permute results.
   */
 case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -53,6 +58,7 @@ case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if partSpec.isEmpty && orderSpec.nonEmpty && w.resolved &&
             (alias.child match {
               case WindowExpression(_: DenseRank, _) => true
+              case WindowExpression(_: Rank, _)      => true
               case _ => false
             }) &&
             orderSpec.forall(_.child.isInstanceOf[AttributeReference]) &&
@@ -66,8 +72,12 @@ case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val valueCols =
           orderSpec.map(_.child.asInstanceOf[AttributeReference].name)
         val ascending = orderSpec.head.direction == Ascending
-        val ranked = Ranking.globalDenseRankCols(
-          Shims.ofRows(spark, child), valueCols, alias.name, ascending)
+        val twoPass = alias.child match {
+          case WindowExpression(_: DenseRank, _) => Ranking.globalDenseRankCols _
+          case _                                 => Ranking.globalRankCols _
+        }
+        val ranked = twoPass(
+          Shims.ofRows(spark, child), valueCols, alias.name, ascending, 32)
         val rankedPlan = ranked.queryExecution.analyzed
         // Graft back under the original output attribute ids so every
         // parent operator (the outer ORDER BY, projections) still resolves.

@@ -87,6 +87,37 @@ class RankingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1), (3L, 2), (2L, 3), (4L, 3)))
   }
 
+  test("globalRankCols matches RANK() gap semantics exactly") {
+    val expected = withoutRewrite {
+      data.withColumn("r", rank().over(Window.orderBy(col("v").desc)))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    }
+    val got = Ranking.globalRankCols(data, Seq("v"), "r", parts = 7)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == expected)
+  }
+
+  test("SQL-text RANK() over a raw table is rewritten, bit-identical") {
+    data.createOrReplaceTempView("rk_t2")
+    val q = """SELECT id, v, RANK() OVER (ORDER BY v ASC) AS r
+              |FROM rk_t2 ORDER BY r, id""".stripMargin
+    val df = spark.sql(q)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(2)))
+    val expected = withoutRewrite {
+      spark.sql(q).collect().map(r => (r.getLong(0), r.getInt(2)))
+    }
+    assert(got.sameElements(expected))
+    assert(unpartitioned.findFirstIn(planOf(df)).isEmpty,
+      s"RANK SQL path kept the single-partition window:\n${planOf(df)}")
+  }
+
+  test("ROW_NUMBER is left alone (no safe rewrite without unique order)") {
+    data.createOrReplaceTempView("rk_t3")
+    val df = spark.sql(
+      "SELECT id, ROW_NUMBER() OVER (ORDER BY v DESC) AS r FROM rk_t3")
+    assert(unpartitioned.findFirstIn(planOf(df)).isDefined)
+  }
+
   test("post-aggregate dense_rank is NOT rewritten (cardinality gate)") {
     val agg = data.groupBy("v").agg(count(lit(1)).as("n"))
       .withColumn("r", dense_rank().over(Window.orderBy(col("n").desc)))
