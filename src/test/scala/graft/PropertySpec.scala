@@ -83,6 +83,75 @@ class PropertySpec extends AnyFunSuite {
     assert(d3.count() == 4)
   }
 
+  test("asofJoin equals the naive latest-at-or-before subquery (random)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val right = (0 until 120).map(_ => (rnd.nextInt(10).toLong,
+        ts(rnd.nextInt(100).toLong)))
+      .distinct.zipWithIndex
+      .map { case ((k, t), i) => (k, t, s"v$i") }
+      .toDF("user_id", "t", "v")
+    val left = (0 until 300).map(i =>
+        (i.toLong, rnd.nextInt(12).toLong, ts(rnd.nextInt(110).toLong)))
+      .toDF("event_id", "user_id", "t")
+    val got = operators.TemporalJoins
+      .asofJoin(left, right, "user_id", "t", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val naive = left.join(right
+          .select(col("user_id").as("rk"), col("t").as("rt"), col("v")),
+        col("user_id") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy(col("event_id"))
+      // when() nulls the struct for unmatched rows — max ignores nulls;
+      // a bare struct(null, null) would be a NON-null struct and win
+      .agg(max(when(col("rt").isNotNull, struct(col("rt"), col("v")))).as("m"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some(r.getStruct(1).getString(1)))
+      }.toMap
+    assert(got == naive)
+  }
+
+  test("rangeJoinBinned equals the naive inequality join (random bins)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // window spans 1..1500 s across 600 s bins: 1-, 2-, and 3-bin cases
+    val windows = (0 until 60).map { i =>
+      val start = rnd.nextInt(3000).toLong
+      (i.toLong, ts(start), ts(start + 1 + rnd.nextInt(1500)))
+    }.toDF("win_id", "w_start", "w_end")
+    val points = (0 until 400).map(i =>
+      (i.toLong, ts(rnd.nextInt(4000).toLong))).toDF("p_id", "p_t")
+    val got = operators.TemporalJoins
+      .rangeJoinBinned(windows, points, "p_t", 600L)
+      .select(col("win_id"), col("p_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = windows.join(points,
+        col("p_t") >= col("w_start") && col("p_t") < col("w_end"))
+      .select(col("win_id"), col("p_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.sameElements(naive.sorted)) // incl. multiplicity
+  }
+
+  test("two-pass global ranks equal their windows on random ties+nulls") {
+    import org.apache.spark.sql.expressions.Window
+    val data = (0 until 400).map(i => (i.toLong,
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(25) * 0.5)))
+      .toDF("id", "v")
+    spark.conf.set("spark.graft.globalRankRewrite", "false")
+    val (denseExp, rankExp) = try {
+      (data.withColumn("r", dense_rank().over(Window.orderBy(col("v").desc)))
+         .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap,
+       data.withColumn("r", rank().over(Window.orderBy(col("v").desc)))
+         .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap)
+    } finally spark.conf.set("spark.graft.globalRankRewrite", "true")
+    val denseGot = operators.Ranking.globalDenseRankCols(data, Seq("v"), "r")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rankGot = operators.Ranking.globalRankCols(data, Seq("v"), "r")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(denseGot == denseExp)
+    assert(rankGot == rankExp)
+  }
+
   test("parseDisplayName handles comma, multi-token, and single-token forms") {
     val parsed = Seq("Curie, Marie", "Marie Sklodowska Curie", "Plato", " Doe ,  Jane ")
       .toDF("n")
