@@ -167,6 +167,54 @@ object Similarity {
       nProbe: Int = 1): DataFrame =
     ivfTopKWith(emb, kMeansCentroids(emb, nCentroids, iters = 0), isQuery, k, nProbe)
 
+  /** Scalar int8 quantization — the third classic ANN scale path next to
+    * IVF bucketing and hyperplane LSH: per-vector symmetric codes
+    * `floor(x/s·127 + 0.5)` with `s = max|x|` (range ±127, 4× smaller
+    * than f32, integer dot products downstream). `floor(+0.5)` instead of
+    * ROUND because the engines' half-rules differ but their floors don't
+    * (the k-means lesson); all-zero vectors quantize to all-zero codes on
+    * both sides. Returns (vec_id, scale, codes array<long>, norm2 — the
+    * exact BIGINT Σcode²). */
+  def quantize(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    e.select(col("vec_id"),
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+          (a, x) => greatest(a, x)).as("scale"), col("v"))
+      .withColumn("codes",
+        when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") * lit(127.0) + lit(0.5)).cast("long"))))
+      .withColumn("norm2", aggregate(
+        zip_with(col("codes"), col("codes"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("vec_id"), col("scale"), col("codes"), col("norm2"))
+  }
+
+  /** Top-k per query over int8 codes: exact BIGINT dot products, cosine
+    * re-derived from the integer dot and the exact code norms (ONE double
+    * division of exact operands → oracle-hashable). Same no-hint contract
+    * as [[bruteForceTopK]]: AQE broadcasts the small side at runtime. */
+  def quantizedTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val qz = quantize(emb).filter(col("norm2") > 0)
+    val q = qz.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        col("norm2").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("vec_id"))
+    q.crossJoin(qz.select(col("vec_id"), col("codes"), col("norm2")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot_q", aggregate(
+        zip_with(col("qc"), col("codes"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("cos_q", col("dot_q").cast("double") /
+        sqrt((col("qn") * col("norm2")).cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("dot_q"), col("cos_q"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Hyperplane weight (j, i): same md5-derived value the SQL twin
     * computes, evaluated ONCE on the driver — an expression inside a
     * `transform` lambda would re-derive nBits×dim md5s per input row. */

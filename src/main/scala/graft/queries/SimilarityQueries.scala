@@ -32,6 +32,13 @@ object SimilarityQueries extends QueryModule {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir),
         col("vec_id") < nQueries, topK)),
 
+    // Int8 scalar quantization ANN — the memory-bound scale path (4×
+    // smaller vectors, integer dot products). Exact BIGINT arithmetic
+    // end to end, so even the re-derived cosines hash-match.
+    "sim_quantized_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(Tables.embeddings(s, dir),
+        col("vec_id") < nQueries, topK)),
+
     // Deterministic Lloyd's k-means: the trained IVF index itself,
     // exposed per-dimension so the exact integer-accumulated means
     // hash-check against the DuckDB twin.
@@ -111,7 +118,43 @@ object SimilarityQueries extends QueryModule {
   private def cosExpr(a: String, b: String): String =
     s"list_dot_product($a.v, $b.v) / sqrt(list_dot_product($a.v, $a.v) * list_dot_product($b.v, $b.v))"
 
+  /** Twin of [[Similarity.quantize]]: same `floor(x/s·127 + 0.5)` grid,
+    * BIGINT code sums via an index fold over the fixed dim. */
+  private def quantizeCtes: String =
+    s"""qs AS (SELECT vec_id, v,
+       |         list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+       |qz0 AS (SELECT vec_id, s,
+       |         CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |              ELSE list_transform(v,
+       |                x -> CAST(floor(x / s * 127 + 0.5) AS BIGINT)) END AS codes
+       |        FROM qs),
+       |qz AS (SELECT vec_id, s, codes,
+       |         CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |           i -> codes[CAST(i AS INT)] * codes[CAST(i AS INT)])) AS BIGINT) AS norm2
+       |       FROM qz0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_quantized_topk" ->
+      s"""WITH $eCte,
+         |$quantizeCtes,
+         |qq AS (SELECT vec_id AS query_id, codes AS qc, norm2 AS qn
+         |       FROM qz WHERE vec_id < $nQueries AND norm2 > 0),
+         |scored AS (SELECT q.query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> q.qc[CAST(i AS INT)] * c.codes[CAST(i AS INT)])) AS BIGINT) AS dot_q,
+         |    q.qn, c.norm2
+         |  FROM qq q CROSS JOIN (SELECT vec_id, codes, norm2 FROM qz WHERE norm2 > 0) c
+         |  WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, vec_id, dot_q,
+         |    CAST(dot_q AS DOUBLE) / sqrt(CAST(qn * norm2 AS DOUBLE)) AS cos_q,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot_q AS DOUBLE) / sqrt(CAST(qn * norm2 AS DOUBLE)) DESC,
+         |               vec_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, dot_q, cos_q
+         |FROM ranked WHERE rnk <= $topK
+         |ORDER BY query_id, rnk""".stripMargin,
+
     "sim_bruteforce_topk" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $nQueries),

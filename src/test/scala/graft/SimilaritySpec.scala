@@ -12,6 +12,28 @@ class SimilaritySpec extends AnyFunSuite {
   private def embDf(vs: Seq[(Long, Seq[Float])]) =
     vs.toDF("vec_id", "embedding")
 
+  test("quantize: hand-computed int8 codes, exact norm, zero-vector safe") {
+    val e = embDf(Seq(0L -> Seq(1f, 0.5f, -1f), 1L -> Seq(0f, 0f, 0f)))
+    val q = Similarity.quantize(e).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Long](2), r.getLong(3)))).toMap
+    // s = 1; codes = floor(x*127 + 0.5): 127, 64 (63.5+0.5), -127
+    assert(q(0L) == ((1.0, Seq(127L, 64L, -127L), 127L * 127 + 64L * 64 + 127L * 127)))
+    assert(q(1L) == ((0.0, Seq(0L, 0L, 0L), 0L)))
+  }
+
+  test("quantizedTopK ranks like the exact cosine on well-separated vectors") {
+    val e = embDf(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f), 3L -> Seq(-1f, 0f)))
+    val top = Similarity.quantizedTopK(e, col("vec_id") === 0, 2).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    // quantization error bound: |cos_q - cos| <= ~2*sqrt(d)/127 for unit-ish
+    // vectors; on this fixture the top-1 score stays within 0.02
+    val cosQ = top.head.getDouble(4)
+    val exact = Similarity.bruteForceTopK(e, col("vec_id") === 0, 1)
+      .collect().head.getDouble(3)
+    assert(math.abs(cosQ - exact) < 0.02, s"cos_q=$cosQ exact=$exact")
+  }
+
   test("bruteForceTopK finds the exact nearest neighbor on a known set") {
     // 2-d vectors: 0 and 1 nearly parallel; 2 orthogonal.
     val e = embDf(Seq(
