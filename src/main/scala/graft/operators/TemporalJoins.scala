@@ -42,9 +42,14 @@ object TemporalJoins {
     val lrow = struct(left.columns.map(col).toIndexedSeq: _*)
     val lrowType = left.select(lrow.as("_lrow")).schema.head.dataType
     // tag orders right (0) before left (1) at equal timestamps, so a right
-    // row AT the left row's time is visible to it — the `<=` contract
-    val r = right.select(col(key).as("_k"), col(time).as("_t"),
-      rv.as("_rv"), lit(null).cast(lrowType).as("_lrow"), lit(0).as("_tag"))
+    // row AT the left row's time is visible to it — the `<=` contract.
+    // NULL-key/time right rows are dropped up front: SQL join equality
+    // never matches NULL, but partitionBy groups NULLs together and would
+    // otherwise carry such a row onto NULL-key left rows.
+    val r = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(col(key).as("_k"), col(time).as("_t"),
+        rv.as("_rv"), lit(null).cast(lrowType).as("_lrow"), lit(0).as("_tag"))
     val l = left.select(col(key).as("_k"), col(time).as("_t"),
       lit(null).cast(rvType).as("_rv"), lrow.as("_lrow"), lit(1).as("_tag"))
     val w = Window.partitionBy(col("_k"))

@@ -29,6 +29,16 @@ class TemporalJoinsSpec extends AnyFunSuite {
       3L -> None))      // right row at t=60 is after t=50
   }
 
+  test("asofJoin: NULL-key right rows never match (SQL join semantics)") {
+    val left = Seq((1L, Option.empty[java.lang.Long], ts(100)))
+      .toDF("event_id", "user_id", "t")
+    val right = Seq((Option.empty[java.lang.Long], ts(50), "ghost"))
+      .toDF("user_id", "t", "v")
+    val got = TemporalJoins.asofJoin(left, right, "user_id", "t", Seq("v"))
+      .collect()
+    assert(got.length == 1 && got.head.isNullAt(3))
+  }
+
   test("asofJoin keeps every left column") {
     val left = Seq((1L, 10L, ts(100), "x")).toDF("event_id", "user_id", "t", "extra")
     val right = Seq((10L, ts(90), 5.0)).toDF("user_id", "t", "v")
