@@ -66,6 +66,39 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exact]]: drop rows whose content hash was
+    * already seen, with dedup state BOUNDED by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`) instead of growing forever — the
+    * property that makes streaming dedup viable on an unbounded 100 TB
+    * feed. Duplicates arriving within the horizon are suppressed;
+    * exact-once output per content hash inside any watermark window. */
+  def dedupByContent(events: DataFrame, contentCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("content_hash", md5(col(contentCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Run [[dedupByContent]] over a directory of event parquet files with
+    * AvailableNow into a parquet sink; returns the deduped rows. */
+  def runDedupAvailableNow(spark: SparkSession, srcDir: String,
+      checkpointDir: String, outDir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = dedupByContent(stream, "props").writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Dead-letter split (T6): valid rows to `outDir/clean`, rows failing
     * `isValid` appended to `outDir/failures` — per batch, inside
     * foreachBatch, both writes idempotent per batch id. */

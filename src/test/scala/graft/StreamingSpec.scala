@@ -90,6 +90,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall(r => r.getString(1) == s"payload-of-${r.getString(0)}"))
   }
 
+  test("streaming dedup drops within-watermark duplicate content") {
+    val src = tmp("ev-dd-src")
+    writeEvents(src, 1, Seq(
+      (0L, "2024-01-01 00:10:00", 1L, "view", 1.0, "A"),
+      (1L, "2024-01-01 00:11:00", 2L, "view", 1.0, "B"),
+      (2L, "2024-01-01 00:12:00", 3L, "view", 1.0, "A"))) // in-batch dup
+    writeEvents(src, 2, Seq(
+      (3L, "2024-01-01 00:20:00", 4L, "view", 1.0, "B"),  // cross-batch dup
+      (4L, "2024-01-01 00:21:00", 5L, "view", 1.0, "C")))
+    val out = EventStream.runDedupAvailableNow(
+      spark, src, tmp("ev-dd-ck"), tmp("ev-dd-out"))
+    val kept = out.select(col("props")).collect().map(_.getString(0)).sorted
+    assert(kept.toSeq == Seq("A", "B", "C"))
+  }
+
   test("dead-letter split: invalid rows land in failures") {
     val src = tmp("ev-src3")
     val out = tmp("ev-out")
