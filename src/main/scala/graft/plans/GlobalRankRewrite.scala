@@ -28,6 +28,14 @@ import graft.operators.Ranking
   * scale-killer is ranking a full fact table. Kill-switch:
   * `spark.graft.globalRankRewrite=false`.
   *
+  * Execution note: the replacement plan embeds `Ranking`'s pinned
+  * `localCheckpoint` of the distinct-value set, which runs THAT sub-job at
+  * optimization time. This is the deliberate trade from the ADVICE review:
+  * the checkpoint is what guarantees both consumers of the range
+  * partitioning see identical boundaries (exchange reuse is an
+  * implementation detail, not a contract); the checkpointed frame is the
+  * distinct value set — small by construction.
+  *
   * Covers `DENSE_RANK()` (two-pass over distinct values) and `RANK()`
   * (two-pass over value row counts — gap semantics). Restrictions (rule
   * bails, plan left unchanged): a single rank window expression, order
