@@ -215,6 +215,30 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Two-stage retrieval — the standard production ANN shape: a cheap
+    * quantized recall pass over the full corpus shortlists `shortlist`
+    * candidates per query, then ONLY those pairs pay the exact f64
+    * cosine. At 100 TB the corpus is touched once with int8 arithmetic
+    * and the expensive math runs on |Q|·shortlist rows. */
+  def quantizedRerankTopK(emb: DataFrame, isQuery: Column, k: Int,
+      shortlist: Int): DataFrame = {
+    val coarse = quantizedTopK(emb, isQuery, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    coarse
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
+        "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Hyperplane weight (j, i): same md5-derived value the SQL twin
     * computes, evaluated ONCE on the driver — an expression inside a
     * `transform` lambda would re-derive nBits×dim md5s per input row. */

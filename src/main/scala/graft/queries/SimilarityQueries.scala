@@ -39,6 +39,12 @@ object SimilarityQueries extends QueryModule {
       Similarity.quantizedTopK(Tables.embeddings(s, dir),
         col("vec_id") < nQueries, topK)),
 
+    // Two-stage retrieval: quantized recall shortlist -> exact f64
+    // rerank of only the shortlisted pairs.
+    "sim_quantized_rerank" -> ((s, dir) =>
+      Similarity.quantizedRerankTopK(Tables.embeddings(s, dir),
+        col("vec_id") < nQueries, topK, shortlist = 4 * topK)),
+
     // Deterministic Lloyd's k-means: the trained IVF index itself,
     // exposed per-dimension so the exact integer-accumulated means
     // hash-check against the DuckDB twin.
@@ -154,6 +160,33 @@ object SimilarityQueries extends QueryModule {
          |SELECT query_id, vec_id AS neighbor_id, rnk, dot_q, cos_q
          |FROM ranked WHERE rnk <= $topK
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_quantized_rerank" ->
+      s"""WITH $eCte,
+         |$quantizeCtes,
+         |qq AS (SELECT vec_id AS query_id, codes AS qc, norm2 AS qn
+         |       FROM qz WHERE vec_id < $nQueries AND norm2 > 0),
+         |scored AS (SELECT q.query_id, c.vec_id,
+         |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> q.qc[CAST(i AS INT)] * c.codes[CAST(i AS INT)])) AS BIGINT) AS dot_q,
+         |    q.qn, c.norm2
+         |  FROM qq q CROSS JOIN (SELECT vec_id, codes, norm2 FROM qz WHERE norm2 > 0) c
+         |  WHERE c.vec_id <> q.query_id),
+         |coarse AS (SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot_q AS DOUBLE) / sqrt(CAST(qn * norm2 AS DOUBLE)) DESC,
+         |                 vec_id) AS rnk
+         |    FROM scored) WHERE rnk <= ${4 * topK}),
+         |rer AS (SELECT co.query_id, co.neighbor_id,
+         |    list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos
+         |  FROM coarse co JOIN e a ON a.vec_id = co.query_id
+         |                 JOIN e b ON b.vec_id = co.neighbor_id)
+         |SELECT query_id, neighbor_id, rnk, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rnk FROM rer)
+         |WHERE rnk <= $topK ORDER BY query_id, rnk""".stripMargin,
 
     "sim_bruteforce_topk" ->
       s"""WITH $eCte,

@@ -41,6 +41,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("asofJoin plans exactly one key shuffle (the carry-forward window)") {
+    val p = SparkEntry.queries("evt_asof_purchase")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val keyExchanges = "hashpartitioning\\(_k".r.findAllIn(p).length
+    assert(keyExchanges == 1, s"expected ONE _k exchange, got $keyExchanges:\n$p")
+  }
+
   test("no accidental cartesian products in shuffle-heavy pipelines") {
     for (name <- Seq("dd_exact_dedup", "dd_minhash_lsh_neardup",
         "q01_rank_customers_by_order_count", "q05_rank_orders_by_price",
