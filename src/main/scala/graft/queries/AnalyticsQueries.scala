@@ -10,7 +10,7 @@ import graft.Tables
   * lead/lag/ntile/percent_rank/cume_dist/first/last in one pass, exact
   * distributional stats (mean/stddev from integer power sums — bit-exact
   * across engines, unlike streaming variance), ROLLUP hierarchies, and an
-  * approximate-distinct sketch (rows-only: HLL implementations differ by
+  * approximate-distinct sketch (accuracy-bound oracle: HLL estimates differ by
   * engine; the spec bounds its error against the exact count).
   */
 object AnalyticsQueries extends QueryModule {
@@ -72,7 +72,7 @@ object AnalyticsQueries extends QueryModule {
         .orderBy(col("lang"))
     }),
 
-    // HLL sketch (approx distinct users per event type) — rows-only:
+    // HLL sketch (approx distinct users per event type) — bound-checked:
     // engines implement different sketches; AnalyticsSpec bounds the
     // error against the exact count instead.
     // The HLL estimate itself differs by engine, so the DRIVER-CHECKABLE

@@ -101,7 +101,7 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // Multimodal decode stub end-to-end (rows-only; see MultimodalSpec).
+    // Multimodal decode stub end-to-end (checksum oracle; MultimodalSpec).
     "mm_decode_stub" -> ((s, dir) =>
       Multimodal.mediaFeatures(s, Tables.documents(s, dir))
         .select(col("doc_id"), col("media_type"), col("byte_len"),
