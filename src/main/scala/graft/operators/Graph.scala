@@ -151,8 +151,10 @@ object Graph {
     * deg² candidate pairs; capping excludes sources with deg > maxDegree
     * from pair generation (their true degrees still count in the union
     * denominator of surviving pairs — removal of a hub never changes the
-    * similarity of the pairs that remain). The cut is logged, not silent,
-    * as standard node-similarity implementations do (GDS `degreeCutoff`). */
+    * similarity of the pairs that remain). Construction is fully lazy —
+    * no counting job at call time; callers that want the GDS
+    * `degreeCutoff`-style cut report inspect [[jaccardExcludedHubs]]
+    * after (or instead of) materializing the result. */
   def jaccardSimilarity(edges: DataFrame, threshold: Double,
       maxDegree: Option[Long] = None): DataFrame = {
     // null endpoints dropped up front: a groupBy- or join-based pair
@@ -164,10 +166,6 @@ object Graph {
       case None => (adj0, degAll)
       case Some(cap) =>
         val kept = degAll.filter(col("deg") <= cap)
-        val excluded = degAll.filter(col("deg") > cap).count()
-        if (excluded > 0)
-          System.err.println(
-            s"[graft] jaccardSimilarity: excluding $excluded hub node(s) with degree > $cap")
         (adj0.join(kept.select(col("src")), Seq("src"), "left_semi"), kept)
     }
     // pair generation stays a streamed self-join: a per-dst
@@ -187,6 +185,16 @@ object Graph {
           (col("da.deg") + col("db.deg") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** The hub nodes a `maxDegree`-capped [[jaccardSimilarity]] excludes
+    * from pair generation — (src, deg) with deg > cap. Companion to the
+    * capped call so the cut is observable without an eager job inside the
+    * operator itself. */
+  def jaccardExcludedHubs(edges: DataFrame, maxDegree: Long): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDegree)
 
   /** G8 — bounded k-hop reachability (the `REFERENCES*1..k` pattern):
     * distinct (src, dst) pairs reachable in 1..k hops.
@@ -522,27 +530,37 @@ object Graph {
     * w = directed-pair count inside communities (= 2·Σe_c) — all BIGINT,
     * so both engines agree bit-for-bit; the reported double is ONE IEEE
     * division of exact operands. Exact while 2m < 3e9 (q_den < 2^63);
-    * beyond that, switch the two final scalars to DECIMAL(38,0) — the
-    * plan shape (3 one-row aggregates cross-joined) is scale-free. */
+    * beyond that, switch the two final scalars to DECIMAL(38,0).
+    *
+    * SINGLE pass over the undirected edge set: one label-join tree feeds a
+    * per-source aggregate from which m (= Σdeg/2), w and Σd_c² all roll up
+    * — no cache to manage, nothing computed three times (the round-4
+    * formulation cross-joined three aggregates over a cached `und` that
+    * was unpersisted before it ever materialized). Unlabeled endpoints
+    * (left joins) count toward m/deg but never toward w or Σd_c² —
+    * matching [[modularityCtesSql]], whose m scans all of qund while qw/qdc
+    * inner-join the labels. */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().filter(col("src") =!= col("dst")).cache()
+      .distinct().filter(col("src") =!= col("dst"))
     val lab = labels.select(col("id"), col("label"))
     val lsrc = lab.select(col("id").as("src"), col("label").as("lsrc"))
     val ldst = lab.select(col("id").as("dst"), col("label").as("ldst"))
-    // w: directed pairs whose endpoints share a community (2·e_c summed)
-    val wDf = und.join(lsrc, "src").join(ldst, "dst")
-      .filter(col("lsrc") === col("ldst"))
-      .agg(count(lit(1)).as("w"))
-    // Σ_c d_c² with d from the simple undirected graph
-    val sdc2 = und.groupBy("src").agg(count(lit(1)).as("deg"))
-      .join(lsrc.withColumnRenamed("lsrc", "label"), "src")
-      .groupBy("label").agg(sum("deg").as("dc"))
-      .agg(sum(col("dc") * col("dc")).as("sdc2"))
-    val mDf = und.agg(expr("COUNT(1) DIV 2").as("m"))
-    und.unpersist(blocking = false)
-    mDf.crossJoin(wDf).crossJoin(sdc2)
+    val perSrc = und.join(lsrc, Seq("src"), "left").join(ldst, Seq("dst"), "left")
+      .groupBy(col("src"), col("lsrc"))
+      .agg(count(lit(1)).as("deg"),
+        // directed pairs whose endpoints share a community (2·e_c summed);
+        // NULL === NULL is NULL → otherwise(0), so unlabeled never match
+        sum(when(col("lsrc") === col("ldst"), 1L).otherwise(0L)).as("w_src"))
+    val perLabel = perSrc.groupBy(col("lsrc"))
+      .agg(sum(col("deg")).as("dc"), sum(col("w_src")).as("wl"))
+    perLabel
+      .agg(
+        (coalesce(sum(col("dc")), lit(0L)) / 2L).cast("long").as("m"),
+        coalesce(sum(col("wl")), lit(0L)).as("w"),
+        coalesce(sum(when(col("lsrc").isNotNull, col("dc") * col("dc"))),
+          lit(0L)).as("sdc2"))
       .select(
         (lit(2L) * col("m") * col("w") - col("sdc2")).as("q_num"),
         (lit(4L) * col("m") * col("m")).as("q_den"))

@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Every temporary column name the two-pass rewrite introduces (plus the
+    * `_v_` prefix for renamed value columns). [[graft.plans.GlobalRankRewrite]]
+    * gates on this set so a user column can never collide with a rewrite
+    * temporary — keep it in sync with the `withColumn`/`as` calls below. */
+  private[graft] val tempNames: Set[String] =
+    Set("_pid", "_lr", "_n", "_q", "_qn", "_off", "_vn", "_prior")
+
   /** Global dense rank of `df` by `valueCol` (descending by default),
     * appended as `rankName`. `valueCol` must be non-null. */
   def globalDenseRank(df: DataFrame, valueCol: String, rankName: String,
@@ -46,19 +53,26 @@ object Ranking {
     // BEFORE the window's exchange; AQE may coalesce range partitions but
     // coalesced partitions stay contiguous ranges, so "all values in a
     // lower _pid sort strictly earlier" still holds.
-    // localCheckpoint pins ONE set of range-partition boundaries: both
-    // consumers below (counts and valueRank) must see identical partitioning,
-    // and without pinning that only holds while exchange reuse dedupes the
-    // two identical exchanges. RangePartitioner samples nondeterministically
-    // ordered shuffle output, so a re-executed exchange could split values
-    // differently and corrupt ranks (and the surrogate keys minted from
-    // them). The checkpointed frame is the distinct value set — small.
+    // persist() pins ONE set of range-partition boundaries: both consumers
+    // below (counts and valueRank) must see identical partitioning.
+    // RangePartitioner samples nondeterministically ordered shuffle output,
+    // so two independently executed exchanges could split values differently
+    // and corrupt ranks (and the surrogate keys minted from them). The
+    // cache substitution gives both consumers the SAME InMemoryRelation —
+    // one physical exchange instance, one sampling pass — and, unlike an
+    // eager localCheckpoint, runs NOTHING at construction time (so the
+    // optimizer-rule path plans without launching jobs) and recomputes
+    // evicted blocks deterministically (the RangePartitioner lives in the
+    // one ShuffleDependency). The persisted frame is the distinct value
+    // set — small. Belt-and-suspenders: if the cache entry is dropped
+    // before planning, default-on exchange/stage reuse still dedupes the
+    // two canonically identical exchanges.
     val local = df.select(valueCols.map(col): _*).distinct()
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lr",
         row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
-      .localCheckpoint(true)
+      .persist()
     // Pass 2: rank offset per partition = distinct values in earlier
     // partitions. Triangular join over `parts` single-row groups — O(parts²)
     // tiny rows, fully parallel, no global window.
@@ -93,7 +107,7 @@ object Ranking {
         sum(col("_vn")).over(Window.partitionBy(col("_pid"))
           .orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .localCheckpoint(true) // pin ONE range partitioning (see above)
+      .persist() // pin ONE range partitioning, lazily (see above)
     val counts = local.groupBy(col("_pid")).agg(sum(col("_vn")).as("_n"))
     val offsets = counts.select(col("_pid"), col("_n"))
       .join(counts.select(col("_pid").as("_q"), col("_n").as("_qn")),

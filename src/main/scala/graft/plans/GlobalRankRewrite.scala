@@ -28,13 +28,14 @@ import graft.operators.Ranking
   * scale-killer is ranking a full fact table. Kill-switch:
   * `spark.graft.globalRankRewrite=false`.
   *
-  * Execution note: the replacement plan embeds `Ranking`'s pinned
-  * `localCheckpoint` of the distinct-value set, which runs THAT sub-job at
-  * optimization time. This is the deliberate trade from the ADVICE review:
-  * the checkpoint is what guarantees both consumers of the range
-  * partitioning see identical boundaries (exchange reuse is an
-  * implementation detail, not a contract); the checkpointed frame is the
-  * distinct value set — small by construction.
+  * Execution note: the rule launches NO Spark jobs at plan time.
+  * `Ranking`'s pinning of the distinct-value frame is a lazy `persist()`,
+  * and the rule splices the sub-frame's `withCachedData` plan so both
+  * consumers of the range partitioning share the one `InMemoryRelation`
+  * (one exchange instance, one boundary-sampling pass — identical
+  * boundaries guaranteed without running anything during `explain()` or
+  * re-planning). The persisted frame is the distinct value set — small by
+  * construction.
   *
   * Covers `DENSE_RANK()` (two-pass over distinct values) and `RANK()`
   * (two-pass over value row counts — gap semantics). Restrictions (rule
@@ -47,7 +48,10 @@ import graft.operators.Ranking
   */
 case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private val tempNames = Set("_pid", "_lr", "_n", "_q", "_qn", "_off")
+  // Single source of truth lives next to the columns it guards — a new
+  // temporary added in Ranking (e.g. round 4's _vn/_prior) can't silently
+  // miss this gate again.
+  private val tempNames = Ranking.tempNames
 
   /** Descend through no-op wrappers to see whether the ranked input is an
     * aggregation (bounded cardinality → leave the window alone). */
@@ -86,7 +90,13 @@ case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         val ranked = twoPass(
           Shims.ofRows(spark, child), valueCols, alias.name, ascending, 32)
-        val rankedPlan = ranked.queryExecution.analyzed
+        // withCachedData, not analyzed: the outer query's own cache
+        // substitution already ran (it precedes optimization), so splicing
+        // the raw analyzed plan would leave Ranking's persisted
+        // distinct-value frame unsubstituted — each consumer would re-plan
+        // its own exchange and the boundary-pinning contract (Ranking
+        // scaladoc) would silently rest on exchange reuse alone.
+        val rankedPlan = ranked.queryExecution.withCachedData
         // Graft back under the original output attribute ids so every
         // parent operator (the outer ORDER BY, projections) still resolves.
         Project(

@@ -134,6 +134,29 @@ class GraphSpec extends AnyFunSuite {
     assert(loose((1L, 2L)) == 1.0) // cap above every degree = uncapped
   }
 
+  test("capped jaccard construction is lazy; excluded hubs observable") {
+    val es = edges(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 11L, 3L -> 10L)
+    val n = TestSpark.jobsDuring {
+      Graph.jaccardSimilarity(es, 0.0, maxDegree = Some(1L))
+        .queryExecution.executedPlan
+    }
+    assert(n == 0, s"capped jaccard construction launched $n job(s)")
+    val hubs = Graph.jaccardExcludedHubs(es, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hubs == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  test("modularity: unlabeled nodes count in m but not in w or Σd²") {
+    // triangle {1,2,3} labeled, bridge to unlabeled 4: m=4 (all edges),
+    // w counts only intra-label directed pairs (6), Σd² over labeled only
+    // (2+2+3)² = 49 → q_num = 2·4·6 − 49 = −1, q_den = 64
+    val es = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+    val r = Graph.modularity(es, labels).collect().head
+    assert(r.getLong(0) == -1L)
+    assert(r.getLong(1) == 64L)
+  }
+
   test("betweennessFixed: path-graph center = 2.0 exactly, matches float") {
     val es = edges(1L -> 2L, 2L -> 3L, 3L -> 2L, 2L -> 1L)
     val b = Graph.betweennessFixed(es, Seq(1L, 2L, 3L), maxDepth = 5)

@@ -118,6 +118,52 @@ class RankingSpec extends AnyFunSuite {
     assert(unpartitioned.findFirstIn(planOf(df)).isDefined)
   }
 
+  import TestSpark.jobsDuring
+
+  test("columns named like rewrite temporaries are gated, results correct") {
+    // _vn and _prior are RANK()'s pass-1 temporaries (Ranking.scala) — a
+    // child carrying them must NOT be rewritten (ambiguous resolution /
+    // silently wrong aggregation otherwise). Round-4 regression: the gate
+    // listed only the dense-rank temporaries.
+    val poisoned = (1 to 100).map(i => (i.toLong, (i % 11) * 2.0, i * 10L, s"p$i"))
+      .toDF("id", "v", "_vn", "_prior")
+    poisoned.createOrReplaceTempView("rk_poison")
+    for (fn <- Seq("RANK", "DENSE_RANK")) {
+      val q = s"""SELECT id, _vn, _prior, $fn() OVER (ORDER BY v DESC) AS r
+                 |FROM rk_poison ORDER BY r, id""".stripMargin
+      val df = spark.sql(q)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      val expected = withoutRewrite {
+        spark.sql(q).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      }
+      assert(got.sameElements(expected), s"$fn over poisoned columns diverged")
+      assert(unpartitioned.findFirstIn(planOf(df)).isDefined,
+        s"$fn: temp-name gate failed to reject the rewrite")
+    }
+  }
+
+  test("planning/explain of a rewritten rank query launches zero jobs") {
+    data.createOrReplaceTempView("rk_lazy")
+    val q = """SELECT id, v, DENSE_RANK() OVER (ORDER BY v DESC) AS r
+              |FROM rk_lazy""".stripMargin
+    val n = jobsDuring {
+      val df = spark.sql(q)
+      planOf(df) // full physical planning, rule applied
+      planOf(spark.sql(q)) // re-planning must not re-run anything either
+    }
+    assert(n == 0, s"explain() launched $n Spark job(s)")
+    // …and the plan really was rewritten (not a gated no-op)
+    assert(unpartitioned.findFirstIn(planOf(spark.sql(q))).isEmpty)
+  }
+
+  test("constructing a two-pass rank frame launches zero jobs") {
+    val n = jobsDuring {
+      Ranking.globalDenseRank(data, "v", "r", parts = 7).queryExecution.executedPlan
+      Ranking.globalRankCols(data, Seq("v"), "r", parts = 7).queryExecution.executedPlan
+    }
+    assert(n == 0, s"construction launched $n Spark job(s)")
+  }
+
   test("post-aggregate dense_rank is NOT rewritten (cardinality gate)") {
     val agg = data.groupBy("v").agg(count(lit(1)).as("n"))
       .withColumn("r", dense_rank().over(Window.orderBy(col("n").desc)))
