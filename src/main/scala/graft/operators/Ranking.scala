@@ -34,6 +34,33 @@ object Ranking {
   private[graft] val tempNames: Set[String] =
     Set("_pid", "_lr", "_n", "_q", "_qn", "_off", "_vn", "_prior")
 
+  /** Pin pass 1's range partitioning so both consumers (counts and
+    * valueRank) see identical boundaries — RangePartitioner samples
+    * nondeterministically ordered shuffle output, so two independently
+    * executed exchanges could split values differently and corrupt ranks.
+    *
+    * Two modes, chosen by the caller's context:
+    *  - DEFAULT (`jobFreePlanning = false`): eager `localCheckpoint` — one
+    *    small job at construction time, and the plan is TRUNCATED to a
+    *    `LogicalRDD` leaf. Truncation is load-bearing beyond lineage
+    *    hygiene: Spark's `SparkPlanInfo.fromSparkPlan` (run per SQL
+    *    listener event, including every AQE stage update) re-serializes an
+    *    `InMemoryTableScanExec`'s ENTIRE cachedPlan at each occurrence, so
+    *    a lazily-persisted rank spliced several times into a larger plan
+    *    (the Warehouse load nests five dims + group keys per batch)
+    *    re-expands multiplicatively — measured as minutes of listener-side
+    *    `nodeName` regex work per micro-batch when round 6 briefly made
+    *    this path lazy.
+    *  - `jobFreePlanning = true`: lazy `persist()` — NOTHING runs at
+    *    construction, which is the contract [[graft.plans.GlobalRankRewrite]]
+    *    needs (an optimizer rule must not launch jobs from inside
+    *    `explain()`/re-planning). Both consumers share the one
+    *    InMemoryRelation, so boundary consistency holds without the eager
+    *    job; the rule's spliced child is a user query plan, not a nested
+    *    pipeline, so the cachedPlan re-serialization stays bounded. */
+  private def pin(df: DataFrame, jobFreePlanning: Boolean): DataFrame =
+    if (jobFreePlanning) df.persist() else df.localCheckpoint(true)
+
   /** Global dense rank of `df` by `valueCol` (descending by default),
     * appended as `rankName`. `valueCol` must be non-null. */
   def globalDenseRank(df: DataFrame, valueCol: String, rankName: String,
@@ -47,32 +74,22 @@ object Ranking {
     * rank like SQL's DENSE_RANK (default null ordering); the rank joins
     * back null-safely so null-valued rows are never dropped. */
   def globalDenseRankCols(df: DataFrame, valueCols: Seq[String], rankName: String,
-      ascending: Boolean = false, parts: Int = 32): DataFrame = {
+      ascending: Boolean = false, parts: Int = 32,
+      jobFreePlanning: Boolean = false): DataFrame = {
     def sortCols = valueCols.map(c => if (ascending) col(c).asc else col(c).desc)
     // Pass 1: local dense rank per range partition. _pid is materialized
     // BEFORE the window's exchange; AQE may coalesce range partitions but
     // coalesced partitions stay contiguous ranges, so "all values in a
-    // lower _pid sort strictly earlier" still holds.
-    // persist() pins ONE set of range-partition boundaries: both consumers
-    // below (counts and valueRank) must see identical partitioning.
-    // RangePartitioner samples nondeterministically ordered shuffle output,
-    // so two independently executed exchanges could split values differently
-    // and corrupt ranks (and the surrogate keys minted from them). The
-    // cache substitution gives both consumers the SAME InMemoryRelation —
-    // one physical exchange instance, one sampling pass — and, unlike an
-    // eager localCheckpoint, runs NOTHING at construction time (so the
-    // optimizer-rule path plans without launching jobs) and recomputes
-    // evicted blocks deterministically (the RangePartitioner lives in the
-    // one ShuffleDependency). The persisted frame is the distinct value
-    // set — small. Belt-and-suspenders: if the cache entry is dropped
-    // before planning, default-on exchange/stage reuse still dedupes the
-    // two canonically identical exchanges.
-    val local = df.select(valueCols.map(col): _*).distinct()
+    // lower _pid sort strictly earlier" still holds. The [[pin]] keeps ONE
+    // set of range-partition boundaries for both consumers below (counts
+    // and valueRank) — see its scaladoc for the two modes. The pinned
+    // frame is the distinct value set — small.
+    val local = pin(df.select(valueCols.map(col): _*).distinct()
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lr",
-        row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
-      .persist()
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(sortCols: _*))),
+      jobFreePlanning)
     // Pass 2: rank offset per partition = distinct values in earlier
     // partitions. Triangular join over `parts` single-row groups — O(parts²)
     // tiny rows, fully parallel, no global window.
@@ -97,17 +114,18 @@ object Ranking {
     * COUNT: the within-partition prior is a running sum of counts, and the
     * partition offset is the total row count of earlier partitions. */
   def globalRankCols(df: DataFrame, valueCols: Seq[String], rankName: String,
-      ascending: Boolean = false, parts: Int = 32): DataFrame = {
+      ascending: Boolean = false, parts: Int = 32,
+      jobFreePlanning: Boolean = false): DataFrame = {
     def sortCols = valueCols.map(c => if (ascending) col(c).asc else col(c).desc)
-    val local = df.groupBy(valueCols.map(col): _*)
+    val local = pin(df.groupBy(valueCols.map(col): _*)
       .agg(count(lit(1)).as("_vn"))
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_prior", coalesce(
         sum(col("_vn")).over(Window.partitionBy(col("_pid"))
           .orderBy(sortCols: _*)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .persist() // pin ONE range partitioning, lazily (see above)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))),
+      jobFreePlanning) // pin ONE range partitioning (see pin's scaladoc)
     val counts = local.groupBy(col("_pid")).agg(sum(col("_vn")).as("_n"))
     val offsets = counts.select(col("_pid"), col("_n"))
       .join(counts.select(col("_pid").as("_q"), col("_n").as("_qn")),

@@ -28,14 +28,15 @@ import graft.operators.Ranking
   * scale-killer is ranking a full fact table. Kill-switch:
   * `spark.graft.globalRankRewrite=false`.
   *
-  * Execution note: the rule launches NO Spark jobs at plan time.
-  * `Ranking`'s pinning of the distinct-value frame is a lazy `persist()`,
-  * and the rule splices the sub-frame's `withCachedData` plan so both
-  * consumers of the range partitioning share the one `InMemoryRelation`
-  * (one exchange instance, one boundary-sampling pass — identical
-  * boundaries guaranteed without running anything during `explain()` or
-  * re-planning). The persisted frame is the distinct value set — small by
-  * construction.
+  * Execution note: the rule launches NO Spark jobs at plan time. It calls
+  * `Ranking` with `jobFreePlanning = true`, so the distinct-value frame is
+  * pinned by a lazy `persist()` (the DEFAULT outside the rule is an eager
+  * checkpoint — see `Ranking.pin` for why), and the rule splices the
+  * sub-frame's `withCachedData` plan so both consumers of the range
+  * partitioning share the one `InMemoryRelation` (one exchange instance,
+  * one boundary-sampling pass — identical boundaries guaranteed without
+  * running anything during `explain()` or re-planning). The persisted
+  * frame is the distinct value set — small by construction.
   *
   * Covers `DENSE_RANK()` (two-pass over distinct values) and `RANK()`
   * (two-pass over value row counts — gap semantics). Restrictions (rule
@@ -84,12 +85,19 @@ case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val valueCols =
           orderSpec.map(_.child.asInstanceOf[AttributeReference].name)
         val ascending = orderSpec.head.direction == Ascending
-        val twoPass = alias.child match {
-          case WindowExpression(_: DenseRank, _) => Ranking.globalDenseRankCols _
-          case _                                 => Ranking.globalRankCols _
-        }
+        // jobFreePlanning: an optimizer rule must not launch jobs from
+        // inside explain()/re-planning — the rank pins its boundary frame
+        // with a lazy persist here instead of the default eager checkpoint.
+        val twoPass: (org.apache.spark.sql.DataFrame, Seq[String], String,
+            Boolean) => org.apache.spark.sql.DataFrame =
+          alias.child match {
+            case WindowExpression(_: DenseRank, _) =>
+              Ranking.globalDenseRankCols(_, _, _, _, 32, jobFreePlanning = true)
+            case _ =>
+              Ranking.globalRankCols(_, _, _, _, 32, jobFreePlanning = true)
+          }
         val ranked = twoPass(
-          Shims.ofRows(spark, child), valueCols, alias.name, ascending, 32)
+          Shims.ofRows(spark, child), valueCols, alias.name, ascending)
         // withCachedData, not analyzed: the outer query's own cache
         // substitution already ran (it precedes optimization), so splicing
         // the raw analyzed plan would leave Ranking's persisted

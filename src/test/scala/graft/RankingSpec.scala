@@ -156,10 +156,16 @@ class RankingSpec extends AnyFunSuite {
     assert(unpartitioned.findFirstIn(planOf(spark.sql(q))).isEmpty)
   }
 
-  test("constructing a two-pass rank frame launches zero jobs") {
+  test("job-free-planning rank construction launches zero jobs") {
+    // the optimizer rule's building block: with jobFreePlanning the pin is
+    // a lazy persist, so building + physical-planning runs nothing. (The
+    // DEFAULT mode deliberately runs one eager checkpoint job instead —
+    // plan truncation; see Ranking.pin.)
     val n = jobsDuring {
-      Ranking.globalDenseRank(data, "v", "r", parts = 7).queryExecution.executedPlan
-      Ranking.globalRankCols(data, Seq("v"), "r", parts = 7).queryExecution.executedPlan
+      Ranking.globalDenseRankCols(data, Seq("v"), "r", parts = 7,
+        jobFreePlanning = true).queryExecution.executedPlan
+      Ranking.globalRankCols(data, Seq("v"), "r", parts = 7,
+        jobFreePlanning = true).queryExecution.executedPlan
     }
     assert(n == 0, s"construction launched $n Spark job(s)")
   }
