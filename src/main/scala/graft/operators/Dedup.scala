@@ -108,28 +108,29 @@ object Dedup {
     29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L)
   val hashMask: Long = (1L << 54) - 1
 
+  /** Wide MinHash signature table `(doc_id, mh0..mh{k-1})`.
+    *
+    * Shuffle-free per-doc stage, one fused native-expression eval per
+    * document ([[graft.plans.MinHashSignature]] — stage-profiling showed
+    * the interpreted HOF chain was the hottest stage of the whole bench;
+    * the expression consumes md5 bytes directly and stays inside
+    * whole-stage codegen). No explode, no exchange. */
+  def minHashSignatures(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, k: Int): DataFrame = {
+    require(k <= saltXor.length && k <= saltMul.length,
+      s"minHashSignatures: derived-salt family supports k <= ${saltXor.length}, got $k")
+    df.select(id.as("doc_id"),
+        graft.plans.GraftExtensions.minhashSig(lower(text), shingleN, k).as("sig"))
+      .select(Seq(col("doc_id")) ++
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+  }
+
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int, k: Int, threshold: Double): DataFrame = {
-    require(k <= saltXor.length && k <= saltMul.length,
-      s"nearDupPairs: derived-salt family supports k <= ${saltXor.length}, got $k")
-    // Shuffle-free per-doc stage: shingle array hashed ONCE per element
-    // (md5 on 880k shingles is the real cost — salting the md5 input k
-    // ways costs k× that), then the k MinHash minima derive from the
-    // hashed array by xor/multiply/mask. No explode, no exchange until
-    // the band self-join. Only the narrow signature rows persist —
-    // caching the shingle arrays costs ~10s of columnar serialization at
-    // sf0.1, so the verify stage recomputes arrays for candidate docs.
-    val sig = df.select(id.as("doc_id"), lower(text).as("lt"))
-      .select(col("doc_id"), shingles(col("lt"), shingleN).as("arr"))
-      .select(col("doc_id"), size(col("arr")).as("n"),
-        transform(col("arr"), s => md5Hash54(s)).as("harr"))
-      .select(Seq(col("doc_id"), col("n")) ++
-        (0 until k).map { i =>
-          array_min(transform(col("harr"),
-            h => ((h.bitwiseXOR(lit(saltXor(i)))) * lit(saltMul(i)))
-              .bitwiseAND(lit(hashMask)))).as(s"mh$i")
-        }: _*)
-      .persist()
+    // Only the narrow signature rows persist — caching the shingle arrays
+    // costs ~10s of columnar serialization at sf0.1, so the verify stage
+    // recomputes arrays for candidate docs.
+    val sig = minHashSignatures(df, id, text, shingleN, k).persist()
     val cand = lshCandidates(sig, k)
     val pruned = estimateFilter(cand, sig, k, minMatches = k / 2)
       .persist()

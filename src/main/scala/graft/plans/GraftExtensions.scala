@@ -14,6 +14,7 @@ import org.apache.spark.sql.graftshim.Shims
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectOptimizerRule(GlobalRankRewrite(_))
   }
 }
@@ -28,12 +29,30 @@ object GraftExtensions {
       CosineSimilarity(children.head, children.last)
     })
 
-  /** Register on an existing session (tests / REPL): the function AND the
+  private val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "minhash_sig expects (text, shingleN, k)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          s"minhash_sig: $what must be an integer literal")
+      }
+      MinHashSignature(children.head,
+        intLit(children(1), "shingleN"), intLit(children(2), "k"))
+    })
+
+  /** Register on an existing session (tests / REPL): the functions AND the
     * ranking rewrite (idempotent — skips if already attached). */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info,
-      (exprs: Seq[Expression]) => builder(exprs))
+    Seq(cosineSimDescriptor, minhashSigDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info,
+          (exprs: Seq[Expression]) => builder(exprs))
+    }
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[GlobalRankRewrite]))
       spark.experimental.extraOptimizations ++= Seq(GlobalRankRewrite(spark))
@@ -42,4 +61,8 @@ object GraftExtensions {
   /** Column-API entry point. */
   def cosineSim(a: Column, b: Column): Column =
     Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
+
+  /** Column-API entry point for [[MinHashSignature]]. */
+  def minhashSig(text: Column, shingleN: Int, k: Int): Column =
+    Shims.column(MinHashSignature(Shims.expression(text), shingleN, k))
 }
