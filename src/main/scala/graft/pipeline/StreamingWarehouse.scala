@@ -146,7 +146,10 @@ object StreamingWarehouse {
       dimAffiliation = roundTrip(s.dimAffiliation, "dim_affiliation"),
       fact = roundTrip(s.fact, "paper_fact"),
       bridgeAuthor = roundTrip(s.bridgeAuthor, "bridge_author_group"),
-      bridgeAffiliation = roundTrip(s.bridgeAffiliation, "bridge_affiliation_group"))
+      bridgeAffiliation = roundTrip(s.bridgeAffiliation, "bridge_affiliation_group"),
+      // the high-water marks survive the round trip driver-side; only a
+      // state recovered from disk ([[loadLatestState]]) re-bootstraps them
+      keyMaxes = s.keyMaxes)
     // commit marker LAST: recovery only selects versions that reached here
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(dir, CommitMarker))

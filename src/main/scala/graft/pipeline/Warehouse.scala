@@ -33,7 +33,13 @@ object Warehouse {
                                  //  type_key, venue_key, author_group_key,
                                  //  affiliation_group_key)
       bridgeAuthor: DataFrame,   // (author_group_key, author_key)
-      bridgeAffiliation: DataFrame) // (affiliation_group_key, affiliation_key)
+      bridgeAffiliation: DataFrame, // (affiliation_group_key, affiliation_key)
+      // Surrogate-key high-water marks carried driver-side across batches:
+      // with them, a micro-batch never scans the (corpus-scale) dims just
+      // to learn max(key) — the per-batch action shrinks to counting the
+      // batch's freshly minted natural keys. None = unknown (state
+      // recovered from storage) → recomputed ONCE by [[keyMaxesOf]].
+      keyMaxes: Option[Map[String, Long]] = None)
 
   /** S8 — seed the year dimension 1940–2030 plus the 0 sentinel
     * (DWH_tables.sql:87-88); year_key == publication_year ordinal. */
@@ -59,8 +65,32 @@ object Warehouse {
           "year_key", "domain_key", "type_key", "venue_key",
           "author_group_key", "affiliation_group_key"),
       bridgeAuthor = Seq.empty[(Int, Int)].toDF("author_group_key", "author_key"),
-      bridgeAffiliation = Seq.empty[(Int, Int)].toDF("affiliation_group_key", "affiliation_key"))
+      bridgeAffiliation = Seq.empty[(Int, Int)].toDF("affiliation_group_key", "affiliation_key"),
+      keyMaxes = Some(keyNames.map(_ -> 0L).toMap))
   }
+
+  /** Dims whose surrogate keys are minted per batch (year is pre-seeded;
+    * `group` is the shared author/affiliation group-key sequence). */
+  private val keyNames = Seq("domain", "type", "venue", "author",
+    "affiliation", "group")
+
+  /** Bootstrap the high-water marks from a recovered state: ONE driver
+    * action unioning six single-row max aggregates. Runs once per
+    * recovery, never per batch — [[loadBatch]] carries the maxes forward
+    * in [[State.keyMaxes]] afterwards. */
+  def keyMaxesOf(state: State): Map[String, Long] = Seq(
+    ("domain", state.dimDomain, "domain_key"),
+    ("type", state.dimType, "type_key"),
+    ("venue", state.dimVenue, "venue_key"),
+    ("author", state.dimAuthor, "author_key"),
+    ("affiliation", state.dimAffiliation, "affiliation_key"),
+    ("group", state.fact, "author_group_key"))
+    .map { case (n, df, k) =>
+      df.agg(coalesce(max(col(k)), lit(0)).cast("long").as("m"))
+        .select(lit(n).as("k"), col("m"))
+    }
+    .reduce(_ unionByName _)
+    .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** D2/D3 — generic Type-1 dim upsert: new natural keys get surrogate
     * keys continuing from the current max, minted by a rank over the
@@ -74,14 +104,28 @@ object Warehouse {
     upsertDimFrom(dim, incoming, keyName, natCols,
       dim.agg(coalesce(max(col(keyName)), lit(0))).head().getInt(0))
 
-  /** [[upsertDim]] with the key high-water mark supplied by the caller —
-    * [[loadBatch]] reads ALL dims' maxes in one driver action instead of
-    * one blocking `.head()` per dim per micro-batch. */
-  def upsertDimFrom(dim: DataFrame, incoming: DataFrame, keyName: String,
-      natCols: Seq[String], maxKey: Int): DataFrame = {
-    val fresh = incoming.select(natCols.map(col): _*).na.fill("Unknown")
+  /** The natural keys of `incoming` not yet present in `dim` (the rows a
+    * Type-1 upsert mints). [[loadBatch]] caches these so one unioned count
+    * both updates the high-water marks AND pre-materializes the anti-join
+    * every dim plan reuses. */
+  def freshNaturalKeys(dim: DataFrame, incoming: DataFrame,
+      natCols: Seq[String]): DataFrame =
+    incoming.select(natCols.map(col): _*).na.fill("Unknown")
       .distinct()
       .join(dim, natCols, "left_anti")
+
+  /** [[upsertDim]] with the key high-water mark supplied by the caller —
+    * [[loadBatch]] carries all maxes in [[State.keyMaxes]] so no per-batch
+    * dim scan happens just to learn them. */
+  def upsertDimFrom(dim: DataFrame, incoming: DataFrame, keyName: String,
+      natCols: Seq[String], maxKey: Long): DataFrame =
+    appendMinted(dim, freshNaturalKeys(dim, incoming, natCols), keyName,
+      natCols, maxKey)
+
+  /** Union `fresh` natural keys into `dim` with surrogate keys continuing
+    * from `maxKey` (two-pass rank — see [[upsertDim]]). */
+  def appendMinted(dim: DataFrame, fresh: DataFrame, keyName: String,
+      natCols: Seq[String], maxKey: Long): DataFrame = {
     val minted = graft.operators.Ranking
       .globalDenseRankCols(fresh, natCols, "_rn", ascending = true)
       .withColumn(keyName, (col("_rn") + maxKey).cast("int"))
@@ -100,41 +144,56 @@ object Warehouse {
   def loadBatch(spark: SparkSession, state: State, batch0: DataFrame): State = {
     val batch = batch0.cache()
 
-    // ONE driver round-trip for every surrogate-key high-water mark (six
-    // single-row aggregates unioned into one job — was six blocking
-    // `.head()` calls per micro-batch, pure scheduling latency).
-    val maxes: Map[String, Int] = Seq(
-      ("domain", state.dimDomain, "domain_key"),
-      ("type", state.dimType, "type_key"),
-      ("venue", state.dimVenue, "venue_key"),
-      ("author", state.dimAuthor, "author_key"),
-      ("affiliation", state.dimAffiliation, "affiliation_key"),
-      ("group", state.fact, "author_group_key"))
-      .map { case (n, df, k) =>
-        df.agg(coalesce(max(col(k)), lit(0)).cast("int").as("m"))
-          .select(lit(n).as("k"), col("m"))
-      }
-      .reduce(_ unionByName _)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // High-water marks come from the carried driver-side state — a batch
+    // never scans the corpus-scale dims just to learn max(key). Only a
+    // state recovered from storage (keyMaxes = None) pays the bootstrap
+    // action, once.
+    val maxes: Map[String, Long] = state.keyMaxes.getOrElse(keyMaxesOf(state))
 
-    // --- dims (D2/J1: insert-if-absent, then key lookup by broadcast join)
-    val dimDomain = upsertDimFrom(state.dimDomain,
-      batch.select(col("subject").as("scientific_domain")),
-      "domain_key", Seq("scientific_domain"), maxes("domain"))
-    val dimType = upsertDimFrom(state.dimType,
-      batch.select(col("type").as("type_name")), "type_key", Seq("type_name"),
-      maxes("type"))
-    val dimVenue = upsertDimFrom(state.dimVenue,
-      batch.select(col("container-title").as("pub_venue"), col("publisher")),
-      "venue_key", Seq("pub_venue", "publisher"), maxes("venue"))
     val authorsExpl = batch.select(col("id"),
         explode(col("authors_merged")).as("a"))
       .select(col("id"), col("a.full_name").as("full_name"),
         col("a.gender").as("gender"),
         coalesce(col("a.affiliation"), lit("Unknown")).as("affiliation_name"))
       .cache()
-    val dimAuthorNoMetrics = upsertDimFrom(state.dimAuthor,
-      authorsExpl.select(col("full_name")),
+
+    // Fresh (to-be-minted) natural keys per dim + the batch's new papers,
+    // cached: ONE driver action counts them all — batch-scale frames, not
+    // corpus-scale dims — advancing the high-water marks for the next
+    // batch while pre-materializing the anti-joins the dim plans reuse.
+    val freshDomain = freshNaturalKeys(state.dimDomain,
+      batch.select(col("subject").as("scientific_domain")),
+      Seq("scientific_domain")).cache()
+    val freshType = freshNaturalKeys(state.dimType,
+      batch.select(col("type").as("type_name")), Seq("type_name")).cache()
+    val freshVenue = freshNaturalKeys(state.dimVenue,
+      batch.select(col("container-title").as("pub_venue"), col("publisher")),
+      Seq("pub_venue", "publisher")).cache()
+    val freshAuthor = freshNaturalKeys(state.dimAuthor,
+      authorsExpl.select(col("full_name")), Seq("full_name")).cache()
+    val freshAffiliation = freshNaturalKeys(state.dimAffiliation,
+      authorsExpl.select(col("affiliation_name")),
+      Seq("affiliation_name")).cache()
+    val newPapers = batch.join(state.fact.select(col("arxiv_ID")),
+      batch("id") === col("arxiv_ID"), "left_anti").cache()
+    val mintedCounts: Map[String, Long] = Seq(
+      ("domain", freshDomain), ("type", freshType), ("venue", freshVenue),
+      ("author", freshAuthor), ("affiliation", freshAffiliation),
+      ("group", newPapers))
+      .map { case (n, df) =>
+        df.agg(count(lit(1)).as("m")).select(lit(n).as("k"), col("m"))
+      }
+      .reduce(_ unionByName _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // --- dims (D2/J1: insert-if-absent, then key lookup by broadcast join)
+    val dimDomain = appendMinted(state.dimDomain, freshDomain,
+      "domain_key", Seq("scientific_domain"), maxes("domain"))
+    val dimType = appendMinted(state.dimType, freshType,
+      "type_key", Seq("type_name"), maxes("type"))
+    val dimVenue = appendMinted(state.dimVenue, freshVenue,
+      "venue_key", Seq("pub_venue", "publisher"), maxes("venue"))
+    val dimAuthorNoMetrics = appendMinted(state.dimAuthor, freshAuthor,
       "author_key", Seq("full_name"), maxes("author"))
     // carry gender onto newly minted authors (Type-1: latest wins)
     val genderOf = authorsExpl.groupBy("full_name")
@@ -151,13 +210,11 @@ object Warehouse {
         coalesce(col("gender"), col("g_new"), lit("unknown")).as("gender"),
         coalesce(col("h_index"), lit(0)).as("h_index"),
         coalesce(col("g_index"), lit(0)).as("g_index"))
-    val dimAffiliation = upsertDimFrom(state.dimAffiliation,
-      authorsExpl.select(col("affiliation_name")),
+    val dimAffiliation = appendMinted(state.dimAffiliation, freshAffiliation,
       "affiliation_key", Seq("affiliation_name"), maxes("affiliation"))
 
-    // --- fact (D4: idempotent on arxiv_ID) with group keys (D3)
-    val newPapers = batch.join(state.fact.select(col("arxiv_ID")),
-      batch("id") === col("arxiv_ID"), "left_anti")
+    // --- fact (D4: idempotent on arxiv_ID) with group keys (D3);
+    // newPapers computed (and cached) above with the fresh key sets
     val maxGroup = maxes("group")
     // group keys via the same two-pass rank (id is unique per paper) —
     // a bulk initial load would otherwise rank every new paper in one
@@ -227,6 +284,7 @@ object Warehouse {
         coalesce(g("g_index"), dimAuthor("g_index")).as("g_index"))
 
     State(state.dimYear, dimDomain, dimType, dimVenue, dimAuthorFinal,
-      dimAffiliation, fact, bridgeAuthor, bridgeAffiliation)
+      dimAffiliation, fact, bridgeAuthor, bridgeAffiliation,
+      keyMaxes = Some(maxes.map { case (k, v) => k -> (v + mintedCounts(k)) }))
   }
 }

@@ -97,6 +97,32 @@ class StreamingWarehouseSpec extends AnyFunSuite {
     assert(recovered.get.bridgeAuthor.count() >= 0L)
   }
 
+  test("key high-water marks are carried, correct, and skip the dim scan") {
+    val s1 = Warehouse.loadBatch(spark, Warehouse.emptyState(spark), b1)
+    // carried maxes must equal what a from-scratch bootstrap would compute
+    assert(s1.keyMaxes.isDefined)
+    assert(s1.keyMaxes.get == Warehouse.keyMaxesOf(s1))
+    // the bootstrap path (recovered state, keyMaxes = None) pays Spark
+    // jobs to learn the maxes; the carried path resolves them from the
+    // driver-side map — zero jobs, by construction (loadBatch only calls
+    // keyMaxesOf inside getOrElse). Comparing full loadBatch job counts
+    // is NOT a valid assertion: AQE + cache warmth legitimately shift
+    // totals between otherwise-identical calls.
+    val jBootstrap = TestSpark.jobsDuring { Warehouse.keyMaxesOf(s1); () }
+    assert(jBootstrap >= 1, "bootstrap should cost at least one job")
+    val jCarried = TestSpark.jobsDuring {
+      s1.keyMaxes.getOrElse(Warehouse.keyMaxesOf(s1)); ()
+    }
+    assert(jCarried == 0, s"carried-maxes resolution ran $jCarried job(s)")
+    // replaying an already-loaded batch mints nothing: maxes unchanged
+    val replay = Warehouse.loadBatch(spark, s1, b1)
+    assert(replay.keyMaxes == s1.keyMaxes)
+    // and a genuinely new batch advances them
+    val s2 = Warehouse.loadBatch(spark, s1, b2)
+    assert(s2.keyMaxes.get("author") == s1.keyMaxes.get("author") + 1) // Bob
+    assert(s2.keyMaxes.get == Warehouse.keyMaxesOf(s2))
+  }
+
   test("ParquetUpsertTable redoes a crashed partial write (no _SUCCESS)") {
     val dir = Files.createTempDirectory("upsert").toString
     val t = new graft.streaming.ParquetUpsertTable(spark, dir, "k", Seq("v"))
