@@ -608,6 +608,118 @@ object Graph {
     (init +: rounds).mkString(",\n")
   }
 
+  /** G5 — deterministic one-level Louvain: synchronous rounds of greedy
+    * modularity-ASCENT moves (the quantity `gds.louvain` optimizes,
+    * graph_queries.cyp:19-30 — [[modularity]] only *scores* a labelling;
+    * this one *improves* it).
+    *
+    * Each round, every node v evaluates joining each neighboring
+    * community C (or staying). The gain comparison is the exact BIGINT
+    * score `2m·k_{v,C} − deg(v)·Σ_tot(C∖{v})` (ΔQ·4m², constant terms
+    * dropped — order-independent, so a DuckDB twin unrolling the same
+    * rounds is bit-identical; see [[louvainCtesSql]]). Argmax with ties
+    * to the smaller community label; all nodes move simultaneously.
+    * Synchronous argmax moves can livelock two singletons swapping
+    * communities forever, so the published parallel-Louvain symmetry
+    * breaker applies (Lu, Hendrickson & Halappanavar, "Parallel
+    * heuristics for scalable community detection", Parallel Computing
+    * 2015): when BOTH communities are singletons, only the higher-label
+    * node moves. A fixed round count keeps the result deterministic
+    * (like [[labelPropagation]] — Louvain phase 1 has no unique
+    * fixpoint); each round is a constant number of shuffles keyed by
+    * node/community id, nothing driver-side but the 2m scalar.
+    *
+    * One level (no graph coarsening): at the reference's scale the first
+    * level already merges the dense cores GDS reports; a second level
+    * would rerun the same rounds on the contracted community graph. */
+  def louvain(edges: DataFrame, rounds: Int = 6): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val m2 = und.count() // = 2m (each undirected edge counted both ways)
+    var labels = deg.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val lab = labels
+      // Σ_tot and size per community, under the previous round's labels
+      val sigma = lab.join(deg, "id")
+        .groupBy(col("label")).agg(sum(col("deg")).as("st"),
+          count(lit(1)).as("sz"))
+      // k_{v,C}: edges from v into community C
+      val kvc = und
+        .join(lab.select(col("id").as("dst"), col("label").as("cand")), "dst")
+        .groupBy(col("src").as("id"), col("cand"))
+        .agg(count(lit(1)).as("k"))
+      // stay-candidate row must exist even when v has no intra-community
+      // edge (k=0); max() collapses the duplicate when it does
+      val cand = kvc.unionByName(
+          lab.select(col("id"), col("label").as("cand"), lit(0L).as("k")))
+        .groupBy(col("id"), col("cand")).agg(max(col("k")).as("k"))
+      val own = lab.select(col("id"), col("label").as("own"))
+      val scored = cand.join(own, "id").join(deg, "id")
+        .join(sigma.withColumnRenamed("label", "cand"), "cand")
+        .select(col("id"), col("own"), col("cand"),
+          col("sz").as("cand_sz"),
+          (lit(m2) * col("k") - col("deg") *
+            (col("st") - when(col("cand") === col("own"), col("deg"))
+              .otherwise(lit(0L)))).as("score"))
+      // per-node argmax — the window partitions by node id over ≤ deg+1
+      // candidate rows, never a global window
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("cand"))
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val ownSz = sigma.select(col("label").as("own"), col("sz").as("own_sz"))
+      labels = best.join(ownSz, "own")
+        .select(col("id"),
+          when(col("cand") =!= col("own") && col("own_sz") === 1 &&
+              col("cand_sz") === 1 && col("cand") > col("own"), col("own"))
+            .otherwise(col("cand")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** DuckDB twin of [[louvain]] over a CTE `undCte(src,dst)` that must
+    * already be the distinct, both-directions, self-loop-free edge set;
+    * unrolled score/argmax/move round per iteration, final labels in
+    * `lv$rounds(id, label)`. Generated from the same scoring shape so the
+    * two can't drift. */
+  def louvainCtesSql(undCte: String, rounds: Int): String = {
+    val init =
+      s"""lvdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM $undCte GROUP BY src),
+         |lvm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM $undCte),
+         |lv0 AS MATERIALIZED (SELECT id, id AS label FROM lvdeg)""".stripMargin
+    val rs = (1 to rounds).map { t =>
+      s"""lvs$t AS MATERIALIZED (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS st,
+         |    COUNT(*) AS sz
+         |  FROM lv${t - 1} l JOIN lvdeg d ON d.id = l.id GROUP BY l.label),
+         |lvc$t AS MATERIALIZED (SELECT id, cand, CAST(MAX(k) AS BIGINT) AS k FROM (
+         |    SELECT u.src AS id, l.label AS cand, COUNT(*) AS k
+         |    FROM $undCte u JOIN lv${t - 1} l ON l.id = u.dst GROUP BY u.src, l.label
+         |    UNION ALL SELECT id, label AS cand, 0 AS k FROM lv${t - 1})
+         |  GROUP BY id, cand),
+         |lvb$t AS MATERIALIZED (SELECT id, own, cand, cand_sz FROM (
+         |    SELECT c.id, o.label AS own, c.cand, s.sz AS cand_sz,
+         |           ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+         |             (m.m2 * c.k - d.deg *
+         |              (s.st - CASE WHEN c.cand = o.label THEN d.deg ELSE 0 END)) DESC,
+         |             c.cand) AS rn
+         |    FROM lvc$t c JOIN lv${t - 1} o ON o.id = c.id
+         |         JOIN lvdeg d ON d.id = c.id
+         |         JOIN lvs$t s ON s.label = c.cand, lvm m)
+         |  WHERE rn = 1),
+         |lv$t AS MATERIALIZED (SELECT b.id,
+         |    CASE WHEN b.cand <> b.own AND os.sz = 1 AND b.cand_sz = 1
+         |              AND b.cand > b.own THEN b.own ELSE b.cand END AS label
+         |  FROM lvb$t b JOIN lvs$t os ON os.label = b.own)""".stripMargin
+    }
+    (init +: rs).mkString(",\n")
+  }
+
   /** G2–G4 — "ArticleRank"-style projected PageRank: project an
     * entity→entity graph through a 2-hop relation (e.g. author→author via
     * co-referenced pieces), then PageRank it. */

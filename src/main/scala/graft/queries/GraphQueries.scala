@@ -178,6 +178,17 @@ object GraphQueries extends QueryModule {
       Graph.modularity(e, Graph.labelPropagation(e, iters = 10))
     }),
 
+    // G5 (ascent) — deterministic one-level Louvain: greedy exact-BIGINT
+    // modularity-gain moves with fixed tie-break (graph_queries.cyp:19-30
+    // runs gds.louvain itself; this is the modularity-ASCENT counterpart
+    // of the g_modularity scorer). Hash-checked against the unrolled
+    // score/argmax/move CTE twin.
+    "g_louvain" -> ((s, dir) =>
+      Graph.louvain(refEdges(s, dir), rounds = 6)
+        .groupBy(col("label")).agg(count(lit(1)).as("size"))
+        .select(col("label").as("community"), col("size"))
+        .orderBy(col("size").desc, col("community"))),
+
     // G2 — author ArticleRank through the reference's own projection
     // (graph_queries.cyp:48-58): (Author)-[:AUTHORSHIP]-(Piece)
     // -[:REFERENCES*1..10]->(Piece)-[:AUTHORSHIP]-(Author2), i.e. the
@@ -391,6 +402,15 @@ object GraphQueries extends QueryModule {
       s"""WITH $lpaPrelude,
          |${Graph.modularityCtesSql("e", "lp10")}
          |SELECT q_num, q_den, modularity FROM qmod""".stripMargin,
+
+    "g_louvain" ->
+      s"""WITH $refEdgesSql,
+         |lund AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |  WHERE src <> dst),
+         |${Graph.louvainCtesSql("lund", 6)}
+         |SELECT label AS community, COUNT(*) AS size FROM lv6
+         |GROUP BY label ORDER BY size DESC, community""".stripMargin,
 
     "g_articlerank_customers" -> projectedPrOracle(authorshipEndsSql,
       "SELECT c_custkey AS k, c_name AS name FROM customer"),

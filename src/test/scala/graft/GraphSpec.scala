@@ -54,6 +54,31 @@ class GraphSpec extends AnyFunSuite {
     assert(uncapped == capped + ((1L, 4L)))
   }
 
+  test("louvain merges the two-triangle fixture into its two communities") {
+    val es = edges(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      4L -> 5L, 4L -> 6L, 5L -> 6L, 3L -> 4L)
+    val labs = Graph.louvain(es, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size == 6)
+    assert(labs(1L) == labs(2L) && labs(2L) == labs(3L))
+    assert(labs(4L) == labs(5L) && labs(5L) == labs(6L))
+    assert(labs(1L) != labs(4L))
+    // the ascent reaches the fixture's optimal partition: Q = 5/14 exactly
+    val q = Graph.modularity(es,
+      Graph.louvain(es, rounds = 4).select(col("id"), col("label"))).head
+    assert(q.getLong(0) == 70L && q.getLong(1) == 196L)
+  }
+
+  test("louvain is deterministic and stable once converged") {
+    val es = edges(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      4L -> 5L, 4L -> 6L, 5L -> 6L, 3L -> 4L)
+    val a = Graph.louvain(es, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.louvain(es, rounds = 6) // extra rounds are no-ops
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("jaccardSimilarity: identical neighbor sets -> 1.0, excludes self") {
     // 1 and 2 both point at {10, 11}; 3 points at {10}.
     val j = Graph.jaccardSimilarity(
