@@ -53,14 +53,23 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     materialize(headline.head)
     spark.catalog.clearCache()
-    // min of 3 runs per query: single-shot local timings swing ±30% from
-    // GC/JIT/page-cache noise (and the round-3 bench showed the driver
-    // machine itself can be contended) — min-of-n is the stabilizer.
-    // Each run tracks its own (time, error); a query is failed only when
-    // EVERY run failed, and a crashed run's time-to-failure never competes
-    // with a successful run's timing.
+    // Per-query: ONE untimed warm-up run (codegen compile, JIT, shuffle-file
+    // page cache for this query's exact plan), then median of 5 timed runs.
+    // r4→r5 showed byte-identical code swinging ±40% per query at min-of-3:
+    // min tracks the machine's best moment, so a lucky run on one round vs
+    // none on the next reads as a regression. The median of 5 post-warm-up
+    // runs is robust to both tails (GC pause on the slow side, hot page
+    // cache on the fast side) and makes round-over-round deltas
+    // attributable. Each run tracks its own (time, error); a query is
+    // failed only when EVERY run failed, and a crashed run's
+    // time-to-failure never competes with a successful run's timing.
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = headline.filter(qs.contains).map { name =>
-      val runs = (1 to 3).map { _ =>
+      def run(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
           try { materialize(name); None }
@@ -71,9 +80,12 @@ object Bench {
         spark.catalog.clearCache() // drop per-query persisted intermediates
         (dt, err)
       }
+      run() // warm-up, excluded from the stats
+      val runs = (1 to 5).map(_ => run())
       val ok = runs.collect { case (t, None) => t }
       val firstErr = runs.collectFirst { case (_, Some(m)) => m }
-      (name, ok.minOption, if (ok.isEmpty) firstErr else None)
+      (name, if (ok.isEmpty) None else Some(median(ok)),
+        if (ok.isEmpty) firstErr else None)
     }
     // A query with no successful run reports null, never a time-to-failure.
     val qJson = results.map { case (k, v, _) =>
