@@ -78,6 +78,14 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // drop per-query persisted intermediates
+        // clearCache only covers SQL-cached plans: localCheckpoint'd RDDs
+        // (rank boundary pins, the near-dup result) otherwise accumulate in
+        // BlockManager storage for the whole bench until the JVM GCs their
+        // DataFrames — at which point storage pressure evicts the blocks
+        // the persist-reliant queries (LSH dedup, IVF) are actively using,
+        // a GC-timing-dependent 3-4x degradation of exactly those queries.
+        // Between timed runs nothing is reused, so sweep them all.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         (dt, err)
       }
       run() // warm-up, excluded from the stats

@@ -27,7 +27,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators that persist() intermediates (LSH pipeline) rely on the
-      // harness to release them between queries
+      // harness to release them between queries. (Bench additionally sweeps
+      // localCheckpoint'd RDDs between its timed runs; Verify deliberately
+      // does not — single pass, and the correctness gate stays on the
+      // five-rounds-proven path.)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
