@@ -25,16 +25,29 @@ object TextAnalysis {
 
   // ---- token statistics ----------------------------------------------
 
+  // Tokenize-once structure (here and below): the token array is aliased in
+  // its own projection and the stats read the materialized column. Inlining
+  // `toks(text)` per output column looks equivalent but is not — Catalyst's
+  // subexpression elimination refuses any tree containing a lambda variable
+  // (HOFs are CodegenFallback), so each output column re-runs
+  // split+filter interpreted. Profiled at sf0.1 (ProfileLangId): the
+  // inlined four-marker projection swung 1.2–9.0s across JVM sessions
+  // (interpreted-eval call sites degrade unpredictably with session
+  // history — the root cause of txt_langid's unreproducible 3.6× bench
+  // jump in round 6) while the two-step form is a stable ~0.26s.
+  // CollapseProject keeps the split un-inlined because the alias is
+  // non-cheap and referenced more than once.
   def tokenStats(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(
-      id.as("doc_id"),
-      size(toks(text)).as("n_tokens"),
-      size(array_distinct(toks(text))).as("n_distinct"),
-      // nullif-guarded: an empty/whitespace-only doc has 0 tokens, and a
-      // 0 denominator aborts under ANSI where DuckDB yields NULL
-      (aggregate(transform(toks(text), t => length(t)), lit(0),
-        (acc, x) => acc + x) * lit(1.0) /
-        nullif(size(toks(text)), lit(0))).as("avg_token_len"))
+    df.select(id.as("doc_id"), toks(text).as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"),
+        // nullif-guarded: an empty/whitespace-only doc has 0 tokens, and a
+        // 0 denominator aborts under ANSI where DuckDB yields NULL
+        (aggregate(transform(col("t"), t => length(t)), lit(0),
+          (acc, x) => acc + x) * lit(1.0) /
+          nullif(size(col("t")), lit(0))).as("avg_token_len"))
 
   def tokenStatsSql(table: String): String =
     s"""SELECT doc_id,
@@ -56,10 +69,12 @@ object TextAnalysis {
   def bpeTokenStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
         regexp_extract_all(text, lit(bpePattern), lit(0)).as("toks"))
+      // rlike-per-token filter materialized once, not once per stat
       .select(col("doc_id"),
-        size(filter(col("toks"), t => !t.rlike("^\\s+$"))).as("n_bpe_tokens"),
-        size(array_distinct(filter(col("toks"), t => !t.rlike("^\\s+$"))))
-          .as("n_distinct_bpe"))
+        filter(col("toks"), t => !t.rlike("^\\s+$")).as("nw"))
+      .select(col("doc_id"),
+        size(col("nw")).as("n_bpe_tokens"),
+        size(array_distinct(col("nw"))).as("n_distinct_bpe"))
 
   def bpeTokenStatsSql(table: String): String = {
     val sqlPattern = bpePattern.replace("'", "''") // SQL string-literal quoting
@@ -82,16 +97,23 @@ object TextAnalysis {
     * score in [0,1]: prose-like docs (moderate length, low punctuation,
     * some stopwords) score high — the usual pre-training quality gate. */
   def qualityScore(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val nChars = length(text)
-    val nAlnumSpace = length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    // Counts materialized once (tokenize-once rationale at tokenStats),
+    // ratios and the composite score derived from the counts.
+    val counted = df.select(
+        id.as("doc_id"),
+        length(text).as("n_chars_m"),
+        length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")).as("n_keep"),
+        toks(text).as("t"))
+      .select(col("doc_id"), col("n_chars_m"), col("n_keep"),
+        size(filter(col("t"), x => x.isInCollection(stopwords))).as("n_stop"),
+        size(col("t")).as("n_toks"))
     // nullif guards: empty docs would divide by zero (ANSI abort)
-    val punctRatio = (nChars - nAlnumSpace) * lit(1.0) / nullif(nChars, lit(0))
-    val t = toks(text)
-    val stopRatio = size(filter(t, x => x.isInCollection(stopwords))) *
-      lit(1.0) / nullif(size(t), lit(0))
-    val lenScore = least(nChars * lit(1.0) / 200.0, lit(1.0))
+    val punctRatio = (col("n_chars_m") - col("n_keep")) * lit(1.0) /
+      nullif(col("n_chars_m"), lit(0))
+    val stopRatio = col("n_stop") * lit(1.0) / nullif(col("n_toks"), lit(0))
+    val lenScore = least(col("n_chars_m") * lit(1.0) / 200.0, lit(1.0))
     val score = (lenScore + (lit(1.0) - punctRatio) + least(stopRatio * 5.0, lit(1.0))) / 3.0
-    df.select(id.as("doc_id"), nChars.as("n_chars_m"),
+    counted.select(col("doc_id"), col("n_chars_m"),
       punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
       score.as("quality_score"))
   }
@@ -127,14 +149,17 @@ object TextAnalysis {
     * hits with ties broken by alphabetical language order (the `when`
     * chain is ordered de<en<es<fr, identical in the SQL twin). */
   def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val t = toks(text)
-    val scores = langMarkers.map { case (lang, ws) =>
-      lang -> size(filter(t, x => x.isInCollection(ws)))
-    }
-    val scored = df.select(
-      (Seq(id.as("doc_id"), text.as("text_m")) ++
-        scores.map { case (l, c) => c.as(s"s_$l") }): _*)
-    val best = scores.map(_._1).map(l => col(s"s_$l"))
+    // Tokenize once (rationale at tokenStats): the four marker counts read
+    // the materialized array; inlining `toks(text)` 4× profiled 5–35×
+    // slower and session-unstable (ProfileLangId, BASELINE.md round 7).
+    val scored = df
+      .select(id.as("doc_id"), text.as("text_m"), toks(text).as("t"))
+      .select(
+        (Seq(col("doc_id"), col("text_m")) ++
+          langMarkers.map { case (l, ws) =>
+            size(filter(col("t"), x => x.isInCollection(ws))).as(s"s_$l")
+          }): _*)
+    val best = langMarkers.map { case (l, _) => col(s"s_$l") }
       .reduce((a, b) => greatest(a, b))
     // First-match-wins tiebreak in fixed order de,en,es,fr — the SQL twin
     // uses the same CASE order.
