@@ -119,6 +119,74 @@ object Graph {
     (init +: rounds).mkString(",\n")
   }
 
+  /** G2–G4 depth — GDS-normalized "ArticleRank": identical fixed-point
+    * loop to [[pageRankFixed]], but each source's contribution divides by
+    * `deg + avgDeg` instead of `deg` (ArticleRank's defining change —
+    * low-degree sources no longer hand their whole rank to a single
+    * target; GDS documents the denominator as outDegree + average
+    * outDegree). `avgDeg` is the FLOORED integer `E DIV n`: a floating
+    * average would put a double inside the otherwise order-independent
+    * BIGINT arithmetic, and multiplying through by n to keep an exact
+    * rational (`rank·85·n DIV ((deg·n + E)·100)`) overflows 2^63 once
+    * n·scale·85 does (n ≈ 10^8 at corpus scale) — the floor costs < 1
+    * part in deg+1 of normalization accuracy and keeps the same overflow
+    * headroom as [[pageRankFixed]]. Scores are NOT meant to equal GDS's
+    * (GDS runs IEEE doubles with tolerance-based convergence); the
+    * normalization SHAPE is what this implements, oracle-checked via
+    * [[articleRankCtesSql]]. */
+  def articleRankFixed(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count()
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg")).cache()
+    val avgDeg = edges.count() / n // floored — see scaladoc
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = nodes.withColumn("rank_fp", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"),
+          expr(s"(rank_fp * 85) DIV ((deg + $avgDeg) * 100)").as("c"))
+        .groupBy("dst").agg(sum("c").as("csum"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
+        .localCheckpoint(true)
+    }
+    nodes.unpersist()
+    withDeg.unpersist()
+    ranks.withColumn("rank",
+      col("rank_fp").cast("double") / lit(scale.toDouble))
+  }
+
+  /** DuckDB twin of [[articleRankFixed]] — [[pageRankCtesSql]] with the
+    * `deg + avgDeg` divisor; final ranks in `ar$iters(id, rank_fp)`. */
+  def articleRankCtesSql(edgesCte: String, iters: Int,
+      scale: Long = 1000000000000L): String = {
+    val init =
+      s"""arnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM $edgesCte UNION ALL SELECT dst FROM $edgesCte)),
+         |ardeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM $edgesCte GROUP BY src),
+         |arn AS MATERIALIZED (SELECT COUNT(*) AS n FROM arnodes),
+         |aravg AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM $edgesCte) // n AS avgdeg FROM arn),
+         |ar0 AS MATERIALIZED (SELECT id, (SELECT $scale // n FROM arn) AS rank_fp FROM arnodes)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""arc$t AS MATERIALIZED (SELECT e.dst AS id,
+         |    CAST(SUM((r.rank_fp * 85) // ((d.deg + (SELECT avgdeg FROM aravg)) * 100)) AS BIGINT) AS csum
+         |  FROM $edgesCte e JOIN ardeg d ON d.src = e.src
+         |       JOIN ar${t - 1} r ON r.id = e.src
+         |  GROUP BY e.dst),
+         |ar$t AS MATERIALIZED (SELECT nd.id,
+         |    (SELECT (15 * $scale) // (100 * n) FROM arn) + COALESCE(c.csum, 0) AS rank_fp
+         |  FROM arnodes nd LEFT JOIN arc$t c ON c.id = nd.id)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   /** DuckDB twin of [[kHopReach]] over `edgesCte(src, dst)` (must already
     * be distinct): unrolled BFS — frontier `cf$t` = (previous frontier ∘
     * edges) EXCEPT seen, reach `cr$t` = seen ∪ frontier — mirroring the
@@ -629,17 +697,130 @@ object Graph {
     * fixpoint); each round is a constant number of shuffles keyed by
     * node/community id, nothing driver-side but the 2m scalar.
     *
-    * One level (no graph coarsening): at the reference's scale the first
-    * level already merges the dense cores GDS reports; a second level
-    * would rerun the same rounds on the contracted community graph. */
+    * One level merges the dense cores; [[louvain2]] adds the GDS-style
+    * second level (graph coarsening + weighted re-run). */
   def louvain(edges: DataFrame, rounds: Int = 6): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+    val und = undirect(edges)
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val m2 = und.count() // = 2m (each undirected edge counted both ways)
+    moveRounds(und.withColumn("w", lit(1L)), deg, m2, rounds)
+  }
+
+  /** G5 depth — two-level Louvain, the shape `gds.louvain` actually runs
+    * (graph_queries.cyp:19-30 is multi-level): level 1 = [[louvain]]'s
+    * greedy move rounds on the original graph; then communities CONTRACT
+    * into a weighted graph (edge weight = inter-community edge count;
+    * self-loop rows, weight 2·intra, are kept only in the weighted degree
+    * so Σ_tot(contracted node) = Σ member degrees) and level 2 merges
+    * WHOLE communities. Final labels map back through level 1. This
+    * captures merges level 1 structurally cannot make: a single node
+    * leaving a dense community always loses more than one cross-edge
+    * gains, but the contracted community moves as a unit (GraphSpec's
+    * ring-of-cliques fixture: 16 K4 cliques where pair-merging raises Q
+    * iff n > 14).
+    *
+    * Level-2 dynamics are MATCHING-BASED agglomeration, not synchronous
+    * argmax moves: each community picks the neighbor with the best
+    * strictly-positive merge gain `2m·w(A,B) − Σ_tot(A)·Σ_tot(B)`
+    * (= ΔQ·2·(2m)², exact BIGINT) and a merge happens only when the
+    * choice is MUTUAL, adopting the smaller label. Mutual best-gain
+    * pairs form a matching, so each round's merges are disjoint and
+    * every one strictly increases Q — monotone ascent by construction,
+    * where synchronous per-node argmax moves on a symmetric contracted
+    * graph chase labels into chains (measured on the ring fixture: Q
+    * DROPPED below the level-1 value). This is the parallel
+    * agglomerative scheme of Riedy, Meyerhenke, Bader & Ediger,
+    * "Parallel community detection for massive graphs" (PPAM 2011) —
+    * ΔQ-weighted matching, contract, repeat. Ties in the argmax break
+    * by candidate label, ASCENDING for even-label communities and
+    * DESCENDING for odd (deterministic handshaking: on tie-symmetric
+    * structures like the ring, a uniform rule makes every community
+    * point the same way and nothing is mutual; the parity split pairs
+    * them off in one round). Deterministic, each round a constant
+    * number of key-partitioned shuffles; the DuckDB twin
+    * ([[louvain2CtesSql]]) unrolls both levels from the same shapes. */
+  def louvain2(edges: DataFrame, rounds1: Int = 6, rounds2: Int = 6): DataFrame = {
+    val und = undirect(edges)
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val m2 = und.count()
+    val l1 = moveRounds(und.withColumn("w", lit(1L)), deg, m2, rounds1)
+    val ce = und
+      .join(l1.select(col("id").as("src"), col("label").as("csrc")), "src")
+      .join(l1.select(col("id").as("dst"), col("label").as("cdst")), "dst")
+      .groupBy(col("csrc").as("src"), col("cdst").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val cdeg = ce.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg"))
+      .localCheckpoint(true)
+    val ew = ce.filter(col("src") =!= col("dst")).localCheckpoint(true)
+    var labels = cdeg.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var merged = true
+    for (_ <- 1 to rounds2 if merged) {
+      val lab = labels
+      val st = lab.join(cdeg, "id")
+        .groupBy(col("label")).agg(sum(col("deg")).as("st"))
+      // current community-level edge weights (A≠B, symmetric)
+      val comm = ew
+        .join(lab.select(col("id").as("src"), col("label").as("ca")), "src")
+        .join(lab.select(col("id").as("dst"), col("label").as("cb")), "dst")
+        .filter(col("ca") =!= col("cb"))
+        .groupBy(col("ca"), col("cb")).agg(sum(col("w")).as("w2"))
+      val gains = comm
+        .join(st.select(col("label").as("ca"), col("st").as("sa")), "ca")
+        .join(st.select(col("label").as("cb"), col("st").as("sb")), "cb")
+        .select(col("ca"), col("cb"),
+          (lit(m2) * col("w2") - col("sa") * col("sb")).as("g"))
+        .filter(col("g") > 0)
+      // per-community argmax over its neighbors (≤ deg rows per key)
+      val w = Window.partitionBy(col("ca")).orderBy(col("g").desc,
+        when(col("ca") % 2 === 0, col("cb")).otherwise(-col("cb")))
+      // checkpoint before the self-join: `mutual` references `best` twice,
+      // and un-truncated that duplicates the whole round's join/window
+      // subtree (plan-time stats blow up, execution doubles); the frame is
+      // one row per community — tiny
+      val best = gains.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("ca"), col("cb"))
+        .localCheckpoint(true)
+      val mutual = best.as("x").join(best.as("y"),
+          col("x.cb") === col("y.ca") && col("x.ca") === col("y.cb"))
+        .filter(col("x.ca") < col("x.cb"))
+        .select(col("x.ca").as("a"), col("x.cb").as("b"))
+        .localCheckpoint(true)
+      // a no-merge round leaves labels untouched and recomputes the same
+      // (empty) matching next round — a fixpoint, so breaking here is
+      // indistinguishable from running the remaining rounds (the SQL twin
+      // unrolls them as no-ops); the count is one row-count job on a
+      // frame already materialized for the relabel join
+      if (mutual.isEmpty) {
+        merged = false
+      } else {
+        labels = lab
+          .join(mutual.select(col("b").as("label"), col("a")), Seq("label"), "left")
+          .select(col("id"), coalesce(col("a"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+    }
+    l1.select(col("id"), col("label").as("c1"))
+      .join(labels.select(col("id").as("c1"), col("label")), "c1")
+      .select(col("id"), col("label"))
+  }
+
+  /** Distinct both-directions self-loop-free edge list (2m rows). */
+  private def undirect(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+
+  /** Weighted synchronous greedy move rounds shared by both Louvain
+    * levels: `ew(src, dst, w)` self-loop-free, `deg(id, deg)` weighted
+    * degrees (self-loops included), `m2` the original graph's total
+    * weight. Level 1 passes w=1 (sum(w) ≡ the old count). */
+  private def moveRounds(ew: DataFrame, deg: DataFrame, m2: Long,
+      rounds: Int): DataFrame = {
     var labels = deg.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -648,11 +829,11 @@ object Graph {
       val sigma = lab.join(deg, "id")
         .groupBy(col("label")).agg(sum(col("deg")).as("st"),
           count(lit(1)).as("sz"))
-      // k_{v,C}: edges from v into community C
-      val kvc = und
+      // k_{v,C}: edge weight from v into community C
+      val kvc = ew
         .join(lab.select(col("id").as("dst"), col("label").as("cand")), "dst")
         .groupBy(col("src").as("id"), col("cand"))
-        .agg(count(lit(1)).as("k"))
+        .agg(sum(col("w")).as("k"))
       // stay-candidate row must exist even when v has no intra-community
       // edge (k=0); max() collapses the duplicate when it does
       val cand = kvc.unionByName(
@@ -692,32 +873,87 @@ object Graph {
     val init =
       s"""lvdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM $undCte GROUP BY src),
          |lvm AS MATERIALIZED (SELECT COUNT(*) AS m2 FROM $undCte),
+         |lvew AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM $undCte),
          |lv0 AS MATERIALIZED (SELECT id, id AS label FROM lvdeg)""".stripMargin
+    init + ",\n" + weightedRoundsSql("lv", "lvew", "lvdeg", "lvm", rounds)
+  }
+
+  /** DuckDB twin of [[louvain2]]: level-1 CTEs from [[louvainCtesSql]],
+    * contraction (weighted community edges / degrees, self-loops kept only
+    * in the degree), unrolled matching-agglomeration rounds (gain →
+    * parity-tie-broken argmax → mutual matching → relabel), and the label
+    * map-back. Final labels in `lvf(id, label)`. */
+  def louvain2CtesSql(undCte: String, rounds1: Int, rounds2: Int): String = {
+    val contract =
+      s"""lwce AS MATERIALIZED (SELECT ls.label AS src, ld.label AS dst,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM $undCte u JOIN lv$rounds1 ls ON ls.id = u.src
+         |       JOIN lv$rounds1 ld ON ld.id = u.dst
+         |  GROUP BY ls.label, ld.label),
+         |lwdeg AS MATERIALIZED (SELECT src AS id, CAST(SUM(w) AS BIGINT) AS deg
+         |  FROM lwce GROUP BY src),
+         |lwew AS MATERIALIZED (SELECT src, dst, w FROM lwce WHERE src <> dst),
+         |lw0 AS MATERIALIZED (SELECT id, id AS label FROM lwdeg)""".stripMargin
+    val rs = (1 to rounds2).map { t =>
+      s"""lwt$t AS MATERIALIZED (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS st
+         |  FROM lw${t - 1} l JOIN lwdeg d ON d.id = l.id GROUP BY l.label),
+         |lwg$t AS MATERIALIZED (SELECT e.ca, e.cb,
+         |    m.m2 * e.w2 - sa.st * sb.st AS g
+         |  FROM (SELECT a.label AS ca, b.label AS cb, CAST(SUM(u.w) AS BIGINT) AS w2
+         |        FROM lwew u JOIN lw${t - 1} a ON a.id = u.src
+         |             JOIN lw${t - 1} b ON b.id = u.dst
+         |        WHERE a.label <> b.label GROUP BY a.label, b.label) e
+         |       JOIN lwt$t sa ON sa.label = e.ca
+         |       JOIN lwt$t sb ON sb.label = e.cb, lvm m
+         |  WHERE m.m2 * e.w2 - sa.st * sb.st > 0),
+         |lwb$t AS MATERIALIZED (SELECT ca, cb FROM (
+         |    SELECT ca, cb, ROW_NUMBER() OVER (PARTITION BY ca ORDER BY g DESC,
+         |      CASE WHEN ca % 2 = 0 THEN cb ELSE -cb END) AS rn FROM lwg$t)
+         |  WHERE rn = 1),
+         |lwm$t AS MATERIALIZED (SELECT x.ca AS a, x.cb AS b
+         |  FROM lwb$t x JOIN lwb$t y ON y.ca = x.cb AND y.cb = x.ca
+         |  WHERE x.ca < x.cb),
+         |lw$t AS MATERIALIZED (SELECT l.id, COALESCE(mm.a, l.label) AS label
+         |  FROM lw${t - 1} l LEFT JOIN lwm$t mm ON mm.b = l.label)""".stripMargin
+    }
+    val mapBack =
+      s"""lvf AS MATERIALIZED (SELECT a.id, b.label
+         |  FROM lv$rounds1 a JOIN lw$rounds2 b ON b.id = a.label)""".stripMargin
+    (Seq(louvainCtesSql(undCte, rounds1), contract) ++ rs :+ mapBack)
+      .mkString(",\n")
+  }
+
+  /** Weighted synchronous move rounds (SQL twin of [[moveRounds]]):
+    * `$edgeCte(src,dst,w)` self-loop-free, `$degCte(id,deg)` weighted
+    * degrees, `$mCte(m2)` the graph's total weight, labels start in
+    * `${p}0`; final labels in `${p}$rounds`. */
+  private def weightedRoundsSql(p: String, edgeCte: String, degCte: String,
+      mCte: String, rounds: Int): String = {
     val rs = (1 to rounds).map { t =>
-      s"""lvs$t AS MATERIALIZED (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS st,
+      s"""${p}s$t AS MATERIALIZED (SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS st,
          |    COUNT(*) AS sz
-         |  FROM lv${t - 1} l JOIN lvdeg d ON d.id = l.id GROUP BY l.label),
-         |lvc$t AS MATERIALIZED (SELECT id, cand, CAST(MAX(k) AS BIGINT) AS k FROM (
-         |    SELECT u.src AS id, l.label AS cand, COUNT(*) AS k
-         |    FROM $undCte u JOIN lv${t - 1} l ON l.id = u.dst GROUP BY u.src, l.label
-         |    UNION ALL SELECT id, label AS cand, 0 AS k FROM lv${t - 1})
+         |  FROM ${p}${t - 1} l JOIN $degCte d ON d.id = l.id GROUP BY l.label),
+         |${p}c$t AS MATERIALIZED (SELECT id, cand, CAST(MAX(k) AS BIGINT) AS k FROM (
+         |    SELECT u.src AS id, l.label AS cand, CAST(SUM(u.w) AS BIGINT) AS k
+         |    FROM $edgeCte u JOIN ${p}${t - 1} l ON l.id = u.dst GROUP BY u.src, l.label
+         |    UNION ALL SELECT id, label AS cand, 0 AS k FROM ${p}${t - 1})
          |  GROUP BY id, cand),
-         |lvb$t AS MATERIALIZED (SELECT id, own, cand, cand_sz FROM (
+         |${p}b$t AS MATERIALIZED (SELECT id, own, cand, cand_sz FROM (
          |    SELECT c.id, o.label AS own, c.cand, s.sz AS cand_sz,
          |           ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
          |             (m.m2 * c.k - d.deg *
          |              (s.st - CASE WHEN c.cand = o.label THEN d.deg ELSE 0 END)) DESC,
          |             c.cand) AS rn
-         |    FROM lvc$t c JOIN lv${t - 1} o ON o.id = c.id
-         |         JOIN lvdeg d ON d.id = c.id
-         |         JOIN lvs$t s ON s.label = c.cand, lvm m)
+         |    FROM ${p}c$t c JOIN ${p}${t - 1} o ON o.id = c.id
+         |         JOIN $degCte d ON d.id = c.id
+         |         JOIN ${p}s$t s ON s.label = c.cand, $mCte m)
          |  WHERE rn = 1),
-         |lv$t AS MATERIALIZED (SELECT b.id,
+         |${p}$t AS MATERIALIZED (SELECT b.id,
          |    CASE WHEN b.cand <> b.own AND os.sz = 1 AND b.cand_sz = 1
          |              AND b.cand > b.own THEN b.own ELSE b.cand END AS label
-         |  FROM lvb$t b JOIN lvs$t os ON os.label = b.own)""".stripMargin
+         |  FROM ${p}b$t b JOIN ${p}s$t os ON os.label = b.own)""".stripMargin
     }
-    (init +: rs).mkString(",\n")
+    rs.mkString(",\n")
   }
 
   /** G2–G4 — "ArticleRank"-style projected PageRank: project an

@@ -189,6 +189,18 @@ object GraphQueries extends QueryModule {
         .select(col("label").as("community"), col("size"))
         .orderBy(col("size").desc, col("community"))),
 
+    // G5 (full GDS shape) — TWO-level Louvain: level-1 move rounds, then
+    // community contraction into a weighted graph and a weighted re-run,
+    // labels mapped back (gds.louvain is multi-level; one level
+    // structurally cannot merge two dense cores joined by a thin cut —
+    // see GraphSpec's ring-of-cliques fixture). Twin unrolls both levels
+    // + contraction from the same generator.
+    "g_louvain2" -> ((s, dir) =>
+      Graph.louvain2(refEdges(s, dir), rounds1 = 6, rounds2 = 6)
+        .groupBy(col("label")).agg(count(lit(1)).as("size"))
+        .select(col("label").as("community"), col("size"))
+        .orderBy(col("size").desc, col("community"))),
+
     // G2 — author ArticleRank through the reference's own projection
     // (graph_queries.cyp:48-58): (Author)-[:AUTHORSHIP]-(Piece)
     // -[:REFERENCES*1..10]->(Piece)-[:AUTHORSHIP]-(Author2), i.e. the
@@ -198,6 +210,20 @@ object GraphQueries extends QueryModule {
       val proj = Graph.projectViaClosure(
         authorship(s, dir), Graph.kHopReach(refEdges(s, dir), 10))
       named(Graph.pageRankFixed(proj, iters = 10),
+          Tables.customer(s, dir), "c_custkey", "c_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))
+    }),
+
+    // G2 depth — the same author projection under GDS's OWN ArticleRank
+    // normalization (VERDICT r6 #6): contribution divides by
+    // deg + avg-deg, not deg (gds.articleRank, graph_queries.cyp:48-58;
+    // the faithful-formulation entries above keep the classic deg
+    // divisor). Same fixed-point machinery, hash-checked twin.
+    "g_articlerank_gdsnorm" -> ((s, dir) => {
+      val proj = Graph.projectViaClosure(
+        authorship(s, dir), Graph.kHopReach(refEdges(s, dir), 10))
+      named(Graph.articleRankFixed(proj, iters = 10),
           Tables.customer(s, dir), "c_custkey", "c_name")
         .select(col("id"), col("name"), col("rank_fp"), col("rank"))
         .orderBy(col("rank_fp").desc, col("id"))
@@ -289,6 +315,19 @@ object GraphQueries extends QueryModule {
        |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
        |FROM pr10 pr JOIN ($dimSql) d ON d.k = pr.id
        |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin
+
+  /** [[projectedPrOracle]] with the GDS `deg + avgdeg` ArticleRank
+    * normalization ([[Graph.articleRankCtesSql]]). */
+  private def projectedArOracle(endsSql: String, dimSql: String): String =
+    s"""WITH $refEdgesSql,
+       |${Graph.closureCtesSql("e", 10)},
+       |$endsSql,
+       |$projSql,
+       |${Graph.articleRankCtesSql("proj", 10)}
+       |SELECT ar.id, d.name, ar.rank_fp,
+       |       CAST(ar.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+       |FROM ar10 ar JOIN ($dimSql) d ON d.k = ar.id
+       |ORDER BY ar.rank_fp DESC, ar.id""".stripMargin
 
   /** LPA CTE prelude shared by `g_lpa_communities` / `g_modularity`. */
   private val lpaPrelude =
@@ -412,7 +451,19 @@ object GraphQueries extends QueryModule {
          |SELECT label AS community, COUNT(*) AS size FROM lv6
          |GROUP BY label ORDER BY size DESC, community""".stripMargin,
 
+    "g_louvain2" ->
+      s"""WITH $refEdgesSql,
+         |lund AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |  WHERE src <> dst),
+         |${Graph.louvain2CtesSql("lund", 6, 6)}
+         |SELECT label AS community, COUNT(*) AS size FROM lvf
+         |GROUP BY label ORDER BY size DESC, community""".stripMargin,
+
     "g_articlerank_customers" -> projectedPrOracle(authorshipEndsSql,
+      "SELECT c_custkey AS k, c_name AS name FROM customer"),
+
+    "g_articlerank_gdsnorm" -> projectedArOracle(authorshipEndsSql,
       "SELECT c_custkey AS k, c_name AS name FROM customer"),
 
     "g_articlerank_venues" -> projectedPrOracle(publicationEndsSql,

@@ -79,6 +79,65 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("louvain2 merges the ring-of-cliques that one level cannot") {
+    // 16 K4 cliques in a ring, one link edge per adjacent pair. Merging
+    // adjacent cliques raises modularity iff n > 14 (Q_pairs − Q_singles
+    // = 1/14 − 1/n), but a level-1 node move out of a clique always
+    // scores negative (loses 3 intra edges, gains the 1 link) — the
+    // resolution-limit fixture (Fortunato & Barthélemy 2007) where only
+    // the contracted level-2 pass can merge.
+    val n = 16
+    val cliqueEdges = for {
+      c <- 0 until n
+      i <- 0 until 4
+      j <- (i + 1) until 4
+    } yield (c * 4L + i, c * 4L + j)
+    val ringEdges = (0 until n).map { c =>
+      (c * 4L, ((c + 1) % n) * 4L + 1)
+    }
+    val es = edges((cliqueEdges ++ ringEdges): _*)
+
+    // level 1 finds exactly the cliques…
+    val l1 = Graph.louvain(es, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l1Comms = l1.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(l1Comms == (0 until n).map(c =>
+      (0 until 4).map(i => c * 4L + i).toSet).toSet)
+
+    // …and level 2 merges cliques (fewer communities, whole cliques only)
+    val l2 = Graph.louvain2(es, rounds1 = 6, rounds2 = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2.size == 4 * n)
+    val l2Sizes = l2.groupBy(_._2).values.map(_.size).toSeq
+    assert(l2Sizes.size < n, s"level 2 did not merge: $l2Sizes")
+    assert(l2Sizes.forall(_ % 4 == 0), "a level-2 community split a clique")
+
+    // the merge is a genuine modularity ascent: Q(l2) > Q(l1), exactly
+    def q(labs: Map[Long, Long]) = {
+      val df = labs.toSeq.toDF("id", "label")
+      val r = Graph.modularity(es, df).head
+      (BigInt(r.getLong(0)), BigInt(r.getLong(1)))
+    }
+    val (n1, d1) = q(l1); val (n2, d2) = q(l2)
+    assert(n2 * d1 > n1 * d2, s"Q did not improve: $n1/$d1 -> $n2/$d2")
+    // determinism is covered by the g_louvain2 oracle: the DuckDB twin
+    // unrolls the same rounds, so any run-to-run nondeterminism would
+    // flake the hash compare; a second 60s fixture run adds nothing
+  }
+
+  test("articleRankFixed: deg+avgdeg divisor sheds mass vs pageRankFixed") {
+    // 3-cycle: E=3, n=3 → avgDeg=1, so every contribution divides by
+    // (1+1) instead of 1 — symmetric ranks strictly below PageRank's
+    // (ArticleRank deliberately sheds mass from low-degree sources)
+    val es = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val ar = Graph.articleRankFixed(es, iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRankFixed(es, iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ar.size == 3 && ar.values.toSet.size == 1, s"asymmetric: $ar")
+    assert(ar(1L) < pr(1L), s"ArticleRank did not shed mass: $ar vs $pr")
+  }
+
   test("jaccardSimilarity: identical neighbor sets -> 1.0, excludes self") {
     // 1 and 2 both point at {10, 11}; 3 points at {10}.
     val j = Graph.jaccardSimilarity(
