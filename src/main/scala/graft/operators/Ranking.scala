@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
 
 /** Scale-safe global ranking (SURVEY §7 risk 2).
   *
@@ -59,7 +60,11 @@ object Ranking {
     *    job; the rule's spliced child is a user query plan, not a nested
     *    pipeline, so the cachedPlan re-serialization stays bounded. */
   private def pin(df: DataFrame, jobFreePlanning: Boolean): DataFrame =
-    if (jobFreePlanning) df.persist() else df.localCheckpoint(true)
+    if (jobFreePlanning) {
+      val p = df.persist()
+      RankPins.register(p)
+      p
+    } else df.localCheckpoint(true)
 
   /** Global dense rank of `df` by `valueCol` (descending by default),
     * appended as `rankName`. `valueCol` must be non-null. */
@@ -144,4 +149,44 @@ object Ranking {
     df.join(valueRank,
         valueCols.map(c => col(c) <=> col(s"_v_$c")).reduce(_ && _))
       .select((df.columns.map(col) :+ col(rankName)): _*)
+}
+
+/** Storage hygiene for rule-mode boundary frames (VERDICT r6 "what's
+  * wrong" #2): each SQL-text rank query planned through
+  * [[graft.plans.GlobalRankRewrite]] lazily `persist()`s its
+  * distinct-value frame, and nothing ever unpersisted it — a long session
+  * issuing many SQL-text rank queries accumulated one materialized
+  * InMemoryRelation per query until `clearCache`.
+  *
+  * The registry is keyed by the frame's `CachedRDDBuilder` (the one
+  * instance every copy of its InMemoryRelation shares) with WEAK identity
+  * keys: an entry lives exactly as long as the CacheManager holds the
+  * cache entry, so `spark.catalog.clearCache()` also evaporates the
+  * registry. [[graft.plans.RankPinRelease]] — attached per session by
+  * `GraftExtensions.register` — sweeps after every completed query: any
+  * registered builder appearing in the completed plan has its
+  * column-buffer RDD dropped (storage only — the CacheManager entry
+  * stays, so a held DataFrame re-executed later just re-materializes
+  * through the same builder and is swept again on ITS completion).
+  * Clearing never breaks the boundary-pinning contract: both rank
+  * consumers sit inside one query, sharing one builder within each
+  * execution; a sweep between executions only forces a re-materialization
+  * whose boundaries may differ — and ranks are boundary-independent. */
+private[graft] object RankPins {
+  // guava MapMaker: weak keys compare by identity — exactly the builder
+  // lifetime semantics above (java.util.WeakHashMap would use the case
+  // class's deep structural equality)
+  private val pins: java.util.concurrent.ConcurrentMap[AnyRef, AnyRef] =
+    new com.google.common.collect.MapMaker().weakKeys()
+      .makeMap[AnyRef, AnyRef]()
+
+  private[graft] def register(df: DataFrame): Unit =
+    Shims.cacheBuilderOf(df).foreach(b => pins.put(b, java.lang.Boolean.TRUE))
+
+  /** Drop storage for every registered builder among `builders` (the
+    * completed query's in-memory relations). */
+  private[graft] def release(builders: Seq[AnyRef]): Unit =
+    builders.foreach { b =>
+      if (pins.containsKey(b)) Shims.clearBuilderCache(b)
+    }
 }

@@ -59,12 +59,28 @@ object StreamingWarehouse {
         // overwrite the directory the recovered state is lazily reading
         // (a self-overwrite that fails mid-scan)
         val next = nextVersion(stateDir)
+        // RDDs persisted before this batch (a recovered state's, a user's
+        // own) are out of scope for the post-commit sweep below
+        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
         state = persistState(
           Warehouse.loadBatch(spark, state, batch), s"$stateDir/v$next")
         pruneOldVersions(stateDir, keep = 2)
         // release the per-batch caches loadBatch pinned — the state now
         // reads from parquet, so nothing references them anymore
         spark.catalog.clearCache()
+        // …and the batch's localCheckpoint blocks (the key-minting ranks'
+        // eager boundary pins — Ranking's default mode): the catalog never
+        // knew them, and without this they accumulate one set per
+        // micro-batch until the JVM happens to GC the superseded State
+        // plans — the GC-timing-dependent 3-4x degradation BASELINE.md
+        // documents for Bench, whose between-runs sweep this mirrors.
+        // Safe even though unpersisting a localCheckpoint is irreversible
+        // (lineage is truncated): the committed state re-reads parquet,
+        // so no surviving plan references these blocks.
+        val sc = spark.sparkContext
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!persistedBefore.contains(id)) { rdd.unpersist(false); () }
+        }
         ()
       }
       .start()

@@ -181,7 +181,13 @@ object Warehouse {
       ("author", freshAuthor), ("affiliation", freshAffiliation),
       ("group", newPapers))
       .map { case (n, df) =>
-        df.agg(count(lit(1)).as("m")).select(lit(n).as("k"), col("m"))
+        // group keys are minted by a dense rank over DISTINCT ids
+        // (withGroups below), so the group advance counts distinct ids —
+        // a batch carrying duplicate ids must not overshoot the carried
+        // high-water mark. The dim entries count fresh natural keys that
+        // freshNaturalKeys already made distinct.
+        val m = if (n == "group") countDistinct(col("id")) else count(lit(1))
+        df.agg(m.as("m")).select(lit(n).as("k"), col("m"))
       }
       .reduce(_ unionByName _)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -36,7 +36,10 @@ import graft.operators.Ranking
   * partitioning share the one `InMemoryRelation` (one exchange instance,
   * one boundary-sampling pass — identical boundaries guaranteed without
   * running anything during `explain()` or re-planning). The persisted
-  * frame is the distinct value set — small by construction.
+  * frame is the distinct value set — small by construction, and its
+  * storage is swept when the query completes ([[RankPinRelease]] /
+  * [[graft.operators.RankPins]] — frames no longer accumulate across a
+  * session's SQL-text rank queries).
   *
   * Covers `DENSE_RANK()` (two-pass over distinct values) and `RANK()`
   * (two-pass over value row counts — gap semantics). Restrictions (rule

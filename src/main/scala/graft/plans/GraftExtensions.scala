@@ -45,8 +45,15 @@ object GraftExtensions {
         intLit(children(1), "shingleN"), intLit(children(2), "k"))
     })
 
-  /** Register on an existing session (tests / REPL): the functions AND the
-    * ranking rewrite (idempotent — skips if already attached). */
+  // sessions that already carry the RankPinRelease listener (weak keys:
+  // a stopped session's entry evaporates with the session)
+  private val pinListenerAttached =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register on an existing session (tests / REPL): the functions, the
+    * ranking rewrite, AND the rewrite's storage-hygiene listener
+    * (idempotent — skips whatever is already attached). */
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, minhashSigDescriptor).foreach {
       case (id, info, builder) =>
@@ -56,6 +63,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[GlobalRankRewrite]))
       spark.experimental.extraOptimizations ++= Seq(GlobalRankRewrite(spark))
+    if (pinListenerAttached.put(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(new RankPinRelease)
   }
 
   /** Column-API entry point. */

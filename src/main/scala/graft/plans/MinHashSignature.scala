@@ -81,6 +81,15 @@ object MinHashSignature {
 
   val maxK: Int = math.min(saltXor.length, saltMul.length)
 
+  // One digest per executor thread, not per row (ADVICE r6): this is the
+  // bench's hottest expression, and MessageDigest.getInstance is a
+  // provider lookup + allocation. digest() leaves the instance reset, so
+  // reuse across rows/shingles is safe; ThreadLocal because Expression
+  // eval runs concurrently on every task thread.
+  private val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** One pass over the document: per character n-gram, md5 → first 7
     * bytes as an unsigned 56-bit Long, then the k xor/mul/mask
     * derivations, tracking minima. Null when no full-length shingle
@@ -91,7 +100,8 @@ object MinHashSignature {
   def compute(s: UTF8String, n: Int, k: Int): ArrayData = {
     val numChars = s.numChars()
     if (numChars < n) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5.get()
+    md.reset() // defensive: a prior partial update must not leak in
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val bytes = s.getBytes

@@ -85,14 +85,17 @@ object AnalyticsQueries extends QueryModule {
     // gate would flake at scale while 4σ (~1 in 16k per group) stays a
     // real error detector at every SF.
     "sketch_approx_distinct" -> ((s, dir) => {
+      // ONE rsd constant feeds both the sketch and the 4σ bound — the
+      // documented contract breaks silently if they ever drift apart
+      val rsd = 0.02
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("au"),
+        .agg(approx_count_distinct(col("user_id"), rsd).as("au"),
           countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))
         .select(col("event_type"), col("exact_users"), col("n_events"),
           (abs(col("au") - col("exact_users")) <=
-            col("exact_users") * lit(4 * 0.02)).as("within_bound_of_exact"))
+            col("exact_users") * lit(4 * rsd)).as("within_bound_of_exact"))
         .orderBy(col("event_type"))
     })
   )

@@ -24,4 +24,35 @@ object Shims {
     * exact "this launched N Spark jobs" assertions without sleeps. */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  // ---- cache-pin plumbing for graft.operators.Ranking's rule mode ------
+  // CachedRDDBuilder is `private[sql]`; it crosses into graft code erased
+  // to AnyRef so only this file names the internal type.
+
+  /** The builder the CacheManager registered for a persisted `df`, if any
+    * (the SAME builder instance every InMemoryRelation copy shares). */
+  def cacheBuilderOf(df: DataFrame): Option[AnyRef] = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds)
+      .map(_.cachedRepresentation.cacheBuilder)
+  }
+
+  /** Cache builders of every InMemoryRelation in a completed query's
+    * optimized plan (where GlobalRankRewrite splices its pinned frame). */
+  def inMemoryCacheBuilders(
+      qe: org.apache.spark.sql.execution.QueryExecution): Seq[AnyRef] =
+    qe.optimizedPlan.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        i.cacheBuilder
+    }
+
+  /** Drop a builder's materialized column-buffer RDD (non-blocking, and a
+    * no-op when nothing is materialized). The CacheManager entry is left
+    * alone on purpose: a later re-execution of the same plan simply
+    * re-materializes through the same builder — and is swept again. */
+  def clearBuilderCache(b: AnyRef): Unit = {
+    val builder =
+      b.asInstanceOf[org.apache.spark.sql.execution.columnar.CachedRDDBuilder]
+    if (builder.isCachedColumnBuffersLoaded) builder.clearCache(false)
+  }
 }

@@ -170,6 +170,30 @@ class RankingSpec extends AnyFunSuite {
     assert(n == 0, s"construction launched $n Spark job(s)")
   }
 
+  test("N successive SQL-text rank queries leave zero persisted frames") {
+    // VERDICT r6 #2: the rule-mode lazy persist of the boundary frame used
+    // to pin one InMemoryRelation per SQL-text rank query until clearCache.
+    // RankPinRelease now sweeps each frame when its query completes.
+    import org.apache.spark.sql.graftshim.Shims
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    data.createOrReplaceTempView("rk_sweep")
+    for (i <- 1 to 4) {
+      // distinct SQL text per iteration → distinct plan → distinct frame
+      val fn = if (i % 2 == 0) "RANK" else "DENSE_RANK"
+      val df = spark.sql(
+        s"""SELECT id, v, $fn() OVER (ORDER BY v DESC) AS r
+           |FROM rk_sweep WHERE id > $i""".stripMargin)
+      // collect, not count: count() prunes the rank column, the window
+      // disappears before the rule, and nothing would ever materialize
+      assert(df.collect().nonEmpty)
+      assert(unpartitioned.findFirstIn(planOf(df)).isEmpty,
+        "query was not rewritten — sweep test would be vacuous")
+    }
+    Shims.drainListenerBus(spark) // listener completions are async
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"rank queries left persisted RDDs: $leaked")
+  }
+
   test("post-aggregate dense_rank is NOT rewritten (cardinality gate)") {
     val agg = data.groupBy("v").agg(count(lit(1)).as("n"))
       .withColumn("r", dense_rank().over(Window.orderBy(col("n").desc)))
