@@ -45,24 +45,37 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("lt"), n)).as("s"))
 
 
-  /** LSH banding with 2 rows per band over a wide signature: docs sharing
-    * any full band become candidate pairs. Join key is (band, m0, m1) — a
-    * shuffle whose cardinality is |docs|·k/2, independent of |docs|². */
-  def lshCandidates(sig: DataFrame, k: Int): DataFrame = {
-    val bandStructs = (0 until k / 2).map { j =>
-      struct(lit(j).as("band"), col(s"mh${2 * j}").as("m0"),
-        col(s"mh${2 * j + 1}").as("m1"))
+  /** LSH banding with `rowsPerBand` rows per band over a wide signature:
+    * docs sharing any full band become candidate pairs. The banded rows
+    * are |docs|·(k/rowsPerBand) — linear in docs; the JOIN output is where
+    * scale lives: a random pair collides on one band with probability
+    * ≈ J^rowsPerBand, so candidates = true-dup-driven pairs plus a
+    * residual quadratic tail with that coefficient. The 10× scale-stress
+    * (BASELINE.md round 7) measured the tail directly on this corpus
+    * (baseline J ≈ 0.14): rowsPerBand=2 leaves ~2% of random pairs
+    * colliding (candidates grew 128× across a 10× docs step), while
+    * rowsPerBand=4 at k=16 cuts the coefficient to J⁴ ≈ 4·10⁻⁴ at
+    * band-match recall (1−(1−J^4)^4) ≈ 0.99 for J ≥ 0.9 — the knob to
+    * turn FIRST when candidates outgrow true dupes at corpus scale.
+    * Only the (k=8, rowsPerBand=2) default is oracle-checked; the SQL
+    * twin embeds that shape. */
+  def lshCandidates(sig: DataFrame, k: Int, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand >= 1 && k % rowsPerBand == 0,
+      s"lshCandidates: k=$k must be a multiple of rowsPerBand=$rowsPerBand")
+    val bandStructs = (0 until k / rowsPerBand).map { j =>
+      struct(lit(j).as("band") +:
+        (0 until rowsPerBand).map(i =>
+          col(s"mh${rowsPerBand * j + i}").as(s"m$i")): _*)
     }
     val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"),
-        col("b.m0").as("m0"), col("b.m1").as("m1"))
+      .select(col("doc_id") +: col("b.band").as("band") +:
+        (0 until rowsPerBand).map(i => col(s"b.m$i").as(s"m$i")): _*)
     val a = bands.as("a")
     val b = bands.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.m0") === col("b.m0") && col("a.m1") === col("b.m1") &&
-        col("a.doc_id") < col("b.doc_id"))
+    val keyEq = (col("a.band") === col("b.band")) +:
+      (0 until rowsPerBand).map(i => col(s"a.m$i") === col(s"b.m$i"))
+    a.join(b, keyEq.reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -126,12 +139,13 @@ object Dedup {
   }
 
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
-      shingleN: Int, k: Int, threshold: Double): DataFrame = {
+      shingleN: Int, k: Int, threshold: Double,
+      rowsPerBand: Int = 2): DataFrame = {
     // Only the narrow signature rows persist — caching the shingle arrays
     // costs ~10s of columnar serialization at sf0.1, so the verify stage
     // recomputes arrays for candidate docs.
     val sig = minHashSignatures(df, id, text, shingleN, k).persist()
-    val cand = lshCandidates(sig, k)
+    val cand = lshCandidates(sig, k, rowsPerBand)
     val pruned = estimateFilter(cand, sig, k, minMatches = k / 2)
       .persist()
     val candDocs = pruned.select(col("doc_a").as("doc_id"))
