@@ -198,17 +198,22 @@ object TextAnalysis {
   /** Content fingerprints: full-document md5 plus a winnowing-style
     * min-hash over 8-gram windows (the rolling-hash fingerprint of
     * MOSS/winnowing, with md5 standing in for the rolling hash so both
-    * engines derive identical values). */
-  def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame = {
-    // lower(text) as an attribute first — inside the shingle lambda it
-    // would re-lowercase the document once per 8-gram.
-    val grams = graft.functions.TextFns.shingles(col("lt"), 8)
+    * engines derive identical values).
+    *
+    * The min-gram hash runs as the native [[graft.plans.MinGramHash]]
+    * expression — one fused codegen'd loop per document. The composable
+    * `array_min(transform(shingles(lt, 8), md5Hash54))` form it replaces
+    * is bit-identical (MinGramHashSpec) but evaluates the md5→hex→conv
+    * chain interpreted per 8-gram window: benched 4.15 s at sf0.1 vs
+    * ~0.3 s native — the same interpreted-HOF tax the MinHash signature
+    * paid before its expression (BASELINE.md round 6). */
+  def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), lower(text).as("lt"))
       .select(
         col("doc_id"),
         md5(col("lt")).as("content_md5"),
-        array_min(transform(grams, g => md5Hash54(g))).as("min_gram_hash"))
-  }
+        graft.plans.GraftExtensions.minGramHash(col("lt"), 8)
+          .as("min_gram_hash"))
 
   def fingerprintSql(table: String): String =
     s"""SELECT doc_id,

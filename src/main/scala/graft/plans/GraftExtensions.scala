@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.minGramHashDescriptor)
     ext.injectOptimizerRule(GlobalRankRewrite(_))
   }
 }
@@ -45,6 +46,20 @@ object GraftExtensions {
         intLit(children(1), "shingleN"), intLit(children(2), "k"))
     })
 
+  private val minGramHashDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("min_gram_hash"),
+    new ExpressionInfo(classOf[MinGramHash].getName, "min_gram_hash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "min_gram_hash expects (text, n)")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "min_gram_hash: n must be an integer literal")
+      }
+      MinGramHash(children.head, n)
+    })
+
   // sessions that already carry the RankPinRelease listener (weak keys:
   // a stopped session's entry evaporates with the session)
   private val pinListenerAttached =
@@ -55,7 +70,8 @@ object GraftExtensions {
     * ranking rewrite, AND the rewrite's storage-hygiene listener
     * (idempotent — skips whatever is already attached). */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimDescriptor, minhashSigDescriptor).foreach {
+    Seq(cosineSimDescriptor, minhashSigDescriptor,
+        minGramHashDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info,
           (exprs: Seq[Expression]) => builder(exprs))
@@ -74,4 +90,8 @@ object GraftExtensions {
   /** Column-API entry point for [[MinHashSignature]]. */
   def minhashSig(text: Column, shingleN: Int, k: Int): Column =
     Shims.column(MinHashSignature(Shims.expression(text), shingleN, k))
+
+  /** Column-API entry point for [[MinGramHash]]. */
+  def minGramHash(text: Column, n: Int): Column =
+    Shims.column(MinGramHash(Shims.expression(text), n))
 }

@@ -85,8 +85,9 @@ object MinHashSignature {
   // bench's hottest expression, and MessageDigest.getInstance is a
   // provider lookup + allocation. digest() leaves the instance reset, so
   // reuse across rows/shingles is safe; ThreadLocal because Expression
-  // eval runs concurrently on every task thread.
-  private val md5: ThreadLocal[java.security.MessageDigest] =
+  // eval runs concurrently on every task thread. Shared with
+  // [[MinGramHash]] (same per-shingle digest discipline).
+  private[plans] val md5: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
 
