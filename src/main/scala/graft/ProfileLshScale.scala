@@ -61,10 +61,16 @@ object ProfileLshScale {
         docs, col("doc_id"), col("text"), 8, 16, 0.8,
         rowsPerBand = 4).count())
 
+      // ---- SimHash scale knob: 48-bit fingerprint, 6 byte-bands -------
+      val (nSim48, wall48) = t(Dedup.simHashPairs(
+        Dedup.simHash(docs, col("doc_id"), col("text"), bits = 48),
+        maxHamming = 2, bits = 48).count())
+
       println(s"[lsh-scale] $dir docs=$nDocs " +
         s"mh_cand=$nCand mh_pruned=$nPruned mh_pairs=$nPairs mh_wall=${wallMh.formatted("%.2f")}s " +
         s"mh16x4_cand=$nCand16 mh16x4_pairs=$nPairs16 mh16x4_wall=${wall16.formatted("%.2f")}s " +
-        s"sh_cand=$nSimCand sh_pairs=$nSimPairs sh_wall=${wallSh.formatted("%.2f")}s")
+        s"sh_cand=$nSimCand sh_pairs=$nSimPairs sh_wall=${wallSh.formatted("%.2f")}s " +
+        s"sh48_pairs=$nSim48 sh48_wall=${wall48.formatted("%.2f")}s")
       docs.unpersist(true)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -206,23 +206,32 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Number of SimHash bits (32 keeps the per-bit agg column count sane
-    * while giving byte-banding 4 bands). */
+  /** Default SimHash width (32 keeps the per-bit agg column count sane
+    * while giving byte-banding 4 bands). The 10× scale-stress
+    * (BASELINE.md round 7) showed 32 bits SATURATE on a shared-vocabulary
+    * corpus — hamming ≤ 2 of 32 admitted 7.9% of ALL pairs at sf0.1 — so
+    * `bits` is a parameter: 48 (6 byte-bands, still inside the 54-bit
+    * token hash) is the measured scale configuration, oracle-checked as
+    * `dd_simhash_wide_pairs`. */
   val simHashBits = 32
 
   /** SimHash fingerprint per doc: per-bit majority vote over token hashes.
-    * One explode + one groupBy with 32 conditional sums — all codegen'd.
-    * Token hash is the engine-portable md5-derived 54-bit hash. */
-  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    * One explode + one groupBy with `bits` conditional sums — all
+    * codegen'd. Token hash is the engine-portable md5-derived 54-bit
+    * hash, so `bits ≤ 54` (and a multiple of 8 for the byte-banding). */
+  def simHash(df: DataFrame, id: Column, text: Column,
+      bits: Int = simHashBits): DataFrame = {
+    require(bits >= 8 && bits <= 54 && bits % 8 == 0,
+      s"simHash: bits must be a multiple of 8 in [8, 54], got $bits")
     // Single-space split (not \s+) to match the SQL twin byte-for-byte.
     val tok = df.select(id.as("doc_id"),
         explode(array_distinct(
           filter(split(lower(text), " "), t => length(t) > 0))).as("t"))
       .withColumn("th", md5Hash54(col("t")))
-    val bitSums = (0 until simHashBits).map { j =>
+    val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("th"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    val fp = (0 until simHashBits).map { j =>
+    val fp = (0 until bits).map { j =>
       when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     tok.groupBy(col("doc_id"))
@@ -230,17 +239,19 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-pair search: byte-banding over the 32-bit fingerprint
-    * (two fingerprints within hamming distance d < 4 must agree on at
-    * least one of the 4 bytes — pigeonhole), then exact hamming ≤
+  /** SimHash near-pair search: byte-banding over the `bits`-wide
+    * fingerprint (two fingerprints within hamming distance d < bits/8
+    * must agree on at least one byte — pigeonhole), then exact hamming ≤
     * `maxHamming` on band-collision candidates. Same candidates-scale-
     * with-duplicates property as MinHash LSH. */
-  def simHashPairs(fp: DataFrame, maxHamming: Int): DataFrame = {
-    // 4-byte banding only guarantees recall for distances < 4 — at d >= 4
-    // a pair can differ in every byte and silently never collide.
-    require(maxHamming < 4,
-      s"simHashPairs: byte-banding guarantees recall only for maxHamming < 4, got $maxHamming")
-    val bands = (0 until 4).map { j =>
+  def simHashPairs(fp: DataFrame, maxHamming: Int,
+      bits: Int = simHashBits): DataFrame = {
+    val nBands = bits / 8
+    // byte banding only guarantees recall for distances < nBands — beyond
+    // it a pair can differ in every byte and silently never collide.
+    require(maxHamming < nBands,
+      s"simHashPairs: $nBands-byte banding guarantees recall only for maxHamming < $nBands, got $maxHamming")
+    val bands = (0 until nBands).map { j =>
       struct(lit(j).as("band"),
         (shiftright(col("simhash"), 8 * j) % 256).as("bk"))
     }
@@ -261,12 +272,13 @@ object Dedup {
 
   /** SQL twin of [[simHashPairs]] (DuckDB), from the same constants — the
     * fingerprint query nests as a CTE (a CTE body may carry its own WITH). */
-  def simHashPairsSql(table: String, maxHamming: Int): String = {
-    val bandSelects = (0 until 4)
+  def simHashPairsSql(table: String, maxHamming: Int,
+      bits: Int = simHashBits): String = {
+    val bandSelects = (0 until bits / 8)
       .map(j => s"SELECT doc_id, simhash, $j AS band, (simhash // ${1L << (8 * j)}) % 256 AS bk FROM fp")
       .mkString("\n          UNION ALL ")
     s"""WITH fp AS (
-       |${simHashSql(table)}),
+       |${simHashSql(table, bits)}),
        |banded AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -279,11 +291,11 @@ object Dedup {
 
   /** SQL twin of [[simHash]] for the DuckDB oracle — generated from the
     * same bit constants so the two can't drift. */
-  def simHashSql(table: String): String = {
-    val bitSums = (0 until simHashBits).map { j =>
+  def simHashSql(table: String, bits: Int = simHashBits): String = {
+    val bitSums = (0 until bits).map { j =>
       s"SUM(CASE WHEN (th // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
     }.mkString(",\n             ")
-    val fp = (0 until simHashBits).map { j =>
+    val fp = (0 until bits).map { j =>
       s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
     s"""WITH tok AS (

@@ -73,6 +73,17 @@ object TextPipelineQueries extends QueryModule {
         maxHamming = 2)
     }),
 
+    // The 48-bit scale configuration (BASELINE.md round-7 scale-stress:
+    // 32 bits saturate on a shared-vocabulary corpus — hamming ≤ 2 of 32
+    // admitted 7.9% of ALL pairs at sf0.1; ≤ 2 of 48 is a far stricter
+    // match and byte-banding gets 6 bands).
+    "dd_simhash_wide_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(
+        Dedup.simHash(Tables.documents(s, dir), col("doc_id"), col("text"),
+          bits = 48),
+        maxHamming = 2, bits = 48)
+    }),
+
     // Token counting (whitespace tokenization).
     "txt_token_stats" -> ((s, dir) => {
       TextAnalysis.tokenStats(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -211,6 +222,9 @@ object TextPipelineQueries extends QueryModule {
 
     "dd_simhash_pairs" ->
       Dedup.simHashPairsSql("documents", maxHamming = 2),
+
+    "dd_simhash_wide_pairs" ->
+      Dedup.simHashPairsSql("documents", maxHamming = 2, bits = 48),
 
     "txt_token_stats" ->
       (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),
