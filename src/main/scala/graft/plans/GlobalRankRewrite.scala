@@ -69,7 +69,11 @@ case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!spark.conf.get("spark.graft.globalRankRewrite", "true").toBoolean) plan
-    else plan.transformUp {
+    else {
+      // a rule that pins frames guarantees its own sweeper — builder-time
+      // .withExtensions sessions never pass through register()
+      GraftExtensions.ensurePinListener(spark)
+      plan.transformUp {
       case w @ Window(Seq(alias: Alias), partSpec, orderSpec, child, _)
           if partSpec.isEmpty && orderSpec.nonEmpty && w.resolved &&
             (alias.child match {
@@ -115,5 +119,6 @@ case class GlobalRankRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             Alias(actual, target.name)(exprId = target.exprId)
           },
           rankedPlan)
+      }
     }
 }

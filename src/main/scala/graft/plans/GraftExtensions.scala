@@ -66,6 +66,15 @@ object GraftExtensions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Attach the rank-pin storage-release listener once per session.
+    * Called from [[register]] AND from `GlobalRankRewrite.apply` (a
+    * builder-time `.withExtensions(new GraftExtensions)` session gets the
+    * rule injected without ever passing through `register`, and a rule
+    * that pins frames must guarantee its own sweeper). */
+  private[plans] def ensurePinListener(spark: SparkSession): Unit =
+    if (pinListenerAttached.put(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(new RankPinRelease)
+
   /** Register on an existing session (tests / REPL): the functions, the
     * ranking rewrite, AND the rewrite's storage-hygiene listener
     * (idempotent — skips whatever is already attached). */
@@ -79,8 +88,7 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[GlobalRankRewrite]))
       spark.experimental.extraOptimizations ++= Seq(GlobalRankRewrite(spark))
-    if (pinListenerAttached.put(spark, java.lang.Boolean.TRUE) == null)
-      spark.listenerManager.register(new RankPinRelease)
+    ensurePinListener(spark)
   }
 
   /** Column-API entry point. */
