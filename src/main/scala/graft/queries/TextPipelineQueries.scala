@@ -84,6 +84,18 @@ object TextPipelineQueries extends QueryModule {
         maxHamming = 2, bits = 48)
     }),
 
+    // Training-data decontamination: flag corpus docs sharing any 12-gram
+    // with a quarantine set (the eval-leakage gate). The first 25 docs
+    // stand in for the benchmark corpus; the rest are the training corpus.
+    "decon_ngram_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.flagged(
+          docs.filter(col("doc_id") >= 25), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 25), col("doc_id"), col("text"),
+          n = exactN)
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting (whitespace tokenization).
     "txt_token_stats" -> ((s, dir) => {
       TextAnalysis.tokenStats(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -225,6 +237,12 @@ object TextPipelineQueries extends QueryModule {
 
     "dd_simhash_wide_pairs" ->
       Dedup.simHashPairsSql("documents", maxHamming = 2, bits = 48),
+
+    "decon_ngram_overlap" ->
+      (graft.operators.Decontaminate.decontaminateSql(
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 25",
+        "SELECT doc_id AS q_id, text FROM documents WHERE doc_id < 25",
+        n = exactN) + "\nORDER BY doc_id"),
 
     "txt_token_stats" ->
       (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),

@@ -52,4 +52,26 @@ class DedupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(fp(0L) ^ fp(1L)) <
       java.lang.Long.bitCount(fp(0L) ^ fp(3L))) // near-dup closer in hamming
   }
+
+  test("decontamination flags exactly the docs sharing a quarantine gram") {
+    // quarantine doc 100 holds a distinctive 12-gram; corpus doc 0 embeds
+    // it verbatim, doc 1 shares 13 chars (two overlapping 12-grams), doc 2
+    // is clean. Matches count DISTINCT grams and quarantine docs.
+    val quarantine = Seq(
+      (100L, "the secret benchmark answer key aaa"),
+      (101L, "another eval set document entirely bbb")).toDF("q_id", "text")
+    val corpus = Seq(
+      (0L, "prefix text then secret benchmark materials"),
+      (1L, "also contains secret benchmarks somewhere"),
+      (2L, "completely unrelated training content")).toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate.flagged(
+        corpus, col("doc_id"), col("text"),
+        quarantine, col("q_id"), col("text"), n = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.contains(0L), "doc embedding a quarantine 12-gram not flagged")
+    assert(out(0L)._2 == 1L) // one quarantine doc touched
+    assert(!out.contains(2L), "clean doc was flagged")
+    // every flagged doc has >= 1 matched gram by construction
+    assert(out.values.forall(_._1 >= 1L))
+  }
 }
