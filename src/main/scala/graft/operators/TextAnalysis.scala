@@ -193,6 +193,55 @@ object TextAnalysis {
        |FROM scored""".stripMargin
   }
 
+  // ---- repetition (Gopher-style quality rules) -------------------------
+
+  /** Word-bigram repetition signals — the repetition family of the
+    * published pre-training quality rules (Gopher's "repetition" filters):
+    * `dup_bigram_frac` (1 − distinct/total) catches documents that keep
+    * re-using phrases, `top_bigram_share` catches a single boilerplate
+    * phrase dominating. Two aggregations keyed by document (bigram
+    * counts, then the doc rollup) — one narrow shuffle each, no window,
+    * no collect. Docs with fewer than two tokens report 0 bigrams and
+    * NULL fractions (guarded division, like the other txt_* operators). */
+  def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // tokenize once (rationale at tokenStats), bigrams materialized in
+    // their own projection; explode_outer keeps sub-2-token docs
+    val bg = df.select(id.as("doc_id"), toks(text).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("doc_id"), explode_outer(col("bg")).as("g"))
+    bg.groupBy(col("doc_id"), col("g"))
+      .agg(count(col("g")).as("c")) // counts non-null: 0 for the padding row
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_bigrams"),
+        count(when(col("g").isNotNull, lit(1))).as("n_distinct_bigrams"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        (lit(1.0) - col("n_distinct_bigrams") * lit(1.0) /
+          nullif(col("n_bigrams"), lit(0))).as("dup_bigram_frac"),
+        (col("top_c") * lit(1.0) /
+          nullif(col("n_bigrams"), lit(0))).as("top_bigram_share"))
+  }
+
+  def repetitionSql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM $table),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |         i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])) AS g
+       |       FROM t WHERE len(t) >= 2),
+       |c AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+       |r AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |             COUNT(*) AS n_distinct_bigrams, CAST(MAX(c) AS BIGINT) AS top_c
+       |      FROM c GROUP BY doc_id)
+       |SELECT doc_id, COALESCE(r.n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(r.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       |       1.0 - r.n_distinct_bigrams * 1.0 / NULLIF(r.n_bigrams, 0) AS dup_bigram_frac,
+       |       r.top_c * 1.0 / NULLIF(r.n_bigrams, 0) AS top_bigram_share
+       |FROM t LEFT JOIN r USING (doc_id)""".stripMargin
+
   // ---- fingerprinting ------------------------------------------------
 
   /** Content fingerprints: full-document md5 plus a winnowing-style

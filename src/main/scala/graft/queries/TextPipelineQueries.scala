@@ -23,6 +23,12 @@ object TextPipelineQueries extends QueryModule {
   private val exactN = 12    // selective shingles for the exact all-pairs path
   private val exactThreshold = 0.6
 
+  // dataset-mixing rates by language (up-sample fr/de, down-sample zh —
+  // the usual shape of a multilingual mix); thresholds are integers on
+  // BOTH engines, derived once here
+  private val mixRates = Map("en" -> 0.5, "de" -> 0.8, "es" -> 0.3,
+    "fr" -> 1.0, "zh" -> 0.1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content hash (keep lowest doc_id per hash).
     "dd_exact_dedup" -> ((s, dir) => {
@@ -93,6 +99,23 @@ object TextPipelineQueries extends QueryModule {
           docs.filter(col("doc_id") >= 25), col("doc_id"), col("text"),
           docs.filter(col("doc_id") < 25), col("doc_id"), col("text"),
           n = exactN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling — the dataset-mixing gate:
+    // hash-threshold keep-filter per language, reproducible across
+    // runs/engines, supersets under rate increases (same salt).
+    "mix_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratified(Tables.documents(s, dir),
+          col("doc_id"), col("lang"), mixRates, "mix7")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Word-bigram repetition signals (Gopher-style quality rules).
+    "txt_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -243,6 +266,14 @@ object TextPipelineQueries extends QueryModule {
         "SELECT doc_id, text FROM documents WHERE doc_id >= 25",
         "SELECT doc_id AS q_id, text FROM documents WHERE doc_id < 25",
         n = exactN) + "\nORDER BY doc_id"),
+
+    "mix_stratified_sample" ->
+      (graft.operators.Sampling.stratifiedSql(
+        "SELECT doc_id, lang, source FROM documents",
+        "doc_id", "lang", mixRates, "mix7") + "\nORDER BY doc_id"),
+
+    "txt_repetition" ->
+      (TextAnalysis.repetitionSql("documents") + "\nORDER BY doc_id"),
 
     "txt_token_stats" ->
       (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),

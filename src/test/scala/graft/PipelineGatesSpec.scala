@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Sampling, TextAnalysis}
+
+/** The dataset-mixing and repetition gates: hand-computed answers plus
+  * the properties a mixing gate must hold (determinism, rate-nesting). */
+class PipelineGatesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("stratified sampling: deterministic, nested under rate increase") {
+    val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    def keep(rates: Map[String, Double]) =
+      Sampling.stratified(rows, col("id"), col("s"), rates, "t1")
+        .collect().map(_.getLong(0)).toSet
+    val half = keep(Map("a" -> 0.5, "b" -> 0.0))
+    // determinism: the same call keeps the same rows
+    assert(keep(Map("a" -> 0.5, "b" -> 0.0)) == half)
+    // stratum b at rate 0 contributes nothing; a-rate 0.5 keeps roughly half
+    assert(half.forall(_ % 2 == 0))
+    assert(half.size > 60 && half.size < 140, s"rate far off: ${half.size}/200")
+    // nesting: raising a rate with the same salt keeps a superset
+    val more = keep(Map("a" -> 0.8, "b" -> 0.0))
+    assert(half.subsetOf(more))
+    // unknown strata drop
+    assert(keep(Map("zz" -> 1.0)).isEmpty)
+  }
+
+  test("repetition signals match hand computation") {
+    val df = Seq(
+      (1L, "a b a b a"), // bigrams: ab,ba,ab,ba -> dup 0.5, top 0.5
+      (2L, "x"),         // no bigrams -> 0 counts, NULL fractions
+      (3L, "a a a")      // aa,aa -> dup 0.5, top 1.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 2)
+    assert(out(0).getDouble(3) == 0.5 && out(0).getDouble(4) == 0.5)
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0)
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4))
+    assert(out(2).getLong(1) == 2 && out(2).getLong(2) == 1)
+    assert(out(2).getDouble(3) == 0.5 && out(2).getDouble(4) == 1.0)
+  }
+}
