@@ -20,7 +20,7 @@ object TextAnalysis {
   def toks(text: Column): Column =
     filter(split(lower(text), " "), t => length(t) > 0)
 
-  private val toksSql =
+  private[graft] val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
 
   // ---- token statistics ----------------------------------------------

@@ -112,6 +112,20 @@ object TextPipelineQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: concatenate-then-chunk into 2048-token training
+    // sequences — global running sum via the two-pass plan, never an
+    // unpartitioned window (PlanGuardSpec asserts the plan shape).
+    "pack_sequences" -> ((s, dir) => {
+      val withTokens = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.packSequences(withTokens, "doc_id",
+          "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("stream_offset"),
+          col("seq_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Word-bigram repetition signals (Gopher-style quality rules).
     "txt_repetition" -> ((s, dir) => {
       TextAnalysis.repetition(Tables.documents(s, dir), col("doc_id"),
@@ -274,6 +288,11 @@ object TextPipelineQueries extends QueryModule {
 
     "txt_repetition" ->
       (TextAnalysis.repetitionSql("documents") + "\nORDER BY doc_id"),
+
+    "pack_sequences" ->
+      (graft.operators.Packing.packSequencesSql(
+        s"SELECT doc_id, CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tokens FROM documents",
+        "doc_id", "n_tokens", budget = 2048L) + "\nORDER BY doc_id"),
 
     "txt_token_stats" ->
       (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),

@@ -30,6 +30,29 @@ class PipelineGatesSpec extends AnyFunSuite {
     assert(keep(Map("zz" -> 1.0)).isEmpty)
   }
 
+  test("packSequences matches the single-window form, no global window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 300L).map(i => (i, (i % 7) + 1)).toDF("id", "n")
+    val expected = df.withColumn("so", coalesce(
+        sum(col("n")).over(Window.orderBy(col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val packed = graft.operators.Packing.packSequences(df, "id", "n",
+      budget = 10, parts = 7)
+    val got = packed.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("stream_offset"), r.getAs[Long]("seq_id")))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap == expected)
+    assert(got.forall { case (_, (so, seq)) => seq == so / 10 })
+    // the whole point: the two-pass plan never builds an unpartitioned
+    // window (same assert as RankingSpec's)
+    val plan = packed.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert("""windowspecdefinition\([^,]*(ASC|DESC)""".r
+      .findFirstIn(plan).isEmpty, s"global window in plan:\n$plan")
+  }
+
   test("repetition signals match hand computation") {
     val df = Seq(
       (1L, "a b a b a"), // bigrams: ab,ba,ab,ba -> dup 0.5, top 0.5
