@@ -10,7 +10,12 @@ object PlanAudit {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-plan")
     new java.io.File(outDir).mkdirs()
     val qs = SparkEntry.queries
-    Bench.headline.filter(qs.contains).foreach { name =>
+    // SPARK_GRAFT_AUDIT: comma-separated query names to audit instead of
+    // the bench headline set (dev-only, like Verify's SPARK_GRAFT_ONLY)
+    val names = sys.env.get("SPARK_GRAFT_AUDIT")
+      .map(_.split(',').toSeq.filter(qs.contains))
+      .getOrElse(Bench.headline.filter(qs.contains))
+    names.foreach { name =>
       val df = qs(name)(spark, sfDir)
       df.collect() // execute THIS plan so AQE finalizes + codegen ids appear
       val plan = df.queryExecution.explainString(
