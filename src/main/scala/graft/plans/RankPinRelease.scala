@@ -15,11 +15,16 @@ import graft.operators.RankPins
   * plan — queries without in-memory relations pay a plan walk and
   * nothing else. */
 class RankPinRelease extends QueryExecutionListener {
+  // optimizedPlan is a lazy val: on a query that failed during
+  // analysis/optimization it RE-THROWS the original error — a listener
+  // must swallow that (the failed query pinned nothing anyway)
+  private def releaseOf(qe: QueryExecution): Unit =
+    try RankPins.release(Shims.inMemoryCacheBuilders(qe))
+    catch { case scala.util.control.NonFatal(_) => () }
+
   override def onSuccess(funcName: String, qe: QueryExecution,
-      durationNs: Long): Unit =
-    RankPins.release(Shims.inMemoryCacheBuilders(qe))
+      durationNs: Long): Unit = releaseOf(qe)
 
   override def onFailure(funcName: String, qe: QueryExecution,
-      exception: Exception): Unit =
-    RankPins.release(Shims.inMemoryCacheBuilders(qe))
+      exception: Exception): Unit = releaseOf(qe)
 }
