@@ -738,12 +738,17 @@ object Graph {
     * "Parallel community detection for massive graphs" (PPAM 2011) —
     * ΔQ-weighted matching, contract, repeat. Ties in the argmax break
     * by candidate label, ASCENDING for even-label communities and
-    * DESCENDING for odd (deterministic handshaking: on tie-symmetric
-    * structures like the ring, a uniform rule makes every community
-    * point the same way and nothing is mutual; the parity split pairs
-    * them off in one round). Deterministic, each round a constant
-    * number of key-partitioned shuffles; the DuckDB twin
-    * ([[louvain2CtesSql]]) unrolls both levels from the same shapes. */
+    * DESCENDING for odd — a deterministic stand-in for Riedy et al.'s
+    * random orientation. On a tie-symmetric cycle whose labels happen
+    * to share parity the split is inert, but the ascending rule still
+    * makes the minimum-label community and its choice mutual, so tied
+    * structures progress every round and merges CASCADE rather than
+    * pair off at once (the ring fixture lands 6 merges across its 6
+    * rounds); a no-merge round is a fixpoint and exits early.
+    * Deterministic, each round a constant number of key-partitioned
+    * shuffles; the DuckDB twin ([[louvain2CtesSql]]) unrolls both
+    * levels from the same shapes (early exit is twin-safe because
+    * post-fixpoint rounds unroll as no-ops). */
   def louvain2(edges: DataFrame, rounds1: Int = 6, rounds2: Int = 6): DataFrame = {
     val und = undirect(edges)
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
