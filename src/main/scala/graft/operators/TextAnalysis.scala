@@ -193,6 +193,53 @@ object TextAnalysis {
        |FROM scored""".stripMargin
   }
 
+  // ---- vocabulary / OOV (corpus-global statistics) ---------------------
+
+  /** Top-`k` corpus vocabulary by token frequency, ties broken by token
+    * (deterministic at the k-th boundary on both engines). The global
+    * top-k runs as Spark's TakeOrderedAndProject over the per-token
+    * counts — k is bounded, so nothing corpus-scale ever sits in one
+    * partition. */
+  def vocabulary(df: DataFrame, text: Column, k: Int): DataFrame =
+    df.select(explode(toks(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top-`k`
+    * vocabulary — the coverage filter a tokenizer-bound pipeline runs
+    * (drop or route docs whose tokens the vocab can't represent). The
+    * first corpus-GLOBAL text operator: stage 1 aggregates the corpus
+    * once (one shuffle), stage 2 joins the bounded vocab back per token
+    * occurrence (k rows — AQE broadcasts) and re-aggregates per doc.
+    * Empty docs report 0 tokens and a NULL rate (guarded division). */
+  def oovRate(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val vocab = vocabulary(df, text, k).select(col("token"), lit(1).as("_iv"))
+    df.select(id.as("doc_id"), explode_outer(toks(text)).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("token")).as("n_tokens"),
+        coalesce(sum(when(col("token").isNotNull && col("_iv").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") * lit(1.0) /
+          nullif(col("n_tokens"), lit(0))).as("oov_rate"))
+  }
+
+  def oovRateSql(table: String, k: Int): String =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS token FROM $table),
+       |v AS (SELECT token FROM (
+       |    SELECT token, COUNT(*) AS freq FROM tk GROUP BY token
+       |    ORDER BY freq DESC, token ASC LIMIT $k)),
+       |agg AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+       |      CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |    FROM tk LEFT JOIN v ON v.token = tk.token GROUP BY tk.doc_id)
+       |SELECT doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       |       COALESCE(a.n_oov, 0) AS n_oov,
+       |       a.n_oov * 1.0 / NULLIF(a.n_tokens, 0) AS oov_rate
+       |FROM (SELECT DISTINCT doc_id FROM $table) d
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ---- repetition (Gopher-style quality rules) -------------------------
 
   /** Word-bigram repetition signals — the repetition family of the

@@ -29,6 +29,10 @@ object TextPipelineQueries extends QueryModule {
   private val mixRates = Map("en" -> 0.5, "de" -> 0.8, "es" -> 0.3,
     "fr" -> 1.0, "zh" -> 0.1)
 
+  // top-k corpus vocabulary for the OOV gate — small enough that real
+  // tail tokens fall outside it at every SF (non-degenerate rates)
+  private val vocabK = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content hash (keep lowest doc_id per hash).
     "dd_exact_dedup" -> ((s, dir) => {
@@ -123,6 +127,14 @@ object TextPipelineQueries extends QueryModule {
           "n_tokens", budget = 2048L)
         .select(col("doc_id"), col("n_tokens"), col("stream_offset"),
           col("seq_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage: per-doc OOV rate against the corpus's own
+    // top-k vocabulary (the tokenizer-coverage gate).
+    "txt_oov_rate" -> ((s, dir) => {
+      TextAnalysis.oovRate(Tables.documents(s, dir), col("doc_id"),
+          col("text"), vocabK)
         .orderBy(col("doc_id"))
     }),
 
@@ -285,6 +297,9 @@ object TextPipelineQueries extends QueryModule {
       (graft.operators.Sampling.stratifiedSql(
         "SELECT doc_id, lang, source FROM documents",
         "doc_id", "lang", mixRates, "mix7") + "\nORDER BY doc_id"),
+
+    "txt_oov_rate" ->
+      (TextAnalysis.oovRateSql("documents", vocabK) + "\nORDER BY doc_id"),
 
     "txt_repetition" ->
       (TextAnalysis.repetitionSql("documents") + "\nORDER BY doc_id"),

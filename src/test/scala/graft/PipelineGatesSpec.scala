@@ -53,6 +53,30 @@ class PipelineGatesSpec extends AnyFunSuite {
       .findFirstIn(plan).isEmpty, s"global window in plan:\n$plan")
   }
 
+  test("vocabulary top-k and OOV rate match hand computation") {
+    val df = Seq(
+      (1L, "a a a b b c"), // freq: a=3 b=2(+1 doc3) c=1(+1 doc3)
+      (2L, ""),            // empty doc: 0 tokens, NULL rate
+      (3L, "b c d")        // d is rank 4 -> OOV at k=3
+    ).toDF("doc_id", "text")
+    // corpus freq: a=3, b=3, c=2, d=1 -> top-3 = {a, b, c}
+    val vocab = TextAnalysis.vocabulary(df, col("text"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("a" -> 3L, "b" -> 3L, "c" -> 2L))
+    val out = TextAnalysis.oovRate(df, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 6 && out(0).getLong(2) == 0 &&
+      out(0).getDouble(3) == 0.0)
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0 &&
+      out(1).isNullAt(3))
+    assert(out(2).getLong(1) == 3 && out(2).getLong(2) == 1 &&
+      math.abs(out(2).getDouble(3) - 1.0 / 3) < 1e-12)
+    // tie at the k-th boundary breaks by token asc: k=2 keeps {a, b}
+    val v2 = TextAnalysis.vocabulary(df, col("text"), 2)
+      .collect().map(_.getString(0)).toSet
+    assert(v2 == Set("a", "b"))
+  }
+
   test("repetition signals match hand computation") {
     val df = Seq(
       (1L, "a b a b a"), // bigrams: ab,ba,ab,ba -> dup 0.5, top 0.5
