@@ -850,10 +850,14 @@ object Graph {
         .groupBy(col("src").as("id"), col("cand"))
         .agg(sum(col("w")).as("k"))
       // stay-candidate row must exist even when v has no intra-community
-      // edge (k=0); max() collapses the duplicate when it does
+      // edge (k=0). Unioned WITHOUT deduplication: when v does have an
+      // intra-community edge, the duplicate (cand=own, k=0) row scores
+      // strictly below the true k>0 row (the score is affine-increasing
+      // in k, slope m2 > 0 whenever any edge exists), so the argmax
+      // below never picks it — a per-round (id, cand) dedup shuffle
+      // bought nothing.
       val cand = kvc.unionByName(
-          lab.select(col("id"), col("label").as("cand"), lit(0L).as("k")))
-        .groupBy(col("id"), col("cand")).agg(max(col("k")).as("k"))
+        lab.select(col("id"), col("label").as("cand"), lit(0L).as("k")))
       val own = lab.select(col("id"), col("label").as("own"))
       val scored = cand.join(own, "id").join(deg, "id")
         .join(sigma.withColumnRenamed("label", "cand"), "cand")
@@ -862,12 +866,18 @@ object Graph {
           (lit(m2) * col("k") - col("deg") *
             (col("st") - when(col("cand") === col("own"), col("deg"))
               .otherwise(lit(0L)))).as("score"))
-      // per-node argmax — the window partitions by node id over ≤ deg+1
-      // candidate rows, never a global window
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("score").desc, col("cand"))
-      val best = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // per-node argmax as a HASH aggregation with map-side partial
+      // combine, not a sort window: max over the struct (score, -cand)
+      // is lexicographic, i.e. exactly `score DESC, cand ASC` — the
+      // twin's ROW_NUMBER ordering ([[louvainCtesSql]]) — over ≤ deg+1
+      // candidate rows per node. (own is constant per id: a grouping
+      // key, so it rides along without an aggregate.)
+      val best = scored
+        .groupBy(col("id"), col("own"))
+        .agg(max(struct(col("score"), (-col("cand")).as("nc"),
+          col("cand_sz"))).as("b"))
+        .select(col("id"), col("own"), (-col("b.nc")).as("cand"),
+          col("b.cand_sz").as("cand_sz"))
       val ownSz = sigma.select(col("label").as("own"), col("sz").as("own_sz"))
       labels = best.join(ownSz, "own")
         .select(col("id"),

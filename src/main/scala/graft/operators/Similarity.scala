@@ -184,9 +184,8 @@ object Similarity {
         when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"),
             x => floor(x / col("scale") * lit(127.0) + lit(0.5)).cast("long"))))
-      .withColumn("norm2", aggregate(
-        zip_with(col("codes"), col("codes"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("norm2",
+        graft.plans.GraftExtensions.dotI64(col("codes"), col("codes")))
       .select(col("vec_id"), col("scale"), col("codes"), col("norm2"))
   }
 
@@ -203,9 +202,12 @@ object Similarity {
       .orderBy(col("cos_q").desc, col("vec_id"))
     q.crossJoin(qz.select(col("vec_id"), col("codes"), col("norm2")))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("dot_q", aggregate(
-        zip_with(col("qc"), col("codes"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      // the cross join's whole cost is this inner product: the native
+      // codegen dot_i64 (graft.plans.DotI64) replaces the interpreted
+      // aggregate∘zip_with chain — bit-identical BIGINT sum, no per-pair
+      // allocation (DotI64Spec proves equality on the HOF form)
+      .withColumn("dot_q",
+        graft.plans.GraftExtensions.dotI64(col("qc"), col("codes")))
       .withColumn("cos_q", col("dot_q").cast("double") /
         sqrt((col("qn") * col("norm2")).cast("double")))
       .withColumn("rnk", row_number().over(w))

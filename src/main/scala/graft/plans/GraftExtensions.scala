@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.minGramHashDescriptor)
+    ext.injectFunction(GraftExtensions.dotI64Descriptor)
     ext.injectOptimizerRule(GlobalRankRewrite(_))
   }
 }
@@ -60,6 +61,15 @@ object GraftExtensions {
       MinGramHash(children.head, n)
     })
 
+  private val dotI64Descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_i64"),
+    new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "dot_i64 expects exactly 2 arguments")
+      DotI64(children.head, children.last)
+    })
+
   // sessions that already carry the RankPinRelease listener (weak keys:
   // a stopped session's entry evaporates with the session)
   private val pinListenerAttached =
@@ -80,7 +90,7 @@ object GraftExtensions {
     * (idempotent — skips whatever is already attached). */
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, minhashSigDescriptor,
-        minGramHashDescriptor).foreach {
+        minGramHashDescriptor, dotI64Descriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info,
           (exprs: Seq[Expression]) => builder(exprs))
@@ -102,4 +112,8 @@ object GraftExtensions {
   /** Column-API entry point for [[MinGramHash]]. */
   def minGramHash(text: Column, n: Int): Column =
     Shims.column(MinGramHash(Shims.expression(text), n))
+
+  /** Column-API entry point for [[DotI64]]. */
+  def dotI64(a: Column, b: Column): Column =
+    Shims.column(DotI64(Shims.expression(a), Shims.expression(b)))
 }
