@@ -206,6 +206,34 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Containment near-dup pairs: `inter / min(|A|, |B|)` over the same
+    * distinct-shingle sets as [[exactJaccardPairs]]. Containment is the
+    * dedup mode Jaccard misses: a short document wholly embedded in a
+    * long one (quote, boilerplate wrapper, truncated re-crawl) has high
+    * containment but LOW Jaccard — the union is dominated by the long
+    * side. Same inverted-index join shape and scale notes as the Jaccard
+    * path; the ordering `doc_a < doc_b` makes the measure symmetric-pair
+    * unique while the score itself is direction-free (min of the two
+    * sizes). */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, id, text, shingleN)
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.as("na"), col("na.doc_id") === col("doc_a"))
+      .join(sizes.as("nb"), col("nb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") * lit(1.0) /
+          least(col("na.n"), col("nb.n"))).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Default SimHash width (32 keeps the per-bit agg column count sane
     * while giving byte-banding 4 bands). The 10× scale-stress
     * (BASELINE.md round 7) showed 32 bits SATURATE on a shared-vocabulary

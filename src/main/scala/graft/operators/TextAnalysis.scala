@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns.md5Hash54
@@ -288,6 +289,43 @@ object TextAnalysis {
        |       1.0 - r.n_distinct_bigrams * 1.0 / NULLIF(r.n_bigrams, 0) AS dup_bigram_frac,
        |       r.top_c * 1.0 / NULLIF(r.n_bigrams, 0) AS top_bigram_share
        |FROM t LEFT JOIN r USING (doc_id)""".stripMargin
+
+  // ---- n-gram language model -----------------------------------------
+
+  /** Corpus-level bigram language-model estimation — maximum-likelihood
+    * conditional probabilities `P(b|a) = c(a,b) / Σ_b' c(a,b')`, the
+    * count tables a filtering/perplexity pipeline trains on. Two
+    * aggregations: bigram counts (one shuffle keyed by the pair), then
+    * the left-context totals as a window partitioned by `a` — the
+    * partition key is bounded by the VOCABULARY, not the corpus, so the
+    * window never concentrates corpus-scale data. Probabilities are one
+    * exact-operand IEEE division (BIGINT/BIGINT → double), so the DuckDB
+    * twin hashes identically. */
+  def bigramLm(df: DataFrame, text: Column): DataFrame = {
+    val bg = df.select(toks(text).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+    bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("c_a",
+        sum(col("c_ab")).over(Window.partitionBy(col("a"))))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"),
+        (col("c_ab") * lit(1.0) / col("c_a")).as("p"))
+  }
+
+  def bigramLmSql(table: String): String =
+    s"""WITH t AS (SELECT $toksSql AS t FROM $table),
+       |bg AS (SELECT
+       |         unnest(list_transform(range(1, len(t)), i -> t[CAST(i AS INT)])) AS a,
+       |         unnest(list_transform(range(1, len(t)), i -> t[CAST(i + 1 AS INT)])) AS b
+       |       FROM t WHERE len(t) >= 2),
+       |c AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b)
+       |SELECT a, b, c_ab,
+       |       CAST(SUM(c_ab) OVER (PARTITION BY a) AS BIGINT) AS c_a,
+       |       c_ab * 1.0 / CAST(SUM(c_ab) OVER (PARTITION BY a) AS BIGINT) AS p
+       |FROM c""".stripMargin
 
   // ---- fingerprinting ------------------------------------------------
 

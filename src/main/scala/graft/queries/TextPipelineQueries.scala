@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Pii, TextAnalysis}
 
 /** Training-data-pipeline text operators over `documents`: dedup family
   * (exact, MinHash+LSH, SimHash, exact n-gram Jaccard), token stats,
@@ -32,6 +32,21 @@ object TextPipelineQueries extends QueryModule {
   // top-k corpus vocabulary for the OOV gate — small enough that real
   // tail tokens fall outside it at every SF (non-degenerate rates)
   private val vocabK = 100
+
+  // containment threshold: a doc half-embedded in another is a wrapper
+  // candidate; Jaccard's 0.6 gate misses these when sizes are skewed
+  private val containThreshold = 0.5
+
+  /** The synthetic corpus carries no PII, so the scrub oracle would be a
+    * no-op; both engines append the SAME deterministic PII spans (email /
+    * URL / IPv4 / phone derived from doc_id) so the redaction path is
+    * genuinely exercised and hash-checked. */
+  private def piiText(idExpr: String, textExpr: String): String =
+    s"$textExpr || ' contact user' || CAST($idExpr AS VARCHAR)" +
+      " || '@mail.example.com via https://ex.org/d/'" +
+      s" || CAST($idExpr AS VARCHAR) || ' from 10.0.'" +
+      s" || CAST($idExpr % 200 AS VARCHAR) || '.7 call +3721234'" +
+      s" || CAST($idExpr % 100 AS VARCHAR)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content hash (keep lowest doc_id per hash).
@@ -129,6 +144,35 @@ object TextPipelineQueries extends QueryModule {
           col("seq_id"))
         .orderBy(col("doc_id"))
     }),
+
+    // Containment near-dup (short doc embedded in a long one — the
+    // wrapper/quote/truncation mode Jaccard's union denominator hides).
+    "dd_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), exactN, containThreshold)
+    }),
+
+    // PII scrubbing over deterministically PII-augmented docs (see
+    // piiText): per-class redaction counts + scrubbed text.
+    "txt_pii_scrub" -> ((s, dir) => {
+      val withPii = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com via https://ex.org/d/"),
+            col("doc_id").cast("string"),
+            lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
+            lit(".7 call +3721234"),
+            (col("doc_id") % 100).cast("string")).as("text"))
+      Pii.scrub(withPii, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus bigram LM estimation (MLE conditional probabilities — the
+    // count tables a perplexity/filtering pipeline trains on).
+    "lm_bigram" -> ((s, dir) =>
+      TextAnalysis.bigramLm(Tables.documents(s, dir), col("text"))
+        .orderBy(col("a"), col("b"))),
 
     // Vocabulary coverage: per-doc OOV rate against the corpus's own
     // top-k vocabulary (the tokenizer-coverage gate).
@@ -297,6 +341,26 @@ object TextPipelineQueries extends QueryModule {
       (graft.operators.Sampling.stratifiedSql(
         "SELECT doc_id, lang, source FROM documents",
         "doc_id", "lang", mixRates, "mix7") + "\nORDER BY doc_id"),
+
+    "dd_containment" ->
+      s"""WITH ${shCte(exactN)},
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.doc_a, i.doc_b,
+         |       i.inter * 1.0 / least(na.n, nb.n) AS containment
+         |FROM inter i JOIN n na ON na.doc_id = i.doc_a
+         |             JOIN n nb ON nb.doc_id = i.doc_b
+         |WHERE i.inter * 1.0 / least(na.n, nb.n) >= $containThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "txt_pii_scrub" ->
+      (Pii.scrubSql(s"(SELECT doc_id, ${piiText("doc_id", "text")} AS text" +
+        " FROM documents)") + "\nORDER BY doc_id"),
+
+    "lm_bigram" ->
+      (TextAnalysis.bigramLmSql("documents") + "\nORDER BY a, b"),
 
     "txt_oov_rate" ->
       (TextAnalysis.oovRateSql("documents", vocabK) + "\nORDER BY doc_id"),

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Pii, TextAnalysis}
+
+/** Hand-computed answers for the PII scrub, the bigram LM estimation,
+  * and containment near-dup pairs. */
+class PiiSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("scrub redacts url/email/ip/phone with stage-wise counts") {
+    val df = Seq(
+      (1L, "see https://a.b/x?u=1 or mail bob@x.co and 10.0.0.1 call +12345678"),
+      (2L, "nothing here"),
+      (3L, "two mails a@b.io c@d.org one ip 1.2.3.4"),
+      // email embedded in a URL counts once, as the URL
+      (4L, "https://u:pw@host.com/path only")
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1 &&
+      out(0).getInt(3) == 1 && out(0).getInt(4) == 1)
+    assert(out(0).getString(5) ==
+      "see <URL> or mail <EMAIL> and <IP> call <PHONE>")
+    assert(out(1).getString(5) == "nothing here" &&
+      (1 to 4).forall(i => out(1).getInt(i) == 0))
+    assert(out(2).getInt(2) == 2 && out(2).getInt(3) == 1)
+    assert(out(2).getString(5) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+    assert(out(3).getInt(1) == 1 && out(3).getInt(2) == 0,
+      s"URL-embedded email must count as URL only: ${out(3)}")
+    assert(out(3).getString(5) == "<URL> only")
+  }
+
+  test("bigramLm: MLE conditionals sum to 1 per left context") {
+    val df = Seq("a b a b", "a c", "x").toDF("text")
+    val out = TextAnalysis.bigramLm(df, col("text"))
+      .orderBy("a", "b").collect()
+    // bigrams: (a,b)x2 from doc1, (b,a) from doc1, (a,c) from doc2
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byPair(("a", "b")) == ((2L, 3L, 2.0 / 3)))
+    assert(byPair(("a", "c")) == ((1L, 3L, 1.0 / 3)))
+    assert(byPair(("b", "a")) == ((1L, 1L, 1.0)))
+    assert(out.length == 3) // single-token doc "x" contributes nothing
+    // per-context probabilities are a distribution
+    val sums = out.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(4)).sum)
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("containment finds an embedded doc that Jaccard misses") {
+    val long = ("the quick brown fox jumps over the lazy dog while the " +
+      "band plays on and the crowd cheers loudly for hours") * 3
+    val short = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, long), (2L, short), (3L, "completely different text"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, col("doc_id"), col("text"),
+      shingleN = 8, threshold = 0.9).collect()
+    assert(cont.length == 1 &&
+      cont(0).getLong(0) == 1L && cont(0).getLong(1) == 2L)
+    // the same pair is invisible at the equivalent Jaccard threshold:
+    // union is dominated by the long doc
+    val jac = Dedup.exactJaccardPairs(df, col("doc_id"), col("text"),
+      shingleN = 8, threshold = 0.9).collect()
+    assert(jac.isEmpty)
+  }
+}
