@@ -290,6 +290,75 @@ object TextAnalysis {
        |       r.top_c * 1.0 / NULLIF(r.n_bigrams, 0) AS top_bigram_share
        |FROM t LEFT JOIN r USING (doc_id)""".stripMargin
 
+  // ---- keyword extraction / inverted index ---------------------------
+
+  /** Top-`k` keywords per document by rarity-weighted term frequency:
+    * `score = tf · N / df` — proportional to tf·idf without the log
+    * compression, kept log-free deliberately: all operands are exact
+    * integers and the score is ONE IEEE division, so the DuckDB twin is
+    * bit-identical (`ln` differs across libm implementations in the last
+    * ulp, which would break the hash gate; the log is monotone in N/df,
+    * so the RANKING is the tf·idf ranking whenever tf ties — and exact
+    * ties break by token, identically on both engines). Three
+    * vocabulary/doc-bounded aggregations + a per-doc window over ≤
+    * distinct-terms rows; the 1-row corpus count joins in via cross
+    * join (AQE broadcasts). */
+  def keywords(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(toks(text)).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = df.select(countDistinct(id).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token").crossJoin(nd)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * col("n") * lit(1.0) / col("df")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  def keywordsSql(table: String, k: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM $table),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+       |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM $table),
+       |scored AS (SELECT t.doc_id, t.token, t.tf, d.df,
+       |      t.tf * n.n * 1.0 / d.df AS score
+       |    FROM tf t JOIN dfq d USING (token) CROSS JOIN nd n)
+       |SELECT doc_id, token, tf, df, score, rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k""".stripMargin
+
+  /** Inverted-index build: per term, document frequency, total term
+    * frequency, and a bounded sample of the sorted posting list
+    * (`postingCap` lowest doc ids, comma-joined — bounded so a
+    * stopword's corpus-wide posting list can never blow up a row; a
+    * web-scale index would shard full postings by doc range instead,
+    * which is exactly the `tok` frame keyed (token, doc_id) one step
+    * before this rollup). */
+  def invertedIndex(df: DataFrame, id: Column, text: Column,
+      postingCap: Int): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(toks(text)).as("token"))
+    tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("total_tf"),
+        countDistinct(col("doc_id")).as("df"),
+        slice(array_sort(collect_set(col("doc_id"))), 1, postingCap)
+          .as("p"))
+      .select(col("token"), col("df"), col("total_tf"),
+        array_join(transform(col("p"), x => x.cast("string")), ",")
+          .as("postings_sample"))
+  }
+
+  def invertedIndexSql(table: String, postingCap: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM $table)
+       |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf,
+       |       array_to_string(list_sort(list(DISTINCT doc_id))[1:$postingCap], ',')
+       |         AS postings_sample
+       |FROM tok GROUP BY token""".stripMargin
+
   // ---- n-gram language model -----------------------------------------
 
   /** Corpus-level bigram language-model estimation — maximum-likelihood

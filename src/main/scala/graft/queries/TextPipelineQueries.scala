@@ -174,6 +174,19 @@ object TextPipelineQueries extends QueryModule {
       TextAnalysis.bigramLm(Tables.documents(s, dir), col("text"))
         .orderBy(col("a"), col("b"))),
 
+    // Rarity-weighted keyword extraction (top-3 per doc; log-free
+    // tf·idf-proportional score so the twin hashes — see scaladoc).
+    "txt_keywords" -> ((s, dir) =>
+      TextAnalysis.keywords(Tables.documents(s, dir), col("doc_id"),
+          col("text"), k = 3)
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // Inverted-index rollup (df, total tf, bounded sorted postings).
+    "txt_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), col("doc_id"),
+          col("text"), postingCap = 20)
+        .orderBy(col("token"))),
+
     // Vocabulary coverage: per-doc OOV rate against the corpus's own
     // top-k vocabulary (the tokenizer-coverage gate).
     "txt_oov_rate" -> ((s, dir) => {
@@ -361,6 +374,13 @@ object TextPipelineQueries extends QueryModule {
 
     "lm_bigram" ->
       (TextAnalysis.bigramLmSql("documents") + "\nORDER BY a, b"),
+
+    "txt_keywords" ->
+      (TextAnalysis.keywordsSql("documents", k = 3) + "\nORDER BY doc_id, rnk"),
+
+    "txt_inverted_index" ->
+      (TextAnalysis.invertedIndexSql("documents", postingCap = 20) +
+        "\nORDER BY token"),
 
     "txt_oov_rate" ->
       (TextAnalysis.oovRateSql("documents", vocabK) + "\nORDER BY doc_id"),

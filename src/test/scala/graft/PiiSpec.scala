@@ -51,6 +51,36 @@ class PiiSpec extends AnyFunSuite {
     assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("keywords: rare term outranks frequent common term") {
+    val df = Seq(
+      (1L, "common common common rare"),   // 'common' df=3, 'rare' df=1
+      (2L, "common other"),
+      (3L, "common stuff")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(df, col("doc_id"), col("text"), k = 2)
+      .orderBy("doc_id", "rnk").collect()
+    // doc 1: rare tf=1 df=1 -> 1*3/1=3.0; common tf=3 df=3 -> 3*3/3=3.0
+    // exact tie -> token asc: common first
+    assert(out(0).getString(1) == "common" && out(0).getDouble(4) == 3.0)
+    assert(out(1).getString(1) == "rare" && out(1).getDouble(4) == 3.0)
+    // doc 2: other (1*3/1=3.0) beats common (1*3/3=1.0)
+    assert(out(2).getString(1) == "other" && out(3).getString(1) == "common")
+  }
+
+  test("invertedIndex: df/tf/sorted capped postings") {
+    val df = Seq(
+      (3L, "b a a"), (1L, "a x"), (2L, "a")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, col("doc_id"), col("text"),
+        postingCap = 2)
+      .orderBy("token").collect()
+    val a = out(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 3 && a.getLong(2) == 4)
+    assert(a.getString(3) == "1,2") // sorted, capped at 2 of 3
+    assert(out(1).getString(0) == "b" && out(1).getString(3) == "3")
+    assert(out(2).getString(0) == "x" && out(2).getString(3) == "1")
+  }
+
   test("containment finds an embedded doc that Jaccard misses") {
     val long = ("the quick brown fox jumps over the lazy dog while the " +
       "band plays on and the crowd cheers loudly for hours") * 3
