@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Pii, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Pii, TextAnalysis}
 
 /** Training-data-pipeline text operators over `documents`: dedup family
   * (exact, MinHash+LSH, SimHash, exact n-gram Jaccard), token stats,
@@ -36,6 +36,11 @@ object TextPipelineQueries extends QueryModule {
   // containment threshold: a doc half-embedded in another is a wrapper
   // candidate; Jaccard's 0.6 gate misses these when sizes are skewed
   private val containThreshold = 0.5
+
+  // BPE merge-rounds: enough to absorb the end-of-word marker into
+  // learned tokens at this vocabulary, small enough that the unrolled
+  // recursive-CTE twin stays readable
+  private val bpeMerges = 8
 
   /** The synthetic corpus carries no PII, so the scrub oracle would be a
     * no-op; both engines append the SAME deterministic PII spans (email /
@@ -173,6 +178,19 @@ object TextPipelineQueries extends QueryModule {
     "lm_bigram" -> ((s, dir) =>
       TextAnalysis.bigramLm(Tables.documents(s, dir), col("text"))
         .orderBy(col("a"), col("b"))),
+
+    // BPE tokenizer TRAINING (Sennrich merges learned on the corpus's
+    // distinct-word table): the learned merge table and the resulting
+    // sub-word vocabulary, both hash-checked against the unrolled
+    // recursive-CTE twin.
+    "bpe_merges" -> ((s, dir) =>
+      Bpe.train(Tables.documents(s, dir), col("text"), merges = bpeMerges)
+        .orderBy(col("rank"))),
+
+    "bpe_vocab" -> ((s, dir) =>
+      Bpe.subwordVocab(Tables.documents(s, dir), col("text"),
+          merges = bpeMerges)
+        .orderBy(col("symbol"))),
 
     // Rarity-weighted keyword extraction (top-3 per doc; log-free
     // tf·idf-proportional score so the twin hashes — see scaladoc).
@@ -374,6 +392,13 @@ object TextPipelineQueries extends QueryModule {
 
     "lm_bigram" ->
       (TextAnalysis.bigramLmSql("documents") + "\nORDER BY a, b"),
+
+    "bpe_merges" ->
+      (Bpe.trainSql("documents", merges = bpeMerges) + "\nORDER BY rank"),
+
+    "bpe_vocab" ->
+      (Bpe.subwordVocabSql("documents", merges = bpeMerges) +
+        "\nORDER BY symbol"),
 
     "txt_keywords" ->
       (TextAnalysis.keywordsSql("documents", k = 3) + "\nORDER BY doc_id, rnk"),
