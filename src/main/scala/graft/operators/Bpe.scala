@@ -105,6 +105,22 @@ object Bpe {
       .select(col("freq"), explode(col("syms")).as("symbol"))
       .groupBy(col("symbol")).agg(sum(col("freq")).as("freq"))
 
+  /** Encode the corpus with the learned tokenizer: per doc, word count
+    * and sub-word count under the trained segmentation — the serving
+    * side of the lifecycle (train → encode → token budget). Training
+    * already segments EVERY corpus word (it runs on the full word
+    * table), so encoding is one join from exploded doc words to the
+    * final word → symbols state. */
+  def encode(df: DataFrame, id: Column, text: Column,
+      merges: Int): DataFrame = {
+    val words = trainFull(df, text, merges)._2
+    df.select(id.as("doc_id"), explode(TextAnalysis.toks(text)).as("word"))
+      .filter(!col("word").contains(delim))
+      .join(words.select(col("word"), size(col("syms")).as("ns")), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"))
+  }
+
   // ---- DuckDB twins ---------------------------------------------------
 
   private def toksSql = TextAnalysis.toksSql
@@ -162,6 +178,19 @@ object Bpe {
     "WITH RECURSIVE\n" + roundsCtes(table, merges) +
       s"\nSELECT * FROM (\n  $unionAll)"
   }
+
+  /** Twin of [[encode]] (concatenation: see [[trainSql]]). */
+  def encodeSql(table: String, merges: Int): String =
+    "WITH RECURSIVE\n" + roundsCtes(table, merges) +
+      s""",
+         |wl AS MATERIALIZED (SELECT word,
+         |    len(list_filter(string_split(s, chr(31)), x -> length(x) > 0)) AS ns
+         |  FROM w$merges),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS word FROM $table)
+         |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(ns) AS BIGINT) AS n_subwords
+         |FROM dt JOIN wl USING (word)
+         |WHERE NOT contains(word, chr(31))
+         |GROUP BY doc_id""".stripMargin
 
   /** Twin of [[subwordVocab]] (concatenation: see [[trainSql]]). */
   def subwordVocabSql(table: String, merges: Int): String =

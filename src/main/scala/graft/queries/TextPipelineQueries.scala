@@ -192,6 +192,11 @@ object TextPipelineQueries extends QueryModule {
           merges = bpeMerges)
         .orderBy(col("symbol"))),
 
+    "bpe_encode" -> ((s, dir) =>
+      Bpe.encode(Tables.documents(s, dir), col("doc_id"), col("text"),
+          merges = bpeMerges)
+        .orderBy(col("doc_id"))),
+
     // Rarity-weighted keyword extraction (top-3 per doc; log-free
     // tf·idf-proportional score so the twin hashes — see scaladoc).
     "txt_keywords" -> ((s, dir) =>
@@ -399,6 +404,9 @@ object TextPipelineQueries extends QueryModule {
     "bpe_vocab" ->
       (Bpe.subwordVocabSql("documents", merges = bpeMerges) +
         "\nORDER BY symbol"),
+
+    "bpe_encode" ->
+      (Bpe.encodeSql("documents", merges = bpeMerges) + "\nORDER BY doc_id"),
 
     "txt_keywords" ->
       (TextAnalysis.keywordsSql("documents", k = 3) + "\nORDER BY doc_id, rnk"),

@@ -38,6 +38,17 @@ class BpeSpec extends AnyFunSuite {
     assert(v == Map("aa" -> 3L, "ab</w>" -> 5L))
   }
 
+  test("encode: per-doc sub-word counts under the learned segmentation") {
+    // after 3 merges: aaab -> [aa, ab</w>] (2), ab -> [ab</w>] (1)
+    val byDoc = Bpe.encode(
+        Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 3)
+      .orderBy("doc_id").collect()
+    assert(byDoc.length == 2)
+    assert(byDoc(0).getLong(1) == 3 && byDoc(0).getLong(2) == 2 + 2 + 1)
+    assert(byDoc(1).getLong(1) == 2 && byDoc(1).getLong(2) == 2 + 1)
+  }
+
   test("merge application is greedy left-to-right (aaa + (a,a) -> [aa, a])") {
     // 'aaa' alone: round-1 counts (a,a)=2 from the position explode but
     // greedy application must produce [aa, a], never [a, aa] or [aa, aa]
