@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid, "Product quantization
+  * for nearest neighbor search", TPAMI 2011) — the third rung of the ANN
+  * quantization ladder after IVF bucketing and int8 scalar quantization
+  * ([[Similarity]]): split the embedding into `m` subspaces, train an
+  * independent `ksub`-centroid codebook per subspace (deterministic
+  * Lloyd's, the [[Similarity.kMeansCentroids]] fixed-point-mean scheme),
+  * and store each vector as `m` small codes — dim·4 bytes → m bytes, a
+  * 64× compression at (m=4, dim=64) that is what makes billion-vector
+  * corpora scannable in memory.
+  *
+  * Query-time ADC (asymmetric distance computation): the query stays
+  * un-quantized; per query a tiny m×ksub table of exact subspace L2²
+  * distances is computed against the codebooks, and each corpus
+  * vector's approximate distance is the sum of m table lookups keyed by
+  * its codes — the corpus scan never touches a float vector.
+  *
+  * Determinism & oracle parity: assignments argmin by (L2² ASC,
+  * centroid_id) — L2² is a per-index (x−y)² ascending fold, the same
+  * IEEE op sequence as DuckDB's `list_dot_product` over the difference
+  * list; centroid means use the exact 1e6 fixed-point scheme; the ADC
+  * sum adds the m subspace contributions in FIXED subspace order (one
+  * conditional sum per subspace, then a left-associative add chain) —
+  * never an order-nondeterministic double aggregation. The twin
+  * ([[pqCtesSql]]) unrolls the same rounds. */
+object Pq {
+
+  /** Exact subspace L2²: ascending fold over per-index squared
+    * differences (bit-matches `list_dot_product(d, d)` in the twin). */
+  def l2sq(a: Column, b: Column): Column = {
+    val d = zip_with(a, b, (x, y) => x - y)
+    Similarity.dot(d, d)
+  }
+
+  /** (vec_id, sub, sv): the m constant-sliced subspace views — a union
+    * of m narrow projections, no explode/lambda slicing. */
+  def subVectors(emb: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("v"))
+    (0 until m).map(j => e.select(col("vec_id"), lit(j).as("sub"),
+        slice(col("v"), j * dsub + 1, dsub).as("sv")))
+      .reduce(_ unionByName _)
+  }
+
+  /** Per-subspace codebooks `(sub, centroid_id, cv)`: prefix-seeded
+    * deterministic Lloyd's, means floor-scaled to the 1e6 grid (the
+    * [[Similarity.kMeansCentroids]] scheme, per subspace). */
+  def trainCentroids(emb: DataFrame, m: Int, dsub: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    val sv = subVectors(emb, m, dsub).localCheckpoint(true)
+    var cents = sv.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2").asc, col("centroid_id"))
+      val assigned = sv.join(broadcast(cents), "sub")
+        .withColumn("d2", l2sq(col("sv"), col("cv")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("sub"), col("centroid_id"), col("sv"))
+      val sums = assigned
+        .select(col("sub"), col("centroid_id"),
+          posexplode(col("sv")).as(Seq("pos", "val")))
+        .groupBy(col("sub"), col("centroid_id"), col("pos"))
+        .agg((sum(floor(col("val") * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / (lit(1e6) * count(lit(1)))).as("mv"))
+      cents = sums.groupBy(col("sub"), col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** PQ codes `(vec_id, sub, code)`: nearest codebook entry per
+    * subspace — the m-byte representation the corpus stores. */
+  def codes(emb: DataFrame, cents: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val sv = subVectors(emb, m, dsub)
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2").asc, col("centroid_id"))
+    sv.join(broadcast(cents), "sub")
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("sub"), col("centroid_id").as("code"))
+  }
+
+  /** ADC top-k: per-query m×ksub exact distance table, corpus scanned
+    * via codes only, approximate distance = fixed-order sum of the m
+    * looked-up subspace contributions. */
+  def adcTopK(emb: DataFrame, cents: DataFrame, isQuery: Column, k: Int,
+      m: Int, dsub: Int): DataFrame = {
+    val corpus = codes(emb, cents, m, dsub)
+    val qsv = subVectors(emb.filter(isQuery), m, dsub)
+    val dt = qsv.join(broadcast(cents), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("centroid_id"),
+        l2sq(col("sv"), col("cv")).as("d2"))
+    // one conditional sum per subspace (each over exactly one row), then
+    // a fixed-order add chain — exact and order-deterministic where a
+    // plain sum(d2) over doubles would not be
+    val subSums = (0 until m).map(j =>
+      sum(when(col("sub") === j, col("d2"))).as(s"s$j"))
+    val adist = (1 until m).foldLeft(col("s0"))((acc, j) => acc + col(s"s$j"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id"))
+    // dt is |Q|·m·ksub rows — bounded by construction (the whole point
+    // of ADC is that the table is tiny), so broadcast it explicitly:
+    // the corpus-codes side must never shuffle for this join
+    corpus.select(col("vec_id"), col("sub").as("csub"), col("code"))
+      .join(broadcast(dt),
+        col("csub") === dt("sub") && col("code") === dt("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(subSums.head, subSums.tail: _*)
+      .select(col("query_id"), col("vec_id"), adist.as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adist"))
+  }
+
+  // ---- DuckDB twin ----------------------------------------------------
+
+  private def d2Sql(s: String, c: String, dsub: Int): String = {
+    val diff = s"list_transform(range(1, ${dsub + 1}), " +
+      s"i -> $s.sv[CAST(i AS INT)] - $c.cv[CAST(i AS INT)])"
+    s"list_dot_product($diff, $diff)"
+  }
+
+  /** Unrolled twin over an `e(vec_id, v)` CTE: subspace views, seeded
+    * codebooks, `iters` Lloyd's rounds, final codes in `pcode(vec_id,
+    * sub, code)` and codebooks in `pc$iters(sub, centroid_id, cv)`. */
+  def pqCtesSql(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val subSelects = (0 until m).map(j =>
+      s"SELECT vec_id, $j AS sub, v[${j * dsub + 1}:${(j + 1) * dsub}] AS sv FROM e")
+      .mkString("\n  UNION ALL ")
+    val init =
+      s"""sv AS MATERIALIZED (
+         |  $subSelects),
+         |pc0 AS MATERIALIZED (SELECT sub, vec_id AS centroid_id, sv AS cv
+         |  FROM sv WHERE vec_id < $ksub)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""pa$t AS MATERIALIZED (SELECT sub, centroid_id, vec_id FROM (
+         |    SELECT s.vec_id, s.sub, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+         |             ORDER BY ${d2Sql("s", "c", dsub)} ASC, c.centroid_id) AS rnk
+         |    FROM sv s JOIN pc${t - 1} c ON c.sub = s.sub) WHERE rnk = 1),
+         |ps$t AS MATERIALIZED (SELECT a.sub, a.centroid_id, r.i AS pos,
+         |    CAST(SUM(CAST(FLOOR(s.sv[CAST(r.i + 1 AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / (1000000.0 * COUNT(*)) AS mv
+         |  FROM pa$t a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+         |       CROSS JOIN range(0, $dsub) r(i)
+         |  GROUP BY a.sub, a.centroid_id, r.i),
+         |pc$t AS MATERIALIZED (SELECT sub, centroid_id, list(mv ORDER BY pos) AS cv
+         |  FROM ps$t GROUP BY sub, centroid_id)""".stripMargin
+    }
+    val code =
+      s"""pcode AS MATERIALIZED (SELECT vec_id, sub, centroid_id AS code FROM (
+         |    SELECT s.vec_id, s.sub, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+         |             ORDER BY ${d2Sql("s", "c", dsub)} ASC, c.centroid_id) AS rnk
+         |    FROM sv s JOIN pc$iters c ON c.sub = s.sub) WHERE rnk = 1)""".stripMargin
+    ((init +: rounds) :+ code).mkString(",\n")
+  }
+
+  /** Twin of [[adcTopK]] tail CTEs (needs [[pqCtesSql]] before it):
+    * distance table for queries `vec_id < nQueries`, fixed-subspace-order
+    * sum, rank. Emits final SELECT. */
+  def adcTailSql(m: Int, dsub: Int, iters: Int, nQueries: Int,
+      k: Int): String = {
+    val sumChain = (0 until m)
+      .map(j => s"SUM(CASE WHEN sub = $j THEN d2 END)")
+      .mkString(" + ")
+    s"""qdt AS MATERIALIZED (SELECT s.vec_id AS query_id, s.sub, c.centroid_id,
+       |    ${d2Sql("s", "c", dsub)} AS d2
+       |  FROM sv s JOIN pc$iters c ON c.sub = s.sub
+       |  WHERE s.vec_id < $nQueries),
+       |contrib AS (SELECT q.query_id, p.vec_id, q.sub, q.d2
+       |  FROM pcode p JOIN qdt q ON q.sub = p.sub AND q.centroid_id = p.code
+       |  WHERE p.vec_id <> q.query_id),
+       |adist AS (SELECT query_id, vec_id, $sumChain AS adist
+       |  FROM contrib GROUP BY query_id, vec_id),
+       |ranked AS (SELECT query_id, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, vec_id) AS rnk
+       |  FROM adist)
+       |SELECT query_id, vec_id AS neighbor_id, rnk, adist
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
+}

@@ -21,6 +21,13 @@ object SimilarityQueries extends QueryModule {
   private val ivfK = 3
   private val lshBits = 8
   private val dim = 64
+
+  // product quantization: 4 subspaces × 16 dims, 8-entry codebooks,
+  // 2 Lloyd's rounds per subspace (the unrolled twin stays readable)
+  private val pqM = 4
+  private val pqDsub = 16
+  private val pqKsub = 8
+  private val pqIters = 2
   private val nearThreshold = 0.4
 
   private def trained(s: SparkSession, dir: String) =
@@ -99,6 +106,26 @@ object SimilarityQueries extends QueryModule {
           Multimodal.toMedia(Tables.documents(s, dir))
             .filter(col("media_type") === "video"), 64)
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Product quantization: per-subspace codebooks (deterministic
+    // Lloyd's per subspace) and the m-code corpus representation.
+    "sim_pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Pq.codes(emb,
+          graft.operators.Pq.trainCentroids(emb, pqM, pqDsub, pqKsub, pqIters),
+          pqM, pqDsub)
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
+    // PQ-ADC top-k: un-quantized query, m×ksub exact distance table,
+    // corpus scanned via codes only — the billion-vector scale path.
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Pq.adcTopK(emb,
+          graft.operators.Pq.trainCentroids(emb, pqM, pqDsub, pqKsub, pqIters),
+          col("vec_id") < nQueries, topK, pqM, pqDsub)
+        .orderBy(col("query_id"), col("rnk"))
     }),
 
     // Multimodal decode stub end-to-end (checksum oracle; MultimodalSpec).
@@ -206,6 +233,18 @@ object SimilarityQueries extends QueryModule {
          |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)}
          |SELECT centroid_id, CAST(pos AS INT) AS pos, m
          |FROM sums$kmIters ORDER BY centroid_id, pos""".stripMargin,
+
+    "sim_pq_codes" ->
+      s"""WITH $eCte,
+         |${graft.operators.Pq.pqCtesSql(pqM, pqDsub, pqKsub, pqIters)}
+         |SELECT vec_id, sub, code FROM pcode
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    "sim_pq_topk" ->
+      s"""WITH $eCte,
+         |${graft.operators.Pq.pqCtesSql(pqM, pqDsub, pqKsub, pqIters)},
+         |${graft.operators.Pq.adcTailSql(pqM, pqDsub, pqIters, nQueries, topK)}
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "sim_ivf_assign" ->
       s"""WITH $eCte,
