@@ -37,6 +37,14 @@ object Bench {
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_quantized_rerank",
+    // late-r7 additions a user runs hot: the PQ-ADC scan (the
+    // billion-vector ANN path), PII redaction (every pre-training
+    // pipeline's mandatory pass), corpus bigram-LM estimation, and BPE
+    // tokenizer training (vocabulary-bounded rounds)
+    "sim_pq_topk",
+    "txt_pii_scrub",
+    "lm_bigram",
+    "bpe_merges",
     "g_jaccard_parts",
     "g_pattern_scan",
     // r7 promotions (VERDICT r6 #4) end with the one bounded-iteration
