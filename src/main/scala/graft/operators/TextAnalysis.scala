@@ -396,6 +396,55 @@ object TextAnalysis {
        |       c_ab * 1.0 / CAST(SUM(c_ab) OVER (PARTITION BY a) AS BIGINT) AS p
        |FROM c""".stripMargin
 
+  /** LM-based quality gate: per doc, how many of its bigram transitions
+    * are RARE under the corpus's own bigram LM (`P(b|a) < minP`), and
+    * the rare-transition rate. The shape of perplexity filtering without
+    * its determinism problem: a mean log-prob needs `ln` (libm-varying
+    * last ulp) and an order-dependent double sum, while a threshold
+    * count is integers + one exact division — hash-stable. Docs with no
+    * bigrams report 0 and NULL rate. Two corpus-bounded aggregations
+    * (the LM) + one doc-keyed join/rollup. */
+  def lmSurprise(df: DataFrame, id: Column, text: Column,
+      minP: Double): DataFrame = {
+    val lm = bigramLm(df, text).select(col("a"), col("b"), col("p"))
+    val bg = df.select(id.as("doc_id"), toks(text).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("a"),
+              element_at(col("t"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+          .as("gs"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+    bg.join(lm, Seq("a", "b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("a")).as("n_bigrams"),
+        coalesce(sum(when(col("p") < minP, 1L).otherwise(0L)), lit(0L))
+          .as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare") * lit(1.0) /
+          nullif(col("n_bigrams"), lit(0))).as("rare_rate"))
+  }
+
+  def lmSurpriseSql(table: String, minP: Double): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM $table),
+       |bg AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t)), i -> t[CAST(i AS INT)])) AS a,
+       |         unnest(list_transform(range(1, len(t)), i -> t[CAST(i + 1 AS INT)])) AS b
+       |       FROM t WHERE len(t) >= 2),
+       |c AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+       |lm AS (SELECT a, b, c_ab * 1.0 /
+       |         CAST(SUM(c_ab) OVER (PARTITION BY a) AS BIGINT) AS p
+       |       FROM c),
+       |r AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       |         CAST(SUM(CASE WHEN lm.p < $minP THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |       FROM bg JOIN lm USING (a, b) GROUP BY bg.doc_id)
+       |SELECT t.doc_id, COALESCE(r.n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(r.n_rare, 0) AS n_rare,
+       |       r.n_rare * 1.0 / NULLIF(r.n_bigrams, 0) AS rare_rate
+       |FROM t LEFT JOIN r USING (doc_id)""".stripMargin
+
   // ---- fingerprinting ------------------------------------------------
 
   /** Content fingerprints: full-document md5 plus a winnowing-style

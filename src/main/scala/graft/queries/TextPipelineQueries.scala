@@ -42,6 +42,10 @@ object TextPipelineQueries extends QueryModule {
   // recursive-CTE twin stays readable
   private val bpeMerges = 8
 
+  // rare-transition threshold: P(b|a) < 2% flags ~3% of this corpus's
+  // bigram types (median P ≈ 0.033) — a real tail, not degenerate
+  private val lmMinP = 0.02
+
   /** The synthetic corpus carries no PII, so the scrub oracle would be a
     * no-op; both engines append the SAME deterministic PII spans (email /
     * URL / IPv4 / phone derived from doc_id) so the redaction path is
@@ -195,6 +199,14 @@ object TextPipelineQueries extends QueryModule {
     "bpe_encode" -> ((s, dir) =>
       Bpe.encode(Tables.documents(s, dir), col("doc_id"), col("text"),
           merges = bpeMerges)
+        .orderBy(col("doc_id"))),
+
+    // LM-based quality gate: rare-transition count/rate per doc under
+    // the corpus's own bigram LM (threshold-count shape of perplexity
+    // filtering — hash-stable where a mean log-prob is not).
+    "lm_surprise" -> ((s, dir) =>
+      TextAnalysis.lmSurprise(Tables.documents(s, dir), col("doc_id"),
+          col("text"), minP = lmMinP)
         .orderBy(col("doc_id"))),
 
     // Rarity-weighted keyword extraction (top-3 per doc; log-free
@@ -407,6 +419,10 @@ object TextPipelineQueries extends QueryModule {
 
     "bpe_encode" ->
       (Bpe.encodeSql("documents", merges = bpeMerges) + "\nORDER BY doc_id"),
+
+    "lm_surprise" ->
+      (TextAnalysis.lmSurpriseSql("documents", minP = lmMinP) +
+        "\nORDER BY doc_id"),
 
     "txt_keywords" ->
       (TextAnalysis.keywordsSql("documents", k = 3) + "\nORDER BY doc_id, rnk"),

@@ -81,6 +81,24 @@ class PiiSpec extends AnyFunSuite {
     assert(out(2).getString(0) == "x" && out(2).getString(3) == "1")
   }
 
+  test("lmSurprise flags rare transitions, NULL rate on empty docs") {
+    val df = Seq(
+      (1L, "a b a b a c"),  // transitions: ab,ba,ab,ba,ac
+      (2L, "x"),            // no bigrams
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    // corpus LM: from a: b 3/4, c 1/4; from b: a 2/2
+    // minP=0.3 -> rare iff P < 0.3: only (a,c) at 0.25
+    val out = TextAnalysis.lmSurprise(df, col("doc_id"), col("text"), 0.3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5 && out(0).getLong(2) == 1 &&
+      out(0).getDouble(3) == 0.2)
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0 &&
+      out(1).isNullAt(3))
+    assert(out(2).getLong(1) == 1 && out(2).getLong(2) == 0 &&
+      out(2).getDouble(3) == 0.0)
+  }
+
   test("containment finds an embedded doc that Jaccard misses") {
     val long = ("the quick brown fox jumps over the lazy dog while the " +
       "band plays on and the crowd cheers loudly for hours") * 3
