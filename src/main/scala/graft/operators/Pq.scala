@@ -30,9 +30,18 @@ import org.apache.spark.sql.functions._
   * ([[pqCtesSql]]) unrolls the same rounds. */
 object Pq {
 
-  /** Exact subspace L2²: ascending fold over per-index squared
-    * differences (bit-matches `list_dot_product(d, d)` in the twin). */
-  def l2sq(a: Column, b: Column): Column = {
+  /** Exact subspace L2²: index-ascending subtract-multiply-accumulate —
+    * the native [[graft.plans.L2Sq]] codegen expression (evaluated
+    * |vectors|·ksub·m times per round, the PQ hot loop; the composable
+    * `dot(zip_with(a,b,_-_), ...)` form it replaces is bit-identical but
+    * interpreted — L2SqSpec). Bit-matches `list_dot_product(d, d)` in
+    * the twin. */
+  def l2sq(a: Column, b: Column): Column =
+    graft.plans.GraftExtensions.l2sq(a, b)
+
+  /** The composable HOF formulation the native expression is verified
+    * against (L2SqSpec). */
+  def l2sqHof(a: Column, b: Column): Column = {
     val d = zip_with(a, b, (x, y) => x - y)
     Similarity.dot(d, d)
   }

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.minGramHashDescriptor)
     ext.injectFunction(GraftExtensions.dotI64Descriptor)
+    ext.injectFunction(GraftExtensions.l2sqDescriptor)
     ext.injectOptimizerRule(GlobalRankRewrite(_))
   }
 }
@@ -70,6 +71,15 @@ object GraftExtensions {
       DotI64(children.head, children.last)
     })
 
+  private val l2sqDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("l2sq"),
+    new ExpressionInfo(classOf[L2Sq].getName, "l2sq"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "l2sq expects exactly 2 arguments")
+      L2Sq(children.head, children.last)
+    })
+
   // sessions that already carry the RankPinRelease listener (weak keys:
   // a stopped session's entry evaporates with the session)
   private val pinListenerAttached =
@@ -90,7 +100,7 @@ object GraftExtensions {
     * (idempotent — skips whatever is already attached). */
   def register(spark: SparkSession): Unit = {
     Seq(cosineSimDescriptor, minhashSigDescriptor,
-        minGramHashDescriptor, dotI64Descriptor).foreach {
+        minGramHashDescriptor, dotI64Descriptor, l2sqDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info,
           (exprs: Seq[Expression]) => builder(exprs))
@@ -116,4 +126,8 @@ object GraftExtensions {
   /** Column-API entry point for [[DotI64]]. */
   def dotI64(a: Column, b: Column): Column =
     Shims.column(DotI64(Shims.expression(a), Shims.expression(b)))
+
+  /** Column-API entry point for [[L2Sq]]. */
+  def l2sq(a: Column, b: Column): Column =
+    Shims.column(L2Sq(Shims.expression(a), Shims.expression(b)))
 }
