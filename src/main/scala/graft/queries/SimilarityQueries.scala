@@ -28,6 +28,9 @@ object SimilarityQueries extends QueryModule {
   private val pqDsub = 16
   private val pqKsub = 8
   private val pqIters = 2
+
+  // hybrid RRF: top-20 shortlist per retriever before fusion
+  private val rrfN = 20
   private val nearThreshold = 0.4
 
   private def trained(s: SparkSession, dir: String) =
@@ -127,6 +130,17 @@ object SimilarityQueries extends QueryModule {
           col("vec_id") < nQueries, topK, pqM, pqDsub)
         .orderBy(col("query_id"), col("rnk"))
     }),
+
+    // Hybrid retrieval: keyword overlap list + vector cosine list fused
+    // by reciprocal-rank fusion (exact integer divisions, fixed term
+    // order — even the fused scores hash-match).
+    "hyb_rrf_topk" -> ((s, dir) =>
+      graft.operators.Hybrid.rrfTopK(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          Tables.embeddings(s, dir),
+          col("doc_id") < nQueries, col("vec_id") < nQueries,
+          topK, rrfN)
+        .orderBy(col("query_id"), col("rnk"))),
 
     // Multimodal decode stub end-to-end (checksum oracle; MultimodalSpec).
     "mm_decode_stub" -> ((s, dir) =>
@@ -233,6 +247,12 @@ object SimilarityQueries extends QueryModule {
          |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)}
          |SELECT centroid_id, CAST(pos AS INT) AS pos, m
          |FROM sums$kmIters ORDER BY centroid_id, pos""".stripMargin,
+
+    "hyb_rrf_topk" ->
+      s"""WITH $eCte,
+         |${graft.operators.Hybrid.rrfSql("documents", cosExpr("vq", "e"),
+             nQueries, topK, rrfN)}
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "sim_pq_codes" ->
       s"""WITH $eCte,
