@@ -51,7 +51,40 @@ object Bench {
     // graph algorithm: 6 fixed louvain rounds on the sparse REFERENCES
     // chain — unlike Brandes/projected-PageRank this is shuffle-bounded
     // work a user would run hot, so it belongs in the throughput surface
-    "g_louvain")
+    "g_louvain",
+    // r8 promotions (VERDICT r7 #5): the remaining r7-new operators a
+    // pipeline runs hot — two-level Louvain, containment near-dup,
+    // eval-set decontamination, sequence packing, hybrid RRF retrieval.
+    "g_louvain2",
+    "dd_containment",
+    "decon_ngram_overlap",
+    "pack_sequences",
+    "hyb_rrf_topk")
+
+  /** Environment telemetry so a weather-contaminated number can never again
+    * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC
+    * deltas, plus the min–max spread of the 5 timed runs. A query whose
+    * number is inflated by the machine shows high steal / a wide spread; a
+    * real plan regression shows neither.
+    */
+  private final case class CpuSnap(total: Long, steal: Long, idle: Long)
+  private final case class QueryTel(
+      min: Double, max: Double, gcMs: Long, stealPct: Option[Double])
+  private def cpuSnap(): Option[CpuSnap] =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal [guest guestnice]
+      Some(CpuSnap(f.sum, if (f.length > 7) f(7) else 0L, f(3) + (if (f.length > 4) f(4) else 0L)))
+    } catch { case _: Throwable => None }
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,6 +117,8 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val loadBefore = loadAvg()
+    val benchCpu0 = cpuSnap()
     val results = headline.filter(qs.contains).map { name =>
       def run(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -105,24 +140,49 @@ object Bench {
         (dt, err)
       }
       run() // warm-up, excluded from the stats
+      val cpu0 = cpuSnap(); val gc0 = gcMillis()
       val runs = (1 to 5).map(_ => run())
+      val cpu1 = cpuSnap(); val gc1 = gcMillis()
       val ok = runs.collect { case (t, None) => t }
       val firstErr = runs.collectFirst { case (_, Some(m)) => m }
+      // steal% over the query's 5 timed runs: ticks the hypervisor took from
+      // this VM while the query ran. >1–2% sustained means the machine, not
+      // the plan, owns part of the wall time.
+      val stealPct = for { a <- cpu0; b <- cpu1; if b.total > a.total }
+        yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
+      val tel =
+        if (ok.isEmpty) None
+        else Some(QueryTel(ok.min, ok.max, gc1 - gc0, stealPct))
       (name, if (ok.isEmpty) None else Some(median(ok)),
-        if (ok.isEmpty) firstErr else None)
+        if (ok.isEmpty) firstErr else None, tel)
     }
     // A query with no successful run reports null, never a time-to-failure.
-    val qJson = results.map { case (k, v, _) =>
+    val qJson = results.map { case (k, v, _, _) =>
       "\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    results.foreach { case (k, _, err) =>
+    results.foreach { case (k, _, err, _) =>
       err.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))
     }
+    def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val telJson = results.collect { case (k, _, _, Some(t)) =>
+      val spread = if (t.min > 0) t.max / t.min else 0.0
+      val flagged = spread > 2.0 // median untrustworthy: runs span >2x
+      "\"" + k + "\":{\"min\":" + r3(t.min) + ",\"max\":" + r3(t.max) +
+        ",\"spread\":" + r3(spread) + ",\"gc_ms\":" + t.gcMs +
+        ",\"steal_pct\":" + t.stealPct.fold("null")(r3) +
+        ",\"noisy\":" + flagged + "}"
+    }.mkString("{", ",", "}")
+    val benchCpu1 = cpuSnap()
+    val benchSteal = for { a <- benchCpu0; b <- benchCpu1; if b.total > a.total }
+      yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
+    val envJson =
+      s"""{"load_before":${r3(loadBefore)},"load_after":${r3(loadAvg())},""" +
+      s""""steal_pct":${benchSteal.fold("null")(r3)},"cpus":"$cpus"}"""
     val total = results.flatMap(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","failed":$failed,"telemetry":$telJson,"env":$envJson}"""
     // stdout goes through sbt, which prefixes "[info]" and breaks the
     // driver's parser (BENCH_r01 "parsed": null) — also write the line to a
     // file and to stderr so a clean copy always survives.

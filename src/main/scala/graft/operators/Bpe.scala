@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Pins.PinnedOps
+
 /** Byte-pair-encoding tokenizer TRAINING (Sennrich, Haddow & Birch, ACL
   * 2016) as a distributed Spark job — the tokenizer-induction step of a
   * pre-training pipeline, not just the token-counting estimator
@@ -70,7 +72,7 @@ object Bpe {
       merges: Int): (DataFrame, DataFrame) = {
     var words = wordTable(df, text)
       .select(col("word"), col("freq"), initSyms(col("word")).as("syms"))
-      .localCheckpoint(true)
+      .pinned
     var out: Option[DataFrame] = None
     for (r <- 1 to merges) {
       val pairs = words
@@ -84,13 +86,13 @@ object Bpe {
       // 1-row winner: bounded TakeOrderedAndProject, deterministic ties
       val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .select(lit(r).as("rank"), col("a"), col("b"), col("cnt"))
-        .localCheckpoint(true)
+        .pinned
       out = Some(out.fold(best)(_.unionByName(best)))
       words = words
         .crossJoin(best.select(col("a").as("_ma"), col("b").as("_mb")))
         .select(col("word"), col("freq"),
           applyMerge(col("syms"), col("_ma"), col("_mb")).as("syms"))
-        .localCheckpoint(true)
+        .pinned
     }
     (out.get, words)
   }

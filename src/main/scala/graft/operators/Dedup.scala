@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Pins.PinnedOps
+
 import graft.functions.TextFns._
 
 /** Document deduplication for large-scale training-data pipelines:
@@ -177,7 +179,7 @@ object Dedup {
       // intermediates can be released HERE: without this, sig/pruned/docArr
       // stay pinned for the session unless callers remember clearCache —
       // a leak for library consumers and steady memory pressure in Verify.
-      .localCheckpoint(true)
+      .pinned
     sig.unpersist()
     pruned.unpersist()
     docArr.unpersist()

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Pins.PinnedOps
+
 /** Graph analytics as iterative DataFrame programs — the reference's
   * Neo4j/GDS surface (`/root/reference/dags/graph_queries.cyp`)
   * re-expressed without a graph engine: a graph is a pair of DataFrames
@@ -41,7 +43,7 @@ object Graph {
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("csum"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .pinned
     }
     nodes.unpersist()
     withDeg.unpersist()
@@ -81,7 +83,7 @@ object Graph {
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
-        .localCheckpoint(true)
+        .pinned
     }
     nodes.unpersist()
     withDeg.unpersist()
@@ -155,7 +157,7 @@ object Graph {
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
-        .localCheckpoint(true)
+        .pinned
     }
     nodes.unpersist()
     withDeg.unpersist()
@@ -283,7 +285,7 @@ object Graph {
   def kHopReach(edges: DataFrame, k: Int,
       maxPairs: Option[Long] = None): DataFrame = {
     val base = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .pinned
     var reach = base
     var frontier = base
     var total = if (maxPairs.isDefined) base.count() else 0L
@@ -299,7 +301,7 @@ object Graph {
         .join(reach.select(col("src").as("r_src"), col("dst").as("r_dst")),
           col("src") === col("r_src") && col("dst") === col("r_dst"),
           "left_anti")
-        .localCheckpoint(true)
+        .pinned
       val fCount = if (maxPairs.isDefined) frontier.count()
         else if (frontier.isEmpty) 0L else -1L
       if (fCount == 0L) done = true
@@ -309,7 +311,7 @@ object Graph {
         done = true
       } else {
         // frontier is disjoint from reach by construction — plain union
-        reach = reach.union(frontier).localCheckpoint(true)
+        reach = reach.union(frontier).pinned
         total += (if (fCount > 0) fCount else 0)
         hop += 1
         if (hop > k) done = true
@@ -323,12 +325,12 @@ object Graph {
     * order-independent → fully deterministic. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     // pin the edge plan before the two-sided union (rationale: undirect)
-    val e = edges.localCheckpoint(true)
+    val e = edges.pinned
     val und = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     val nodes = und.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("component", col("id")).localCheckpoint(true)
+    var labels = nodes.withColumn("component", col("id")).pinned
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -340,7 +342,7 @@ object Graph {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+        .pinned
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component")).count()
@@ -367,7 +369,7 @@ object Graph {
     // forward: dist + sigma per (source, id) — column-renamed joins
     // throughout; string aliases don't survive localCheckpoint'd self-joins
     var levels = sources.map(s => (s, s, 0, 1.0))
-      .toDF("source", "id", "dist", "sigma").localCheckpoint(true)
+      .toDF("source", "id", "dist", "sigma").pinned
     var frontier = levels
     var level = 0
     var done = false
@@ -383,10 +385,10 @@ object Graph {
         .groupBy("source", "id").agg(sum("sigma").as("sigma"))
         .withColumn("dist", lit(level + 1))
         .select("source", "id", "dist", "sigma")
-        .localCheckpoint(true)
+        .pinned
       if (nxt.isEmpty) done = true
       else {
-        levels = levels.union(nxt).localCheckpoint(true)
+        levels = levels.union(nxt).pinned
         frontier = nxt
         level += 1
       }
@@ -394,7 +396,7 @@ object Graph {
     // backward: delta accumulation from the deepest level; sources whose
     // BFS ended shallower simply contribute no rows at deeper levels
     var delta = levels.select(col("source"), col("id"), lit(0.0).as("delta"))
-      .localCheckpoint(true)
+      .pinned
     for (l <- level to 1 by -1) {
       val w = levels.filter(col("dist") === l)
         .select(col("source").as("w_source"), col("id").as("w_id"),
@@ -420,7 +422,7 @@ object Graph {
           "left")
         .select(col("source"), col("id"),
           (col("delta") + coalesce(col("madd"), lit(0.0))).as("delta"))
-        .localCheckpoint(true)
+        .pinned
     }
     adj.unpersist()
     delta.filter(col("id") =!= col("source"))
@@ -448,7 +450,7 @@ object Graph {
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
 
     var levels = sources.map(s => (s, s, 0, 1L))
-      .toDF("source", "id", "dist", "sigma").localCheckpoint(true)
+      .toDF("source", "id", "dist", "sigma").pinned
     var frontier = levels
     var level = 0
     var done = false
@@ -464,16 +466,16 @@ object Graph {
         .groupBy("source", "id").agg(sum("sigma").as("sigma"))
         .withColumn("dist", lit(level + 1))
         .select("source", "id", "dist", "sigma")
-        .localCheckpoint(true)
+        .pinned
       if (nxt.isEmpty) done = true
       else {
-        levels = levels.union(nxt).localCheckpoint(true)
+        levels = levels.union(nxt).pinned
         frontier = nxt
         level += 1
       }
     }
     var delta = levels.select(col("source"), col("id"), lit(0L).as("delta"))
-      .localCheckpoint(true)
+      .pinned
     for (l <- maxDepth to 1 by -1) {
       val w = levels.filter(col("dist") === l)
         .select(col("source").as("w_source"), col("id").as("w_id"),
@@ -498,7 +500,7 @@ object Graph {
           "left")
         .select(col("source"), col("id"),
           (col("delta") + coalesce(col("madd"), lit(0L))).as("delta"))
-        .localCheckpoint(true)
+        .pinned
     }
     adj.unpersist()
     delta.filter(col("id") =!= col("source"))
@@ -568,12 +570,12 @@ object Graph {
     * Each iteration is one shuffle keyed by node id. */
   def labelPropagation(edges: DataFrame, iters: Int = 10): DataFrame = {
     // pin the edge plan before the two-sided union (rationale: undirect)
-    val e = edges.localCheckpoint(true)
+    val e = edges.pinned
     val und = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     val nodes = und.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("id")).pinned
     for (_ <- 1 to iters) {
       val votes = und.join(labels, und("dst") === labels("id"))
         .select(col("src"), col("label"))
@@ -584,7 +586,7 @@ object Graph {
       labels = votes.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("src").as("id"), col("label"))
-        .localCheckpoint(true)
+        .pinned
     }
     und.unpersist()
     labels
@@ -706,7 +708,7 @@ object Graph {
   def louvain(edges: DataFrame, rounds: Int = 6): DataFrame = {
     val und = undirect(edges)
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .pinned
     val m2 = und.count() // = 2m (each undirected edge counted both ways)
     moveRounds(und.withColumn("w", lit(1L)), deg, m2, rounds)
   }
@@ -752,7 +754,7 @@ object Graph {
   def louvain2(edges: DataFrame, rounds1: Int = 6, rounds2: Int = 6): DataFrame = {
     val und = undirect(edges)
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .pinned
     val m2 = und.count()
     val l1 = moveRounds(und.withColumn("w", lit(1L)), deg, m2, rounds1)
     val ce = und
@@ -760,12 +762,12 @@ object Graph {
       .join(l1.select(col("id").as("dst"), col("label").as("cdst")), "dst")
       .groupBy(col("csrc").as("src"), col("cdst").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+      .pinned
     val cdeg = ce.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg"))
-      .localCheckpoint(true)
-    val ew = ce.filter(col("src") =!= col("dst")).localCheckpoint(true)
+      .pinned
+    val ew = ce.filter(col("src") =!= col("dst")).pinned
     var labels = cdeg.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .pinned
     var merged = true
     for (_ <- 1 to rounds2 if merged) {
       val lab = labels
@@ -792,12 +794,12 @@ object Graph {
       // one row per community — tiny
       val best = gains.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("ca"), col("cb"))
-        .localCheckpoint(true)
+        .pinned
       val mutual = best.as("x").join(best.as("y"),
           col("x.cb") === col("y.ca") && col("x.ca") === col("y.cb"))
         .filter(col("x.ca") < col("x.cb"))
         .select(col("x.ca").as("a"), col("x.cb").as("b"))
-        .localCheckpoint(true)
+        .pinned
       // a no-merge round leaves labels untouched and recomputes the same
       // (empty) matching next round — a fixpoint, so breaking here is
       // indistinguishable from running the remaining rounds (the SQL twin
@@ -809,7 +811,7 @@ object Graph {
         labels = lab
           .join(mutual.select(col("b").as("label"), col("a")), Seq("label"), "left")
           .select(col("id"), coalesce(col("a"), col("label")).as("label"))
-          .localCheckpoint(true)
+          .pinned
       }
     }
     l1.select(col("id"), col("label").as("c1"))
@@ -823,11 +825,11 @@ object Graph {
     * reference queries) edge derivation executed once per branch —
     * measured 0.7 s of the g_louvain bench time at sf0.1. */
   private def undirect(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    val e = edges.pinned
     e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+      .pinned
   }
 
   /** Weighted synchronous greedy move rounds shared by both Louvain
@@ -837,7 +839,7 @@ object Graph {
   private def moveRounds(ew: DataFrame, deg: DataFrame, m2: Long,
       rounds: Int): DataFrame = {
     var labels = deg.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .pinned
     for (_ <- 1 to rounds) {
       val lab = labels
       // Σ_tot and size per community, under the previous round's labels
@@ -884,7 +886,7 @@ object Graph {
           when(col("cand") =!= col("own") && col("own_sz") === 1 &&
               col("cand_sz") === 1 && col("cand") > col("own"), col("own"))
             .otherwise(col("cand")).as("label"))
-        .localCheckpoint(true)
+        .pinned
     }
     labels
   }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Pins.PinnedOps
+
 /** Sequence packing for pre-training: concatenate documents in a
   * deterministic order and chunk the token stream into fixed-budget
   * training sequences ("concatenate-then-chunk" — documents may straddle
@@ -43,7 +45,7 @@ object Packing {
         sum(col(tokenCol)).over(Window.partitionBy(col("_pid"))
           .orderBy(col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .localCheckpoint(true) // pin ONE range partitioning for both consumers
+      .pinned // pin ONE range partitioning for both consumers
     val counts = local.groupBy(col("_pid"))
       .agg(sum(col(tokenCol)).as("_n"))
     val offsets = counts.select(col("_pid"), col("_n"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Pins.PinnedOps
+
 import graft.functions.TextFns.md5Hash54
 
 /** Similarity search over an embedding column (`Array[Float]`):
@@ -103,7 +105,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
-        .localCheckpoint(true)
+        .pinned
     }
     cents
   }
@@ -192,14 +194,19 @@ object Similarity {
   /** Top-k per query over int8 codes: exact BIGINT dot products, cosine
     * re-derived from the integer dot and the exact code norms (ONE double
     * division of exact operands → oracle-hashable). Same no-hint contract
-    * as [[bruteForceTopK]]: AQE broadcasts the small side at runtime. */
+    * as [[bruteForceTopK]]: AQE broadcasts the small side at runtime.
+    *
+    * The shortlist is bounded BEFORE the exchange (VERDICT r7 #2): a
+    * [[graft.plans.BoundedTopK]] aggregate keeps ≤ k pairs per query per
+    * map partition, so the shuffle carries |Q|·k·partitions rows — never
+    * the full |Q|·|N| pair stream the old `row_number` window moved. Order
+    * inside the aggregate is (cos desc, vec_id asc), identical to the
+    * window formulation, so ranks and hashes are unchanged. */
   def quantizedTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val qz = quantize(emb).filter(col("norm2") > 0)
     val q = qz.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("codes").as("qc"),
         col("norm2").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_q").desc, col("vec_id"))
     q.crossJoin(qz.select(col("vec_id"), col("codes"), col("norm2")))
       .filter(col("vec_id") =!= col("query_id"))
       // the cross join's whole cost is this inner product: the native
@@ -210,10 +217,14 @@ object Similarity {
         graft.plans.GraftExtensions.dotI64(col("qc"), col("codes")))
       .withColumn("cos_q", col("dot_q").cast("double") /
         sqrt((col("qn") * col("norm2")).cast("double")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        col("dot_q"), col("cos_q"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+        struct(col("cos_q"), col("vec_id"), col("dot_q")), k,
+        descFirst = true).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.vec_id").as("neighbor_id"),
+        (col("pos") + 1).as("rnk"), col("t.dot_q").as("dot_q"),
+        col("t.cos_q").as("cos_q"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

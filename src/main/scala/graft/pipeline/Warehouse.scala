@@ -39,7 +39,11 @@ object Warehouse {
       // to learn max(key) — the per-batch action shrinks to counting the
       // batch's freshly minted natural keys. None = unknown (state
       // recovered from storage) → recomputed ONCE by [[keyMaxesOf]].
-      keyMaxes: Option[Map[String, Long]] = None)
+      keyMaxes: Option[Map[String, Long]] = None,
+      // full_names whose dim_author rows the last loadBatch changed
+      // (minted ∪ touched) — the MERGE delta scope a bucket-granular
+      // persist needs; None = unknown (full dim is the delta).
+      touchedAuthors: Option[DataFrame] = None)
 
   /** S8 — seed the year dimension 1940–2030 plus the 0 sentinel
     * (DWH_tables.sql:87-88); year_key == publication_year ordinal. */
@@ -291,6 +295,12 @@ object Warehouse {
 
     State(state.dimYear, dimDomain, dimType, dimVenue, dimAuthorFinal,
       dimAffiliation, fact, bridgeAuthor, bridgeAffiliation,
-      keyMaxes = Some(maxes.map { case (k, v) => k -> (v + mintedCounts(k)) }))
+      keyMaxes = Some(maxes.map { case (k, v) => k -> (v + mintedCounts(k)) }),
+      // delta scope for a bucket-granular dim_author persist: authors
+      // whose h/g changed (touched = new papers' authors) plus authors
+      // minted this batch (possible without touch when a replayed paper
+      // carries a new author)
+      touchedAuthors = Some(touched
+        .unionByName(freshAuthor.select(col("full_name"))).distinct()))
   }
 }

@@ -130,4 +130,12 @@ object GraftExtensions {
   /** Column-API entry point for [[L2Sq]]. */
   def l2sq(a: Column, b: Column): Column =
     Shims.column(L2Sq(Shims.expression(a), Shims.expression(b)))
+
+  /** Column-API entry point for [[BoundedTopK]]: per-group bounded top-k of
+    * a struct (field 0 = score, field 1 = ascending tie-break id, rest =
+    * payload), k best in final order. `descFirst` orders the score
+    * descending (similarity) vs ascending (distance). */
+  def boundedTopK(s: Column, k: Int, descFirst: Boolean): Column =
+    Shims.column(BoundedTopK(Shims.expression(s), k, descFirst)
+      .toAggregateExpression())
 }

@@ -26,6 +26,10 @@ import graft.operators.Graph
 object GraphQueries extends QueryModule {
 
   /** REFERENCES edges: part→part via consecutive line numbers. */
+  /** Dev-tool access to the REFERENCES edge derivation (ProfileLouvain2Sf). */
+  private[graft] def refEdgesPublic(s: SparkSession, dir: String): DataFrame =
+    refEdges(s, dir)
+
   private def refEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))

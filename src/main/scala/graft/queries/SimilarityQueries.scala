@@ -131,6 +131,17 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // IVF×PQ — the production billion-vector composition: PQ-ADC scoring
+    // only within the nProbe=2 probed IVF buckets, final rank via the
+    // bounded per-query top-k aggregate (never a full-candidate shuffle).
+    "sim_ivf_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Pq.ivfAdcTopK(emb, trained(s, dir),
+          graft.operators.Pq.trainCentroids(emb, pqM, pqDsub, pqKsub, pqIters),
+          col("vec_id") < nQueries, topK, pqM, pqDsub, nProbe = 2)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Hybrid retrieval: keyword overlap list + vector cosine list fused
     // by reciprocal-rank fusion (exact integer divisions, fixed term
     // order — even the fused scores hash-match).
@@ -264,6 +275,14 @@ object SimilarityQueries extends QueryModule {
       s"""WITH $eCte,
          |${graft.operators.Pq.pqCtesSql(pqM, pqDsub, pqKsub, pqIters)},
          |${graft.operators.Pq.adcTailSql(pqM, pqDsub, pqIters, nQueries, topK)}
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ivf_pq_topk" ->
+      s"""WITH $eCte,
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
+         |${graft.operators.Pq.pqCtesSql(pqM, pqDsub, pqKsub, pqIters)},
+         |${graft.operators.Pq.ivfAdcTailSql(cosExpr("e", "c"), pqM, pqDsub,
+             pqIters, kmIters, nQueries, topK, nProbe = 2)}
          |ORDER BY query_id, rnk""".stripMargin,
 
     "sim_ivf_assign" ->

@@ -46,6 +46,20 @@ object TextPipelineQueries extends QueryModule {
   // bigram types (median P ≈ 0.033) — a real tail, not degenerate
   private val lmMinP = 0.02
 
+  // end-to-end pipeline gate thresholds — mid-range so both keep and
+  // drop branches are populated on this corpus (a gate that never drops
+  // tests nothing)
+  private val pipeQualityMin = 0.5
+  private val pipeDupMax = 0.5
+  // decon gram length for the PIPELINE: this synthetic corpus is built
+  // from shared sentence templates, so 12-char grams occur across nearly
+  // every doc pair (measured: n=12 flags 475/500 docs, median 74 shared
+  // grams — the whole corpus would "decontaminate" away). At n=30 only
+  // the 6 true quarantine near-dups match (275+ shared grams each): the
+  // gate drops real contamination and nothing else. The standalone
+  // decon_ngram_overlap keeps the prose-tuned n=12.
+  private val pipeDeconN = 30
+
   /** The synthetic corpus carries no PII, so the scrub oracle would be a
     * no-op; both engines append the SAME deterministic PII spans (email /
     * URL / IPv4 / phone derived from doc_id) so the redaction path is
@@ -266,16 +280,77 @@ object TextPipelineQueries extends QueryModule {
     "txt_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // THE training-data pipeline, end to end (VERDICT r7 #6): ingest →
+    // clean → PII scrub → MinHash near-dup removal (cluster min-id
+    // survivor) → quality + repetition gates → eval-set decontamination →
+    // stratified mixing → sequence packing. One hash-checked result over
+    // the composed operator chain — the query that catches inter-operator
+    // schema drift nothing else tests.
+    // The corpus flows through UN-augmented (unlike txt_pii_scrub, which
+    // plants synthetic PII to exercise redaction): an identical planted
+    // suffix would be scrubbed to an identical placeholder tail on every
+    // doc, and the decontamination gate — which flags ANY shared 12-gram
+    // with the quarantine set — would then flag the entire corpus. Scrub
+    // still runs before dedup (placeholders can't split near-dup
+    // clusters on differing PII spans); redaction VALUES are covered by
+    // the standalone txt_pii_scrub oracle.
+    "pipe_end_to_end" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clean = docs
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      val scrubbed = Pii.scrub(clean, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("scrubbed"))
+        .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      val pairs = Dedup.nearDupPairs(scrubbed, col("doc_id"), col("scrubbed"),
+          shingleN, minhashK, nearDupThreshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val drops = graft.operators.Graph.connectedComponents(pairs, maxIters = 50)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val deduped = scrubbed.join(drops, Seq("doc_id"), "left_anti")
+      val quality = TextAnalysis.qualityScore(deduped, col("doc_id"),
+        col("scrubbed")).select(col("doc_id"), col("quality_score"))
+      val rep = TextAnalysis.repetition(deduped, col("doc_id"),
+        col("scrubbed")).select(col("doc_id"), col("dup_bigram_frac"))
+      val gated = deduped.join(quality, "doc_id").join(rep, "doc_id")
+        .filter(col("quality_score") >= pipeQualityMin &&
+          (col("dup_bigram_frac").isNull ||
+            col("dup_bigram_frac") <= pipeDupMax))
+        .select(col("doc_id"), col("scrubbed"), col("lang"))
+      // quarantine = the (scrubbed, un-gated) first 25 docs — the eval
+      // set; corpus = gated docs outside it
+      val corpusSide = gated.filter(col("doc_id") >= 25)
+      val flaggedIds = graft.operators.Decontaminate.flagged(
+          corpusSide, col("doc_id"), col("scrubbed"),
+          scrubbed.filter(col("doc_id") < 25), col("doc_id"), col("scrubbed"),
+          n = pipeDeconN)
+        .select(col("doc_id"))
+      val decon = corpusSide.join(flaggedIds, Seq("doc_id"), "left_anti")
+      val mixed = graft.operators.Sampling.stratified(decon, col("doc_id"),
+        col("lang"), mixRates, "mix7")
+      val withTokens = mixed.select(col("doc_id"), col("lang"),
+        size(TextAnalysis.toks(col("scrubbed"))).cast("long").as("n_tokens"))
+      graft.operators.Packing.packSequences(withTokens, "doc_id",
+          "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("stream_offset"), col("seq_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
   /** Shared shingle CTE (DuckDB): distinct char n-grams. The constant
     * 1000-row series bounds text length at oracle scale (sf0.01 max 553);
-    * the Spark side uses the true length via `sequence`. */
-  private def shCte(n: Int): String =
-    s"""sh AS (SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), $n) AS s
-       |       FROM documents, generate_series(1, 1000) t(i)
-       |       WHERE i <= length(text) - ${n - 1})""".stripMargin
+    * the Spark side uses the true length via `sequence`. `src`/`textCol`
+    * parameterized so the end-to-end pipeline twin can shingle its
+    * scrubbed intermediate instead of raw `documents`. */
+  private def shCte(n: Int, src: String = "documents",
+      textCol: String = "text"): String =
+    s"""sh AS (SELECT DISTINCT doc_id, substr(lower($textCol), CAST(i AS INT), $n) AS s
+       |       FROM $src, generate_series(1, 1000) t(i)
+       |       WHERE i <= length($textCol) - ${n - 1})""".stripMargin
 
   /** Oracle twin of [[graft.operators.Dedup.nearDupPairs]]: wide MinHash
     * signatures → 2-row bands → candidates → signature-agreement prune
@@ -283,7 +358,10 @@ object TextPipelineQueries extends QueryModule {
     * k/shingleN/threshold constants as the Spark pipeline. Exposed as a
     * CTE chain ending in `neardup(doc_a, doc_b, jaccard)` so the cluster
     * oracle can build on the identical pair derivation. */
-  private def minhashPairsCtes: String = {
+  private def minhashPairsCtes: String = minhashPairsCtesOver()
+
+  private def minhashPairsCtesOver(src: String = "documents",
+      textCol: String = "text"): String = {
     val k = minhashK
     val mhCols = (0 until k)
       .map(i => s"MIN((xor(h, ${Dedup.saltXor(i)}) * ${Dedup.saltMul(i)}) & ${Dedup.hashMask}) AS mh$i")
@@ -294,7 +372,7 @@ object TextPipelineQueries extends QueryModule {
     val matchSum = (0 until k)
       .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""${shCte(shingleN)},
+    s"""${shCte(shingleN, src, textCol)},
        |hashed AS (SELECT doc_id,
        |                  CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS h
        |           FROM sh),
@@ -345,7 +423,65 @@ object TextPipelineQueries extends QueryModule {
        |       CAST(SUM(id) AS BIGINT) AS sum_ids
        |FROM comps GROUP BY component ORDER BY keep_id""".stripMargin
 
+  /** Twin of `pipe_end_to_end`: the same stage chain as one WITH
+    * cascade, every stage emitted by the SAME `*Sql` builder its
+    * standalone oracle uses (nested WITHs are scoped subqueries in
+    * DuckDB). The recursive CC is named `ccr` so `repetitionSql`'s
+    * inner `r` CTE can't shadow it. */
+  private def pipeOracle: String = {
+    val scrubInner = Pii.scrubSql("cln")
+    val qualitySql = TextAnalysis.qualityScoreSql(
+      "(SELECT doc_id, scrubbed AS text FROM dedup)")
+    val repSql = TextAnalysis.repetitionSql(
+      "(SELECT doc_id, scrubbed AS text FROM dedup)")
+    val deconSql = graft.operators.Decontaminate.decontaminateSql(
+      "SELECT doc_id, scrubbed AS text FROM corp",
+      "SELECT doc_id AS q_id, scrubbed AS text FROM scr WHERE doc_id < 25",
+      n = pipeDeconN)
+    val mixedSql = graft.operators.Sampling.stratifiedSql(
+      "SELECT * FROM decon", "doc_id", "lang", mixRates, "mix7")
+    val packSql = graft.operators.Packing.packSequencesSql(
+      "SELECT doc_id, lang, n_tokens FROM tok", "doc_id", "n_tokens",
+      budget = 2048L)
+    s"""WITH RECURSIVE
+       |cln AS (SELECT doc_id, text, lang, source FROM documents
+       |        WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       |scr0 AS ($scrubInner),
+       |scr AS (SELECT s.doc_id, s.scrubbed, c.lang, c.source
+       |        FROM scr0 s JOIN cln c USING (doc_id)),
+       |${minhashPairsCtesOver("scr", "scrubbed")},
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM neardup
+       |        UNION SELECT doc_b, doc_a FROM neardup),
+       |ccr(id, comp) AS (
+       |  SELECT src AS id, src AS comp FROM und
+       |  UNION
+       |  SELECT u.dst AS id, ccr.comp FROM ccr JOIN und u ON u.src = ccr.id
+       |  WHERE ccr.comp < u.dst),
+       |comps AS (SELECT id, MIN(comp) AS component FROM ccr GROUP BY id),
+       |dedup AS (SELECT * FROM scr WHERE doc_id NOT IN
+       |            (SELECT id FROM comps WHERE id <> component)),
+       |q AS ($qualitySql),
+       |rep AS ($repSql),
+       |gated AS (SELECT d.doc_id, d.scrubbed, d.lang
+       |          FROM dedup d JOIN q USING (doc_id) JOIN rep USING (doc_id)
+       |          WHERE q.quality_score >= $pipeQualityMin
+       |            AND (rep.dup_bigram_frac IS NULL
+       |                 OR rep.dup_bigram_frac <= $pipeDupMax)),
+       |corp AS (SELECT * FROM gated WHERE doc_id >= 25),
+       |fl AS ($deconSql),
+       |decon AS (SELECT * FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+       |mixed AS ($mixedSql),
+       |tok AS (SELECT doc_id, lang,
+       |          CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tokens
+       |        FROM (SELECT doc_id, lang, scrubbed AS text FROM mixed)),
+       |packed AS ($packSql)
+       |SELECT doc_id, lang, n_tokens, stream_offset, seq_id
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "pipe_end_to_end" -> pipeOracle,
+
     "dd_exact_dedup" ->
       """SELECT doc_id, content_hash
         |FROM (SELECT doc_id, md5(text) AS content_hash,

@@ -25,6 +25,27 @@ object Shims {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Strip the origin statistics a `localCheckpoint` carries over from
+    * its source plan (`LogicalRDD.fromDataset` preserves them). In an
+    * iterative algorithm each round's joins MULTIPLY the carried
+    * sizeInBytes products (`SizeInBytesOnlyStatsPlanVisitor.visitJoin`),
+    * so the BigInt stats of round N are a product of products — by round
+    * 6 of louvain level-2 the driver was spending MINUTES per job inside
+    * `BigInteger.multiplyToomCook3` on million-digit "statistics"
+    * (round-8 jstack profile, BASELINE.md). Dropping originStats resets
+    * the frame to `defaultSizeInBytes`: constant-size stats per round,
+    * no auto-broadcast surprises (the default is conservatively huge),
+    * AQE still sizes the real exchanges at runtime. */
+  def dropCheckpointStats(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        classic.Dataset.ofRows(ds.sparkSession,
+          lr.copy()(ds.sparkSession, None, None))
+      case _ => df
+    }
+  }
+
   // ---- cache-pin plumbing for graft.operators.Ranking's rule mode ------
   // CachedRDDBuilder is `private[sql]`; it crosses into graft code erased
   // to AnyRef so only this file names the internal type.
