@@ -55,11 +55,19 @@ object Bench {
     // r8 promotions (VERDICT r7 #5): the remaining r7-new operators a
     // pipeline runs hot — two-level Louvain, containment near-dup,
     // eval-set decontamination, sequence packing, hybrid RRF retrieval.
+    // dd_containment is the LABELED exact all-pairs baseline (Σdf² join):
+    // its first sf0.1 timing measured 42 s at local[4] — quadratic by
+    // design, the LSH family is the scale path — but it stays timed so
+    // the cost of the exact baseline is a recorded number, not a guess.
     "g_louvain2",
     "dd_containment",
     "decon_ngram_overlap",
     "pack_sequences",
-    "hyb_rrf_topk")
+    "hyb_rrf_topk",
+    // r8-new operator surface: the IVF×PQ billion-vector composition and
+    // the composed end-to-end training-data pipeline.
+    "sim_ivf_pq_topk",
+    "pipe_end_to_end")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC
