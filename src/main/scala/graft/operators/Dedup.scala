@@ -186,12 +186,30 @@ object Dedup {
     verified
   }
 
+  /** Shared inverted-index build for the exact-pairs family: shingle the
+    * corpus ONCE, with the explode parallelized across the cluster, and
+    * pin the result for its three consumers (join sides a/b + sizes).
+    *
+    * Both fixes are parallelism, not semantics (round-8 profile at
+    * sf0.1): the parquet scan of `documents` arrives in 1–2 partitions,
+    * so un-repartitioned the shingle explode ran ~single-threaded
+    * (10.5 s) and was recomputed per consumer (3×); and with inherited
+    * stats the self-join BROADCAST the 1.4 M-row shingle side and probed
+    * it with the same 1–2 tasks — which is why dd_containment's wall
+    * time was identical at local[4] and local[32]. Repartitioning by doc
+    * id spreads the explode; the pin materializes it once and (stats
+    * reset) the join becomes a 32-way shuffle join. Measured 41 s → ~6 s
+    * at sf0.1 local[32]. */
+  private def shingleIndex(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
+    shingleSet(df.repartition(id), id, text, n).pinned
+
   /** Exact all-pairs n-gram Jaccard via an inverted shingle index. Cost is
     * Σ_s df(s)² — only viable when shingles are selective (long n-grams);
     * the LSH pipeline is the scalable variant. */
   def exactJaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sh = shingleSet(df, id, text, shingleN)
+    val sh = shingleIndex(df, id, text, shingleN)
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -219,7 +237,7 @@ object Dedup {
     * sizes). */
   def containmentPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sh = shingleSet(df, id, text, shingleN)
+    val sh = shingleIndex(df, id, text, shingleN)
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -67,13 +67,16 @@ object Pq {
       .select(col("sub"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
       .pinned
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d2").asc, col("centroid_id"))
+      // argmin as hash-agg: min over struct(d2, centroid_id, sv) IS
+      // lexicographic (d2 ASC, centroid_id ASC) — the window's order —
+      // with map-side partial combine instead of a (vec_id, sub) exchange
+      // of the |corpus|·m·ksub scored rows
       val assigned = sv.join(broadcast(cents), "sub")
         .withColumn("d2", l2sq(col("sv"), col("cv")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("sub"), col("centroid_id"), col("sv"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("centroid_id"), col("sv"))).as("_b"))
+        .select(col("sub"), col("_b.centroid_id").as("centroid_id"),
+          col("_b.sv").as("sv"))
       val sums = assigned
         .select(col("sub"), col("centroid_id"),
           posexplode(col("sv")).as(Seq("pos", "val")))
@@ -93,13 +96,11 @@ object Pq {
     * subspace — the m-byte representation the corpus stores. */
   def codes(emb: DataFrame, cents: DataFrame, m: Int, dsub: Int): DataFrame = {
     val sv = subVectors(emb, m, dsub)
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2").asc, col("centroid_id"))
     sv.join(broadcast(cents), "sub")
       .withColumn("d2", l2sq(col("sv"), col("cv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("sub"), col("centroid_id").as("code"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("_b"))
+      .select(col("vec_id"), col("sub"), col("_b.centroid_id").as("code"))
   }
 
   /** ADC top-k: per-query m×ksub exact distance table, corpus scanned
@@ -118,8 +119,6 @@ object Pq {
     val subSums = (0 until m).map(j =>
       sum(when(col("sub") === j, col("d2"))).as(s"s$j"))
     val adist = (1 until m).foldLeft(col("s0"))((acc, j) => acc + col(s"s$j"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("vec_id"))
     // dt is |Q|·m·ksub rows — bounded by construction (the whole point
     // of ADC is that the table is tiny), so broadcast it explicitly:
     // the corpus-codes side must never shuffle for this join
@@ -130,10 +129,12 @@ object Pq {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(subSums.head, subSums.tail: _*)
       .select(col("query_id"), col("vec_id"), adist.as("adist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        col("adist"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+        struct(col("adist"), col("vec_id")), k, descFirst = false).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.vec_id").as("neighbor_id"),
+        (col("pos") + 1).as("rnk"), col("t.adist").as("adist"))
   }
 
   /** IVF×PQ — the production billion-vector composition (VERDICT r7 #4):
@@ -154,14 +155,20 @@ object Pq {
       isQuery: Column, k: Int, m: Int, dsub: Int, nProbe: Int = 1): DataFrame = {
     val e0 = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("v"))
     val c = ivfCents.select(col("centroid_id"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id"))
-    val scored = e0.crossJoin(broadcast(c))
+    // one bounded top-nProbe aggregation serves both bucket assignment
+    // (rank 1) and query probes (ranks ≤ nProbe) — no window exchange
+    val ranked = e0.crossJoin(broadcast(c))
       .withColumn("cos", Similarity.cosine(col("v"), col("cv")))
-      .withColumn("rnk", row_number().over(wAssign))
-    val buckets = scored.filter(col("rnk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+          struct(col("cos"), col("centroid_id")), nProbe,
+          descFirst = true).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), (col("pos") + 1).as("rnk"),
+        col("t.centroid_id").as("centroid_id"))
+    val buckets = ranked.filter(col("rnk") === 1)
       .select(col("vec_id"), col("centroid_id").as("bucket"))
-    val probes = scored.filter(isQuery && col("rnk") <= nProbe)
+    val probes = ranked.filter(isQuery && col("rnk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("centroid_id").as("qbucket"))
     val corpus = codes(emb, pqCents, m, dsub)
       .join(buckets, "vec_id")

@@ -45,6 +45,26 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.plans.GraftExtensions.cosineSim(a, b)
 
+  /** Per-group argmax as a HASH aggregation with map-side partial combine
+    * (the louvain `best` pattern, hoisted for the ANN family): max over
+    * `struct(score, -tie, payload…)` is lexicographic, i.e. exactly
+    * `score DESC, tie ASC` — the same total order as the
+    * `row_number().over(partitionBy(group).orderBy(...)) === 1` window it
+    * replaces, including double semantics (struct comparison uses the
+    * identical Spark ordering the sort used). Unlike the window, the
+    * exchange carries ONE combined row per (group, map-partition) instead
+    * of every candidate — at 100 TB the difference between shuffling
+    * |corpus| rows and |corpus|·k. */
+  def argmax(df: DataFrame, groups: Seq[Column], score: Column, tie: Column,
+      tieName: String, payload: Seq[(Column, String)] = Seq.empty): DataFrame = {
+    val b = struct((score.as("_s") +: (-tie).as("_nt") +:
+      payload.map { case (c, n) => c.as(n) }): _*)
+    df.groupBy(groups: _*)
+      .agg(max(b).as("_b"))
+      .select(groups ++ Seq((-col("_b._nt")).as(tieName)) ++
+        payload.map { case (_, n) => col(s"_b.$n").as(n) }: _*)
+  }
+
   /** Brute-force cosine top-k: queries × corpus, ranked per query.
     *
     * No broadcast hint on the query side: `isQuery` is caller-supplied and
@@ -55,14 +75,18 @@ object Similarity {
     val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val q = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     q.crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+      // bounded per-query top-k (map-side compaction) — the |Q|·|N| pair
+      // stream never reaches an exchange, same order contract as the
+      // row_number window it replaced (cos DESC, vec_id)
+      .groupBy(col("query_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+        struct(col("cos"), col("vec_id")), k, descFirst = true).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.vec_id").as("neighbor_id"),
+        (col("pos") + 1).as("rnk"), col("t.cos").as("cos"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -89,12 +113,14 @@ object Similarity {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("centroid_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine(col("v"), col("cv")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
+      // argmax as hash-agg (cos DESC, centroid_id ASC): partial combine
+      // ships one row per vector per map partition instead of windowing
+      // the |corpus|·k crossJoin output through a vec_id exchange
+      val assigned = argmax(
+          e.crossJoin(broadcast(cents))
+            .withColumn("cos", cosine(col("v"), col("cv"))),
+          Seq(col("vec_id")), col("cos"), col("centroid_id"), "centroid_id",
+          Seq(col("v") -> "v"))
         .select(col("centroid_id"), col("v"))
       val sums = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "val")))
@@ -114,12 +140,10 @@ object Similarity {
     * `(centroid_id, cv)`: nearest (max-cosine) centroid per vector. */
   def ivfAssignWith(emb: DataFrame, cents: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id"))
-    e.crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"))))
-      .withColumn("cos", cosine(col("v"), col("cv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+    argmax(
+        e.crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"))))
+          .withColumn("cos", cosine(col("v"), col("cv"))),
+        Seq(col("vec_id")), col("cos"), col("centroid_id"), "centroid_id")
       .select(col("vec_id"), col("centroid_id"))
   }
 
@@ -136,20 +160,26 @@ object Similarity {
       nProbe: Int = 1): DataFrame = {
     val e0 = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
     val c = cents.select(col("centroid_id"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_id"))
-    val scored = e0.crossJoin(broadcast(c))
+    // ONE bounded top-nProbe aggregation ranks each vector's centroids
+    // (cos DESC, centroid_id) and serves both consumers: rank 1 is the
+    // bucket assignment, ranks ≤ nProbe are the query's probes — where
+    // the window formulation shuffled the |corpus|·k crossJoin twice
+    val ranked = e0.crossJoin(broadcast(c))
       .withColumn("cos", cosine(col("v"), col("cv")))
-      .withColumn("rnk", row_number().over(wAssign))
+      .groupBy(col("vec_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+          struct(col("cos"), col("centroid_id"), col("v")), nProbe,
+          descFirst = true).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), (col("pos") + 1).as("rnk"),
+        col("t.centroid_id").as("centroid_id"), col("t.v").as("v"))
     // corpus side: each vector lives in its single nearest bucket
-    val assigned = scored.filter(col("rnk") === 1)
+    val assigned = ranked.filter(col("rnk") === 1)
       .select(col("vec_id"), col("v"), col("centroid_id"))
     // query side: probe the nProbe nearest buckets
-    val q = scored.filter(isQuery && col("rnk") <= nProbe)
+    val q = ranked.filter(isQuery && col("rnk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("centroid_id").as("qc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     // no broadcast hint: the probe join is an equi-join on bucket id, so
     // at scale both sides shuffle-partition by centroid (the IVF design);
     // AQE still broadcasts the query side at runtime when it's small
@@ -158,9 +188,12 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("v")))
       // a neighbor can surface from several probed buckets → dedup first
       .select(col("query_id"), col("vec_id"), col("cos")).distinct()
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+        struct(col("cos"), col("vec_id")), k, descFirst = true).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.vec_id").as("neighbor_id"),
+        (col("pos") + 1).as("rnk"), col("t.cos").as("cos"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -238,17 +271,18 @@ object Similarity {
     val coarse = quantizedTopK(emb, isQuery, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     coarse
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")),
         "query_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")),
         "neighbor_id")
       .withColumn("cos", cosine(col("qv"), col("nv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+        struct(col("cos"), col("neighbor_id")), k, descFirst = true).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).as("rnk"), col("t.cos").as("cos"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
