@@ -40,7 +40,11 @@ object Decontaminate {
       df.select(id.as(idName), lower(text).as("lt"))
         .select(col(idName), explode(shingles(col("lt"), n)).as("g"))
         .select(col(idName), md5Hash54(col("g")).as("gh"))
-    val corpusGrams = gramHashes(corpus, docId, docText, "doc_id")
+    // repartition(id) fans the gram explode out of a single-row-group
+    // test scan (one narrow exchange of raw docs; a cluster scan arrives
+    // already split — see Dedup.nearDupPairs for the full rationale)
+    val corpusGrams = gramHashes(corpus.repartition(docId), docId, docText,
+      "doc_id")
     val quarantineGrams =
       gramHashes(quarantine, qId, qText, "q_id").distinct()
     corpusGrams.join(quarantineGrams, "gh")

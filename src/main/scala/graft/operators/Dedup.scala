@@ -146,7 +146,13 @@ object Dedup {
     // Only the narrow signature rows persist — caching the shingle arrays
     // costs ~10s of columnar serialization at sf0.1, so the verify stage
     // recomputes arrays for candidate docs.
-    val sig = minHashSignatures(df, id, text, shingleN, k).persist()
+    // repartition(id) before the signature pass: the test corpora are
+    // single-row-group parquet, so the scan is ONE partition and the
+    // heaviest per-row compute of the pipeline (k MinHash evals per doc)
+    // would run single-threaded; at cluster scale the scan arrives
+    // already split and this is one narrow extra exchange of raw docs.
+    val sig = minHashSignatures(df.repartition(id), id, text, shingleN, k)
+      .persist()
     val cand = lshCandidates(sig, k, rowsPerBand)
     val pruned = estimateFilter(cand, sig, k, minMatches = k / 2)
       .persist()
@@ -272,7 +278,9 @@ object Dedup {
     require(bits >= 8 && bits <= 54 && bits % 8 == 0,
       s"simHash: bits must be a multiple of 8 in [8, 54], got $bits")
     // Single-space split (not \s+) to match the SQL twin byte-for-byte.
-    val tok = df.select(id.as("doc_id"),
+    // repartition(id): fan the tokenize+hash explode out of the
+    // single-row-group test scan (same rationale as nearDupPairs).
+    val tok = df.repartition(id).select(id.as("doc_id"),
         explode(array_distinct(
           filter(split(lower(text), " "), t => length(t) > 0))).as("t"))
       .withColumn("th", md5Hash54(col("t")))
