@@ -842,8 +842,13 @@ object Graph {
       .pinned
     for (_ <- 1 to rounds) {
       val lab = labels
+      // (id, own, deg) in ONE join — sigma, the stay-candidate union and
+      // the scored lookup all need per-id label+degree; joining deg once
+      // here removes one ~|V| exchange per round vs joining own and deg
+      // separately into `scored`
+      val labDeg = lab.join(deg, "id")
       // Σ_tot and size per community, under the previous round's labels
-      val sigma = lab.join(deg, "id")
+      val sigma = labDeg
         .groupBy(col("label")).agg(sum(col("deg")).as("st"),
           count(lit(1)).as("sz"))
       // k_{v,C}: edge weight from v into community C
@@ -860,8 +865,8 @@ object Graph {
       // bought nothing.
       val cand = kvc.unionByName(
         lab.select(col("id"), col("label").as("cand"), lit(0L).as("k")))
-      val own = lab.select(col("id"), col("label").as("own"))
-      val scored = cand.join(own, "id").join(deg, "id")
+      val own = labDeg.select(col("id"), col("label").as("own"), col("deg"))
+      val scored = cand.join(own, "id")
         .join(sigma.withColumnRenamed("label", "cand"), "cand")
         .select(col("id"), col("own"), col("cand"),
           col("sz").as("cand_sz"),
