@@ -64,9 +64,11 @@ object Bench {
     "decon_ngram_overlap",
     "pack_sequences",
     "hyb_rrf_topk",
-    // r8-new operator surface: the IVF×PQ billion-vector composition and
-    // the composed end-to-end training-data pipeline.
+    // r8-new operator surface: the IVF×PQ billion-vector composition
+    // (plain + residual-codebook IVFADC) and the composed end-to-end
+    // training-data pipeline.
     "sim_ivf_pq_topk",
+    "sim_ivfpq_residual_topk",
     "pipe_end_to_end")
 
   /** Environment telemetry so a weather-contaminated number can never again

@@ -200,6 +200,83 @@ object Pq {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Residual IVFADC — the composition as the PQ paper actually ships it
+    * (Jégou et al. §III: "IVFADC", codebooks trained on RESIDUALS): each
+    * corpus vector is stored as its bucket id plus PQ codes of
+    * `r = v − c_bucket`, and at query time the distance table is built
+    * per (query, probed bucket) from the query's OWN residual against
+    * that bucket's centroid. Residuals concentrate near the origin, so
+    * the same ksub codebook entries quantize them far more finely than
+    * raw vectors — the accuracy step that separates production IVFADC
+    * from the plain [[ivfAdcTopK]] composition kept as the baseline.
+    *
+    * Trains the residual codebooks internally (they only exist relative
+    * to `ivfCents`). Scale shape is [[ivfAdcTopK]]'s: centroids and the
+    * |Q|·nProbe·m·ksub distance tables broadcast, the corpus shuffles
+    * once on bucket id, bounded top-k finish. Determinism: residual
+    * subtraction is elementwise IEEE, identical in the twin; everything
+    * else inherits the [[adcTopK]] contracts. */
+  def ivfAdcResidualTopK(emb: DataFrame, ivfCents: DataFrame,
+      isQuery: Column, k: Int, m: Int, dsub: Int, ksub: Int, pqIters: Int,
+      nProbe: Int = 1): DataFrame = {
+    val e0 = emb.select(col("vec_id"), Similarity.vecD(col("embedding")).as("v"))
+    val c = ivfCents.select(col("centroid_id"), col("cv"))
+    val ranked = e0.crossJoin(broadcast(c))
+      .withColumn("cos", Similarity.cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+          struct(col("cos"), col("centroid_id")), nProbe,
+          descFirst = true).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("vec_id"), (col("pos") + 1).as("rnk"),
+        col("t.centroid_id").as("centroid_id"))
+    val buckets = ranked.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("centroid_id").as("bucket"))
+    val probes = ranked.filter(isQuery && col("rnk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("qbucket"))
+    // corpus residuals (vec_id, embedding) — the PQ training corpus
+    val residuals = e0.join(buckets, "vec_id")
+      .join(broadcast(c), col("bucket") === col("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("embedding"))
+    val rCents = trainCentroids(residuals, m, dsub, ksub, pqIters)
+    val corpus = codes(residuals, rCents, m, dsub).join(buckets, "vec_id")
+    // query residual PER PROBED BUCKET → per-(query, bucket) table
+    val qres = probes
+      .join(e0.select(col("vec_id").as("query_id"), col("v")), "query_id")
+      .join(broadcast(c), col("qbucket") === col("centroid_id"))
+      .select(col("query_id"), col("qbucket"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("rv"))
+    val qsv = (0 until m).map(j => qres.select(col("query_id"),
+        col("qbucket"), lit(j).as("sub"),
+        slice(col("rv"), j * dsub + 1, dsub).as("sv")))
+      .reduce(_ unionByName _)
+    val dt = qsv.join(broadcast(rCents), "sub")
+      .select(col("query_id").as("dt_query"), col("qbucket").as("dt_bucket"),
+        col("sub").as("dt_sub"), col("centroid_id").as("dt_code"),
+        l2sq(col("sv"), col("cv")).as("d2"))
+    val subSums = (0 until m).map(j =>
+      sum(when(col("dt_sub") === j, col("d2"))).as(s"s$j"))
+    val adist = (1 until m).foldLeft(col("s0"))((acc, j) => acc + col(s"s$j"))
+    corpus
+      .join(broadcast(probes), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dt),
+        col("dt_query") === col("query_id") &&
+          col("dt_bucket") === col("bucket") &&
+          col("dt_sub") === col("sub") && col("dt_code") === col("code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(subSums.head, subSums.tail: _*)
+      .select(col("query_id"), col("vec_id"), adist.as("adist"))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+        struct(col("adist"), col("vec_id")), k, descFirst = false).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.vec_id").as("neighbor_id"),
+        (col("pos") + 1).as("rnk"), col("t.adist").as("adist"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---- DuckDB twin ----------------------------------------------------
 
   private def d2Sql(s: String, c: String, dsub: Int): String = {
@@ -208,12 +285,14 @@ object Pq {
     s"list_dot_product($diff, $diff)"
   }
 
-  /** Unrolled twin over an `e(vec_id, v)` CTE: subspace views, seeded
+  /** Unrolled twin over a `$src(vec_id, v)` CTE (default `e`; the
+    * residual path passes its residual CTE): subspace views, seeded
     * codebooks, `iters` Lloyd's rounds, final codes in `pcode(vec_id,
     * sub, code)` and codebooks in `pc$iters(sub, centroid_id, cv)`. */
-  def pqCtesSql(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+  def pqCtesSql(m: Int, dsub: Int, ksub: Int, iters: Int,
+      src: String = "e"): String = {
     val subSelects = (0 until m).map(j =>
-      s"SELECT vec_id, $j AS sub, v[${j * dsub + 1}:${(j + 1) * dsub}] AS sv FROM e")
+      s"SELECT vec_id, $j AS sub, v[${j * dsub + 1}:${(j + 1) * dsub}] AS sv FROM $src")
       .mkString("\n  UNION ALL ")
     val init =
       s"""sv AS MATERIALIZED (
@@ -274,6 +353,61 @@ object Pq {
        |  FROM cand ca JOIN pcode pc ON pc.vec_id = ca.vec_id
        |       JOIN qdt q ON q.query_id = ca.query_id AND q.sub = pc.sub
        |                  AND q.centroid_id = pc.code),
+       |ad AS (SELECT query_id, vec_id, $sumChain AS adist
+       |  FROM contrib GROUP BY query_id, vec_id),
+       |rankedf AS (SELECT query_id, vec_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, vec_id) AS rnk
+       |  FROM ad)
+       |SELECT query_id, vec_id AS neighbor_id, rnk, adist
+       |FROM rankedf WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Twin of [[ivfAdcResidualTopK]] — everything after
+    * [[Similarity.kMeansCtesSql]] (which must define `cents$ivfIters`
+    * over a raw `e(vec_id, v)`): IVF rank, residual corpus `er`, the PQ
+    * pipeline over `er` via [[pqCtesSql]], per-(query, probed-bucket)
+    * residual distance tables, ADC sum, rank. Emits the final SELECT. */
+  def ivfAdcResidualTailSql(cosSql: String, m: Int, dsub: Int, ksub: Int,
+      iters: Int, ivfIters: Int, nQueries: Int, k: Int, nProbe: Int,
+      dim: Int): String = {
+    val sumChain = (0 until m)
+      .map(j => s"SUM(CASE WHEN sub = $j THEN d2 END)")
+      .mkString(" + ")
+    val qsvSelects = (0 until m).map(j =>
+      s"SELECT query_id, qbucket, $j AS sub, rv[${j * dsub + 1}:${(j + 1) * dsub}] AS sv FROM qr")
+      .mkString("\n  UNION ALL ")
+    s"""ivfscored AS (SELECT e.vec_id, c.centroid_id, $cosSql AS cos
+       |  FROM e CROSS JOIN cents$ivfIters c),
+       |ivfranked AS (SELECT vec_id, centroid_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, centroid_id) AS rnk
+       |  FROM ivfscored),
+       |bkt AS (SELECT vec_id, centroid_id AS bucket FROM ivfranked WHERE rnk = 1),
+       |probes AS (SELECT vec_id AS query_id, centroid_id AS qbucket
+       |  FROM ivfranked WHERE vec_id < $nQueries AND rnk <= $nProbe),
+       |er AS MATERIALIZED (SELECT e.vec_id,
+       |    list_transform(range(1, ${dim + 1}),
+       |                   i -> e.v[CAST(i AS INT)] - c.v[CAST(i AS INT)]) AS v
+       |  FROM e JOIN bkt b ON b.vec_id = e.vec_id
+       |       JOIN cents$ivfIters c ON c.centroid_id = b.bucket),
+       |${pqCtesSql(m, dsub, ksub, iters, src = "er")},
+       |qr AS (SELECT p.query_id, p.qbucket,
+       |    list_transform(range(1, ${dim + 1}),
+       |                   i -> e.v[CAST(i AS INT)] - c.v[CAST(i AS INT)]) AS rv
+       |  FROM probes p JOIN e ON e.vec_id = p.query_id
+       |       JOIN cents$ivfIters c ON c.centroid_id = p.qbucket),
+       |qsv AS (
+       |  $qsvSelects),
+       |qdt AS MATERIALIZED (SELECT s.query_id, s.qbucket, s.sub, c.centroid_id,
+       |    ${d2Sql("s", "c", dsub)} AS d2
+       |  FROM qsv s JOIN pc$iters c ON c.sub = s.sub),
+       |contrib AS (SELECT p.query_id, pc.vec_id, q.sub, q.d2
+       |  FROM pcode pc JOIN bkt b ON b.vec_id = pc.vec_id
+       |       JOIN probes p ON p.qbucket = b.bucket
+       |       JOIN qdt q ON q.query_id = p.query_id AND q.qbucket = b.bucket
+       |                  AND q.sub = pc.sub AND q.centroid_id = pc.code
+       |  WHERE pc.vec_id <> p.query_id),
        |ad AS (SELECT query_id, vec_id, $sumChain AS adist
        |  FROM contrib GROUP BY query_id, vec_id),
        |rankedf AS (SELECT query_id, vec_id, adist,

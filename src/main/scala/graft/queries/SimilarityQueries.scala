@@ -142,6 +142,19 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Residual IVFADC — the composition as the PQ paper ships it:
+    // codebooks trained on residuals v − c_bucket, query distance tables
+    // built per probed bucket from the query's own residual. The
+    // accuracy step separating production IVFADC from the plain
+    // composition above (kept as the baseline).
+    "sim_ivfpq_residual_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Pq.ivfAdcResidualTopK(emb, trained(s, dir),
+          col("vec_id") < nQueries, topK, pqM, pqDsub, pqKsub, pqIters,
+          nProbe = 2)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Hybrid retrieval: keyword overlap list + vector cosine list fused
     // by reciprocal-rank fusion (exact integer divisions, fixed term
     // order — even the fused scores hash-match).
@@ -283,6 +296,14 @@ object SimilarityQueries extends QueryModule {
          |${graft.operators.Pq.pqCtesSql(pqM, pqDsub, pqKsub, pqIters)},
          |${graft.operators.Pq.ivfAdcTailSql(cosExpr("e", "c"), pqM, pqDsub,
              pqIters, kmIters, nQueries, topK, nProbe = 2)}
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ivfpq_residual_topk" ->
+      s"""WITH $eCte,
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
+         |${graft.operators.Pq.ivfAdcResidualTailSql(cosExpr("e", "c"), pqM,
+             pqDsub, pqKsub, pqIters, kmIters, nQueries, topK, nProbe = 2,
+             dim = dim)}
          |ORDER BY query_id, rnk""".stripMargin,
 
     "sim_ivf_assign" ->
