@@ -364,4 +364,88 @@ object Dedup {
        |         FROM th GROUP BY doc_id)
        |SELECT doc_id, $fp AS simhash FROM bits""".stripMargin
   }
+
+  /** Duplicate-substring spans — the exact-substring pass of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), re-expressed relationally instead of via a
+    * suffix array: every `winLen`-token window whose text occurs anywhere
+    * else in the corpus (another document OR another position of the same
+    * document) is a duplicated window; overlapping/adjacent duplicated
+    * windows within a document merge into maximal spans
+    * (gaps-and-islands). Downstream a pipeline cuts the spans out rather
+    * than dropping whole documents — the within-document mode also makes
+    * this the span-level form of the Gopher repetition gate.
+    *
+    * Scale shape: windows are hashed to 54-bit md5 keys (oracle
+    * re-derivable) so the single exchange that detects repeats carries
+    * `(doc_id, pos, BIGINT)` — never window text. Repeat detection is a
+    * count over the hash partition; island-merge is a per-document
+    * window. |corpus|·tokens narrow rows through one hash-partitioned
+    * exchange, no pairwise term anywhere — unlike the near-dup family
+    * there is no candidate join at all, so this is the cheapest dedup
+    * pass and in production runs first. */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column,
+      winLen: Int): DataFrame = {
+    // Single-space split (not \s+) to match the SQL twin byte-for-byte;
+    // repartition(id): fan the window-hash explode out of the
+    // single-row-group test scans (no-op at cluster scale).
+    val toks = df.repartition(id)
+      .select(id.as("doc_id"),
+        filter(split(lower(text), " "), t => length(t) > 0).as("t"))
+      .filter(size(col("t")) >= winLen)
+    val grams = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("t")) - winLen),
+          i => md5Hash54(concat_ws(" ", slice(col("t"), i + 1, lit(winLen))))))
+        .as(Seq("pos", "gh")))
+    val hits = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("occ") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    // Island merge: windows [p, p+L-1] sorted by p have monotone ends, so
+    // a span breaks exactly when pos jumps past prev_pos + L (beyond
+    // adjacency). First row's lag is NULL → comparison NULL → no break,
+    // identical in both engines.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(byDoc) + winLen, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + winLen - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** SQL twin of [[duplicateSpans]] — same single-space tokenize, same
+    * md5-54 window hash, same island rule. `maxToks` bounds the
+    * generate_series at oracle scale (the Spark side uses true length). */
+  def duplicateSpansSql(table: String, winLen: Int,
+      maxToks: Int = 1000): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |                             t -> length(t) > 0) AS t
+       |  FROM $table),
+       |grams AS (
+       |  SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+       |         CAST(('0x' || substr(md5(array_to_string(
+       |           t[CAST(g.i + 1 AS INT):CAST(g.i + $winLen AS INT)], ' ')), 1, 14)) AS BIGINT) AS gh
+       |  FROM toks CROSS JOIN generate_series(0, $maxToks) g(i)
+       |  WHERE g.i <= len(t) - $winLen),
+       |occ AS (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS occ
+       |        FROM grams),
+       |hits AS (SELECT doc_id, pos FROM occ WHERE occ > 1),
+       |brk AS (SELECT doc_id, pos,
+       |               CASE WHEN pos > lag(pos) OVER w + $winLen THEN 1 ELSE 0 END AS brk
+       |        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (SELECT doc_id, pos,
+       |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |        FROM brk)
+       |SELECT doc_id, MIN(pos) AS span_start,
+       |       MAX(pos) + $winLen - 1 AS span_end,
+       |       MAX(pos) + $winLen - MIN(pos) AS span_tokens
+       |FROM isl GROUP BY doc_id, isl
+       |ORDER BY doc_id, span_start""".stripMargin
 }

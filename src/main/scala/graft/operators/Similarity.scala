@@ -369,4 +369,41 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means-cluster the embedding corpus, then within
+    * each cluster drop every vector that has a LOWER-id neighbor at
+    * cosine ≥ `threshold`. The paper keeps one representative per ε-ball
+    * with the choice unspecified; lowest id is the deterministic,
+    * oracle-checkable greedy rule (the keep-first policy of
+    * [[Dedup.exact]], lifted to semantic space).
+    *
+    * Scale shape: assignment broadcasts only the k centroids; the one
+    * pairwise compare runs strictly WITHIN a cluster (shuffle key =
+    * centroid id), so the quadratic term is bounded per bucket — size
+    * k ∝ |corpus| to hold E[|cluster|] constant, exactly the LSH-band
+    * argument. Survivors keep their cluster id so downstream mixing can
+    * stratify by semantic bucket. */
+  def semDedup(emb: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    // nearest-centroid assignment with the vector carried as argmax
+    // payload — one pass, no re-join against the corpus
+    val m = argmax(
+        e.crossJoin(broadcast(cents.select(col("centroid_id"), col("cv"))))
+          .withColumn("cos", cosine(col("v"), col("cv"))),
+        Seq(col("vec_id")), col("cos"), col("centroid_id"), "centroid_id",
+        Seq(col("v") -> "v"))
+      .select(col("vec_id"), col("centroid_id"), col("v"))
+      .pinned // consumed twice below (self-join + anti-join)
+    val dups = m.as("a")
+      .join(m.as("b"), col("a.centroid_id") === col("b.centroid_id") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    m.join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -33,6 +33,10 @@ object SimilarityQueries extends QueryModule {
   private val rrfN = 20
   private val nearThreshold = 0.4
 
+  // power-iteration rounds for the PCA family: 4 is enough to separate
+  // the dominant axis on this corpus and keeps the unrolled twin readable
+  private val pcaIters = 4
+
   private def trained(s: SparkSession, dir: String) =
     Similarity.kMeansCentroids(Tables.embeddings(s, dir), nCentroids, kmIters)
 
@@ -85,6 +89,23 @@ object SimilarityQueries extends QueryModule {
     // Exact all-pairs near-dup over embeddings (baseline for LSH).
     "sim_exact_near_pairs" -> ((s, dir) =>
       Similarity.exactNearPairs(Tables.embeddings(s, dir), nearThreshold)),
+
+    // SemDeDup: k-means clusters bound the pairwise compare; drop any
+    // vector with a lower-id within-cluster neighbor above threshold.
+    "dd_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), trained(s, dir),
+        nearThreshold)),
+
+    // Dominant principal component (matrix-free power iteration) — the
+    // corpus-drift / whitening axis, exact-grid accumulated.
+    "emb_pca_component" -> ((s, dir) =>
+      graft.operators.Embeddings.dominantComponent(
+        Tables.embeddings(s, dir), pcaIters, dim)),
+
+    // Per-vector 1-D PCA projection: the outlier-pruning score.
+    "emb_pca_scores" -> ((s, dir) =>
+      graft.operators.Embeddings.componentScores(
+        Tables.embeddings(s, dir), pcaIters, dim)),
 
     // Multimodal: binary payload + typed metadata, relational features.
     "mm_media_table" -> ((s, dir) => {
@@ -305,6 +326,38 @@ object SimilarityQueries extends QueryModule {
              pqDsub, pqKsub, pqIters, kmIters, nQueries, topK, nProbe = 2,
              dim = dim)}
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "dd_semdedup" ->
+      s"""WITH $eCte,
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
+         |scored AS (SELECT e.vec_id, c.centroid_id, ${cosExpr("e", "c")} AS cos, e.v
+         |           FROM e CROSS JOIN cents$kmIters c),
+         |m AS (SELECT vec_id, centroid_id, v FROM (
+         |        SELECT vec_id, centroid_id, v,
+         |               ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                 ORDER BY cos DESC, centroid_id) AS rnk
+         |        FROM scored) WHERE rnk = 1),
+         |dups AS (SELECT DISTINCT b.vec_id
+         |         FROM m a JOIN m b ON a.centroid_id = b.centroid_id
+         |                          AND a.vec_id < b.vec_id
+         |         WHERE ${cosExpr("a", "b")} >= $nearThreshold)
+         |SELECT vec_id, centroid_id FROM m
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+         |ORDER BY vec_id""".stripMargin,
+
+    "emb_pca_component" ->
+      s"""WITH $eCte,
+         |${graft.operators.Embeddings.powerCtesSql(pcaIters, dim)}
+         |SELECT CAST(r.i AS INT) AS pos, w[CAST(r.i + 1 AS INT)] AS loading
+         |FROM w$pcaIters CROSS JOIN range(0, $dim) r(i)
+         |ORDER BY pos""".stripMargin,
+
+    "emb_pca_scores" ->
+      s"""WITH $eCte,
+         |${graft.operators.Embeddings.powerCtesSql(pcaIters, dim)}
+         |SELECT c.vec_id, list_dot_product(c.c, w.w) AS score
+         |FROM c CROSS JOIN w$pcaIters w
+         |ORDER BY c.vec_id""".stripMargin,
 
     "sim_ivf_assign" ->
       s"""WITH $eCte,

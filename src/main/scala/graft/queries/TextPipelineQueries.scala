@@ -37,6 +37,17 @@ object TextPipelineQueries extends QueryModule {
   // candidate; Jaccard's 0.6 gate misses these when sizes are skewed
   private val containThreshold = 0.5
 
+  // duplicate-span window: 15 tokens is the same order as Lee et al.'s
+  // 50-byte ExactSubstr unit at this corpus's ~5.5 chars/token; probed
+  // non-degenerate (857 duplicated windows / 1778 occurrences at sf0.01)
+  private val spanWin = 15
+
+  // quality-model distillation: 8 full-batch GD steps at rate 0.1 —
+  // rate < 2/λmax (features in [0,1]⁴ bound λmax ≤ 4) so the descent is
+  // stable; 8 unrolled twin blocks stay readable
+  private val gdIters = 8
+  private val gdRate = 0.1
+
   // BPE merge-rounds: enough to absorb the end-of-word marker into
   // learned tokens at this vocabulary, small enough that the unrolled
   // recursive-CTE twin stays readable
@@ -100,6 +111,27 @@ object TextPipelineQueries extends QueryModule {
         .select(col("component").as("keep_id"), col("cluster_size"),
           col("sum_ids"))
         .orderBy(col("keep_id"))
+    }),
+
+    // Duplicate-substring spans (Lee et al. ExactSubstr, relational):
+    // repeated 15-token windows merged to maximal per-doc spans.
+    "dd_dup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(Tables.documents(s, dir), col("doc_id"),
+        col("text"), spanWin)
+    }),
+
+    // Quality-gate distillation: full-batch GD weights of the linear
+    // model fitted to the heuristic composite (grid-exact gradients).
+    "qc_distill_weights" -> ((s, dir) => {
+      graft.operators.QualityModel.distillWeights(Tables.documents(s, dir),
+        col("doc_id"), col("text"), gdIters, gdRate)
+    }),
+
+    // Fitted quality under the distilled model — the learned filter's
+    // shipping score.
+    "qc_distill_scores" -> ((s, dir) => {
+      graft.operators.QualityModel.distillScores(Tables.documents(s, dir),
+        col("doc_id"), col("text"), gdIters, gdRate)
     }),
 
     // Exact all-pairs n-gram Jaccard over selective 12-gram shingles.
@@ -490,6 +522,20 @@ object TextPipelineQueries extends QueryModule {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dd_minhash_lsh_neardup" -> minhashOracle,
+
+    "dd_dup_spans" -> Dedup.duplicateSpansSql("documents", spanWin),
+
+    "qc_distill_weights" ->
+      s"""WITH ${graft.operators.QualityModel.gdCtesSql("documents", gdIters, gdRate)}
+         |SELECT CAST(p.i AS INT) AS pos, w[CAST(p.i + 1 AS INT)] AS weight
+         |FROM w$gdIters CROSS JOIN range(0, ${graft.operators.QualityModel.nFeatures}) p(i)
+         |ORDER BY pos""".stripMargin,
+
+    "qc_distill_scores" ->
+      s"""WITH ${graft.operators.QualityModel.gdCtesSql("documents", gdIters, gdRate)}
+         |SELECT f.doc_id, list_dot_product(f.x, w.w) AS fitted
+         |FROM f CROSS JOIN w$gdIters w
+         |ORDER BY f.doc_id""".stripMargin,
 
     "dd_neardup_clusters" -> clusterOracle,
 

@@ -74,4 +74,22 @@ class DedupSpec extends AnyFunSuite {
     // every flagged doc has >= 1 matched gram by construction
     assert(out.values.forall(_._1 >= 1L))
   }
+
+  test("duplicateSpans merges overlapping and adjacent repeated windows") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h"),                       // shares "a b c d e" with 1
+      (1L, "x y a b c d e q r s"),
+      (2L, "m n o p m n o p"),                       // within-doc repeat
+      (3L, "unique tokens only here nothing repeats at all"),
+      (4L, "a b c z1 z2 z3 z4 z5 m n o p")           // two separated spans
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, col("doc_id"), col("text"), winLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (0L, 0L, 4L, 5L),   // windows 0..2 ("a b c".."c d e") merge
+      (1L, 2L, 6L, 5L),
+      (2L, 0L, 7L, 8L),   // adjacent repeat halves fuse into one span
+      (4L, 0L, 2L, 3L),   // "a b c"
+      (4L, 8L, 11L, 4L))) // "m n o p" — island break across the z-gap
+  }
 }

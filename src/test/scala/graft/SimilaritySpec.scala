@@ -131,4 +131,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))         // LSH never fabricates pairs
     assert(lsh.nonEmpty)                // planted clones collide in buckets
   }
+
+  test("semDedup drops higher-id within-cluster near-dups, keeps the rest") {
+    val e = embDf(Seq(
+      0L -> Seq(1f, 0.01f, 0f, 0f),     // cluster 0, survivor
+      1L -> Seq(0.99f, 0.012f, 0f, 0f), // cluster 0, ~dup of 0 -> dropped
+      2L -> Seq(0f, 1f, 0f, 0f),        // cluster 1, survivor
+      3L -> Seq(0.01f, 0.99f, 0f, 0f),  // cluster 1, ~dup of 2 -> dropped
+      4L -> Seq(0.6f, 0.8f, 0f, 0f)))   // cluster 1, cos(v4,v2)=0.8 < t
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("centroid_id", "cv")
+    val out = Similarity.semDedup(e, cents, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
 }
