@@ -69,7 +69,16 @@ object Bench {
     // training-data pipeline.
     "sim_ivf_pq_topk",
     "sim_ivfpq_residual_topk",
-    "pipe_end_to_end")
+    "pipe_end_to_end",
+    // second-wave r8 operators: duplicate-span cutting (the cheapest
+    // dedup pass — one exchange, no candidate join), SemDeDup semantic
+    // dedup, per-vector PCA projection (power iteration + scoring), and
+    // the GD-distilled quality filter
+    "dd_dup_spans",
+    "dd_semdedup",
+    "emb_pca_scores",
+    "qc_distill_scores",
+    "pipe_embeddings")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -93,19 +93,19 @@ object Embeddings {
     w
   }
 
-  /** SQL twin: unrolled CTE chain over a CTE `e(vec_id, v)`; the final
-    * component is `w$iters(w)`, centered corpus is `c(vec_id, c)`. Same
-    * grid constants, same sequential folds. */
-  def powerCtesSql(iters: Int, dim: Int): String = {
+  /** SQL twin: unrolled CTE chain over a CTE `src(vec_id, v)` (default
+    * `e`); the final component is `w$iters(w)`, centered corpus is
+    * `c(vec_id, c)`. Same grid constants, same sequential folds. */
+  def powerCtesSql(iters: Int, dim: Int, src: String = "e"): String = {
     val mean =
       s"""mean AS (SELECT r.i AS pos,
-         |         CAST(SUM(CAST(FLOOR(e.v[CAST(r.i + 1 AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |         CAST(SUM(CAST(FLOOR($src.v[CAST(r.i + 1 AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |           / (1000000.0 * COUNT(*)) AS m
-         |       FROM e CROSS JOIN range(0, $dim) r(i) GROUP BY r.i),
+         |       FROM $src CROSS JOIN range(0, $dim) r(i) GROUP BY r.i),
          |mv AS (SELECT list(m ORDER BY pos) AS mv FROM mean),
          |c AS (SELECT vec_id, list_transform(generate_series(1, $dim),
-         |              i -> e.v[CAST(i AS INT)] - mv.mv[CAST(i AS INT)]) AS c
-         |      FROM e CROSS JOIN mv),
+         |              i -> $src.v[CAST(i AS INT)] - mv.mv[CAST(i AS INT)]) AS c
+         |      FROM $src CROSS JOIN mv),
          |w0 AS (SELECT list_transform(generate_series(1, $dim), i -> 1.0) AS w)""".stripMargin
     val rounds = (1 to iters).map { t =>
       s"""s$t AS (SELECT c.c AS c, list_dot_product(c.c, w.w) AS s

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Embeddings, Multimodal, Similarity}
+import graft.plans.Pins.PinnedOps
 
 /** Embedding similarity search + multimodal column queries. Cosine values
   * are bit-identical to DuckDB (sequential double folds both sides), so
@@ -106,6 +107,32 @@ object SimilarityQueries extends QueryModule {
     "emb_pca_scores" -> ((s, dir) =>
       graft.operators.Embeddings.componentScores(
         Tables.embeddings(s, dir), pcaIters, dim)),
+
+    // Composed embedding-side pipeline (the vector mirror of
+    // pipe_end_to_end): SemDeDup survivors → PCA outlier prune at an
+    // ADAPTIVE threshold (2× the grid-exact mean |score| — recomputed on
+    // the survivor distribution, not a magic constant) → per-bucket
+    // index summary. Catches inter-operator schema drift across the
+    // whole embedding family.
+    "pipe_embeddings" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val surv = Similarity.semDedup(emb, trained(s, dir), nearThreshold)
+      val c = Embeddings.centered(emb.join(surv, "vec_id"))
+      val scores = c
+        .crossJoin(broadcast(Embeddings.powerVector(c, pcaIters, dim)))
+        .select(col("vec_id"), Similarity.dot(col("c"), col("w")).as("score"))
+        .pinned // consumed twice: threshold agg + gate
+      val thr = scores.agg(
+        (sum(floor(abs(col("score")) * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / (lit(1e6) * count(lit(1))) * lit(2.0)).as("thr"))
+      val kept = scores.crossJoin(broadcast(thr))
+        .filter(abs(col("score")) <= col("thr"))
+        .select(col("vec_id"))
+      surv.join(kept, Seq("vec_id"))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+        .orderBy(col("centroid_id"))
+    }),
 
     // Multimodal: binary payload + typed metadata, relational features.
     "mm_media_table" -> ((s, dir) => {
@@ -209,6 +236,24 @@ object SimilarityQueries extends QueryModule {
 
   private def cosExpr(a: String, b: String): String =
     s"list_dot_product($a.v, $b.v) / sqrt(list_dot_product($a.v, $a.v) * list_dot_product($b.v, $b.v))"
+
+  /** Twin of [[Similarity.semDedup]] as a CTE chain over `e` + trained
+    * `cents` — ends in `surv(vec_id, centroid_id, v)`; shared by the
+    * dd_semdedup oracle and the composed embedding pipeline. */
+  private def semDedupCtes: String =
+    s"""scored AS (SELECT e.vec_id, c.centroid_id, ${cosExpr("e", "c")} AS cos, e.v
+       |           FROM e CROSS JOIN cents$kmIters c),
+       |m AS (SELECT vec_id, centroid_id, v FROM (
+       |        SELECT vec_id, centroid_id, v,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                 ORDER BY cos DESC, centroid_id) AS rnk
+       |        FROM scored) WHERE rnk = 1),
+       |dups AS (SELECT DISTINCT b.vec_id
+       |         FROM m a JOIN m b ON a.centroid_id = b.centroid_id
+       |                          AND a.vec_id < b.vec_id
+       |         WHERE ${cosExpr("a", "b")} >= $nearThreshold),
+       |surv AS (SELECT vec_id, centroid_id, v FROM m
+       |         WHERE vec_id NOT IN (SELECT vec_id FROM dups))""".stripMargin
 
   /** Twin of [[Similarity.quantize]]: same `floor(x/s·127 + 0.5)` grid,
     * BIGINT code sums via an index fold over the fixed dim. */
@@ -330,20 +375,25 @@ object SimilarityQueries extends QueryModule {
     "dd_semdedup" ->
       s"""WITH $eCte,
          |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
-         |scored AS (SELECT e.vec_id, c.centroid_id, ${cosExpr("e", "c")} AS cos, e.v
-         |           FROM e CROSS JOIN cents$kmIters c),
-         |m AS (SELECT vec_id, centroid_id, v FROM (
-         |        SELECT vec_id, centroid_id, v,
-         |               ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                 ORDER BY cos DESC, centroid_id) AS rnk
-         |        FROM scored) WHERE rnk = 1),
-         |dups AS (SELECT DISTINCT b.vec_id
-         |         FROM m a JOIN m b ON a.centroid_id = b.centroid_id
-         |                          AND a.vec_id < b.vec_id
-         |         WHERE ${cosExpr("a", "b")} >= $nearThreshold)
-         |SELECT vec_id, centroid_id FROM m
-         |WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+         |$semDedupCtes
+         |SELECT vec_id, centroid_id FROM surv
          |ORDER BY vec_id""".stripMargin,
+
+    "pipe_embeddings" ->
+      s"""WITH $eCte,
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
+         |$semDedupCtes,
+         |${Embeddings.powerCtesSql(pcaIters, dim, src = "surv")},
+         |sc AS (SELECT c.vec_id, list_dot_product(c.c, w.w) AS score
+         |       FROM c CROSS JOIN w$pcaIters w),
+         |thr AS (SELECT CAST(SUM(CAST(FLOOR(ABS(score) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |          / (1000000.0 * COUNT(*)) * 2.0 AS thr FROM sc),
+         |kept AS (SELECT vec_id FROM sc CROSS JOIN thr WHERE ABS(score) <= thr)
+         |SELECT s.centroid_id, COUNT(*) AS n_vecs,
+         |       CAST(SUM(s.vec_id) AS BIGINT) AS sum_ids
+         |FROM surv s JOIN kept USING (vec_id)
+         |GROUP BY s.centroid_id
+         |ORDER BY s.centroid_id""".stripMargin,
 
     "emb_pca_component" ->
       s"""WITH $eCte,
