@@ -78,7 +78,8 @@ object Bench {
     "dd_semdedup",
     "emb_pca_scores",
     "qc_distill_scores",
-    "pipe_embeddings")
+    "pipe_embeddings",
+    "g_triangles")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

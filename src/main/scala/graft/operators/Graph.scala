@@ -1016,4 +1016,87 @@ object Graph {
         col("dst") === col("n2"))
       .select(col("e_src").as("src"), col("e_dst").as("dst"))
       .distinct()
+
+  // ---- triangle counting ----------------------------------------------
+
+  /** Degree-ordered triangle counting + local clustering coefficient
+    * (GDS triangleCount / localClusteringCoefficient parity; algorithm =
+    * the compact-forward / degree-orientation scheme, Latapy 2008):
+    * orient every undirected edge from its (degree, id)-smaller endpoint
+    * to the larger, generate wedges at each orientation source, close
+    * them against the oriented edge set. Under this orientation
+    * out-degrees are O(√m), so wedge generation is O(m^1.5) — the best
+    * exact bound — instead of the naive join's Σ deg²; hubs never fan
+    * out their full neighborhood.
+    *
+    * Scale shape: three id-keyed equi-joins, edge set pinned once, no
+    * global state. Returns `(id, deg, tri, coeff)` with
+    * coeff = 2·tri / (deg·(deg−1)), NULL when deg < 2 (nullif — ANSI
+    * division guard, identical in the twin). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .pinned
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .pinned
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    // carry the target's order key so the wedge pair (y, z) is ordered
+    // by the SAME total order that oriented the edges
+    val ord = withDeg.select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .pinned
+    val wedges = ord.as("e1").join(ord.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val tris = wedges
+      .join(ord.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff", lit(2.0) * col("tri") /
+        nullif((col("deg") * (col("deg") - lit(1L))).cast("double"), lit(0.0)))
+      .orderBy(col("id"))
+  }
+
+  /** SQL twin of [[triangles]] over an edge CTE `(src, dst)` — same
+    * orientation, same wedge order, same nullif guard. */
+  def trianglesSql(edgeCte: String): String =
+    s"""und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM $edgeCte WHERE src <> dst),
+       |dg AS (SELECT id, COUNT(*) AS deg
+       |       FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+       |       GROUP BY id),
+       |ord AS (SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+       |                    THEN u.a ELSE u.b END AS u,
+       |               CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+       |                    THEN u.b ELSE u.a END AS v,
+       |               CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+       |                    THEN db.deg ELSE da.deg END AS dv
+       |        FROM und u JOIN dg da ON da.id = u.a JOIN dg db ON db.id = u.b),
+       |wdg AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |        FROM ord e1 JOIN ord e2
+       |          ON e1.u = e2.u
+       |         AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))),
+       |tri AS (SELECT x, y, z FROM wdg JOIN ord o ON o.u = wdg.y AND o.v = wdg.z),
+       |pn AS (SELECT id, COUNT(*) AS tri
+       |       FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |             UNION ALL SELECT z FROM tri)
+       |       GROUP BY id)""".stripMargin
 }

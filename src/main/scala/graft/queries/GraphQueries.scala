@@ -85,6 +85,10 @@ object GraphQueries extends QueryModule {
 
     // G7 — node similarity: Jaccard over part→order memberships, scores
     // returned with both part names (graph_queries.cyp's RETURN shape).
+    // Triangle count + local clustering coefficient over the REFERENCES
+    // projection (degree-ordered compact-forward — O(m^1.5) wedges).
+    "g_triangles" -> ((s, dir) => Graph.triangles(refEdges(s, dir))),
+
     "g_jaccard_parts" -> ((s, dir) => {
       val membership = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
@@ -359,6 +363,15 @@ object GraphQueries extends QueryModule {
          |       CAST(SUM(src) AS BIGINT) AS sum_src,
          |       CAST(SUM(dst) AS BIGINT) AS sum_dst
          |FROM all_edges GROUP BY etype ORDER BY etype""".stripMargin,
+
+    "g_triangles" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.trianglesSql("e")}
+         |SELECT d.id, d.deg, COALESCE(pn.tri, 0) AS tri,
+         |       2.0 * COALESCE(pn.tri, 0)
+         |         / NULLIF(CAST(d.deg * (d.deg - 1) AS DOUBLE), 0.0) AS coeff
+         |FROM dg d LEFT JOIN pn USING (id)
+         |ORDER BY id""".stripMargin,
 
     "g_jaccard_parts" ->
       """WITH adj AS (SELECT DISTINCT l_partkey AS src, l_orderkey AS dst FROM lineitem),

@@ -259,4 +259,20 @@ class GraphSpec extends AnyFunSuite {
     assert(b(2L) == 2.0) // on the only 1<->3 shortest paths, both directions
     assert(b.getOrElse(1L, 0.0) == 0.0 && b.getOrElse(3L, 0.0) == 0.0)
   }
+
+  test("triangles: K4 plus a pendant, hand-computed counts and coefficients") {
+    // K4 on {1,2,3,4} (every node in 3 triangles, coeff 1.0) with a
+    // pendant 5-1 (node 1: deg 4, still 3 triangles, coeff 0.5; node 5:
+    // deg 1, no triangle, coeff NULL). Mixed edge directions on input -
+    // canonicalization must not care.
+    val tri = Graph.triangles(edges(
+        1L -> 2L, 3L -> 1L, 1L -> 4L, 2L -> 3L, 4L -> 2L, 3L -> 4L, 5L -> 1L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(tri(1L) == ((4L, 3L, Some(0.5))))
+    assert(tri(2L) == ((3L, 3L, Some(1.0))))
+    assert(tri(3L) == ((3L, 3L, Some(1.0))))
+    assert(tri(4L) == ((3L, 3L, Some(1.0))))
+    assert(tri(5L) == ((1L, 0L, None)))
+  }
 }
