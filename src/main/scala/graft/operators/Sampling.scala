@@ -43,4 +43,107 @@ object Sampling {
        |WHERE CAST(('0x' || substr(md5('$salt:' || CAST($keyCol AS VARCHAR)), 1, 14)) AS BIGINT) % 10000
        |      < CASE $cases ELSE 0 END""".stripMargin
   }
+
+  // ---- temperature sampling -------------------------------------------
+
+  /** Multilingual TEMPERATURE sampling (the mT5 / XLM-R mixing scheme):
+    * target share per stratum ∝ p_l^α with p_l the natural share, here
+    * fixed at α = 1/2 because p^0.5 = sqrt(p) is the ONE exponent whose
+    * power is IEEE-exact (correctly-rounded sqrt) — any other α needs
+    * libm `pow`, which is not correctly rounded and would break the
+    * cross-engine hash gate. The resulting up/down-weights are rescaled
+    * so the most-boosted stratum keeps everything (pure downsampling,
+    * never fabricating rows), then snapped to the same integer 1e4
+    * thresholds [[stratified]] uses.
+    *
+    * Unlike [[stratified]] the rates are DERIVED FROM THE DATA (one
+    * count aggregation), not configured: the per-stratum math runs on a
+    * one-row sorted array so every cross-stratum reduction is a
+    * sequential fold in stratum order — order-fixed, hence bit-equal to
+    * the twin. Scale: one groupBy(stratum) over the corpus; everything
+    * after is O(|strata|) driver-free arithmetic on one row.
+    *
+    * Returns `(stratum, n_docs, thr)` with thr ∈ [0, 10000]. */
+  def temperatureRates(df: DataFrame, stratum: Column): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val sorted = array_sort(collect_list(struct(col("stratum"), col("n"))))
+    val arr = counts.groupBy().agg(
+      transform(sorted, s => s.getField("stratum")).as("ls"),
+      transform(sorted, s => s.getField("n")).as("ns"))
+    val seqSum = (a: Column) => // the proven cross-engine sequential fold
+      aggregate(a, lit(0.0), (acc, x) => acc + x)
+    val staged = arr
+      .select(col("ls"), col("ns"),
+        aggregate(col("ns"), lit(0L), (a, x) => a + x).as("N"))
+      .select(col("ls"), col("ns"), col("N"),
+        transform(col("ns"),
+          x => sqrt(x.cast("double") / col("N").cast("double"))).as("ws"))
+      .select(col("ls"), col("ns"), col("N"), col("ws"),
+        seqSum(col("ws")).as("S"))
+      // boost ratio q_l/p_l = (w_l/S)/(n_l/N) = w_l·N/(S·n_l)
+      .select(col("ls"), col("ns"),
+        zip_with(col("ws"), col("ns"), (w, n) =>
+          w * col("N").cast("double") / (col("S") * n.cast("double")))
+          .as("rs"))
+      .select(col("ls"), col("ns"),
+        zip_with(col("rs"), col("ns"), (r, _) =>
+          floor(r / array_max(col("rs")) * lit(10000.0) + lit(0.5))
+            .cast("long")).as("ts"))
+    staged
+      .select(posexplode(arrays_zip(col("ls"), col("ns"), col("ts"))).as(Seq("i", "z")))
+      .select(col("z.ls").as("stratum"), col("z.ns").as("n_docs"),
+        col("z.ts").as("thr"))
+      .orderBy(col("stratum"))
+  }
+
+  /** Temperature-sampled corpus: the data-derived thresholds of
+    * [[temperatureRates]] applied through the [[stratified]] hash gate
+    * (thresholds broadcast — |strata| rows). */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column,
+      salt: String): DataFrame = {
+    val thr = temperatureRates(df, stratum)
+      .select(col("stratum"), col("thr"))
+    val bucket =
+      md5Hash54(concat(lit(salt + ":"), key.cast("string"))) % 10000L
+    df.withColumn("stratum", stratum)
+      .join(broadcast(thr), "stratum")
+      .filter(bucket < col("thr"))
+      .drop("stratum", "thr")
+  }
+
+  /** CTE chain twin of [[temperatureRates]] over `$src` — ends in
+    * `trates(stratum, n_docs, thr)`. Cross-stratum folds run via
+    * `list_dot_product` against a ones-list (the proven sequential
+    * fold), element math via generate_series indexing. */
+  def temperatureCtesSql(src: String, stratumCol: String,
+      maxStrata: Int = 32): String =
+    s"""tcounts AS (SELECT $stratumCol AS stratum, COUNT(*) AS n
+       |            FROM $src GROUP BY $stratumCol),
+       |tarr AS (SELECT list(stratum ORDER BY stratum) AS ls,
+       |                list(n ORDER BY stratum) AS ns
+       |         FROM tcounts),
+       |tn AS (SELECT ls, ns,
+       |              CAST(list_aggregate(ns, 'sum') AS BIGINT) AS N
+       |       FROM tarr),
+       |tw AS (SELECT ls, ns, N,
+       |              list_transform(ns, x -> sqrt(CAST(x AS DOUBLE) / CAST(N AS DOUBLE))) AS ws
+       |       FROM tn),
+       |ts AS (SELECT ls, ns, N, ws,
+       |              list_dot_product(ws, list_transform(ws, x -> 1.0)) AS S
+       |       FROM tw),
+       |tr AS (SELECT ls, ns,
+       |              list_transform(generate_series(1, len(ns)),
+       |                i -> ws[CAST(i AS INT)] * CAST(N AS DOUBLE)
+       |                     / (S * CAST(ns[CAST(i AS INT)] AS DOUBLE))) AS rs
+       |       FROM ts),
+       |tt AS (SELECT ls, ns,
+       |              list_transform(rs, r ->
+       |                CAST(FLOOR(r / list_aggregate(rs, 'max') * 10000.0 + 0.5) AS BIGINT)) AS ts
+       |       FROM tr),
+       |trates AS (SELECT ls[CAST(g.i AS INT)] AS stratum,
+       |                  ns[CAST(g.i AS INT)] AS n_docs,
+       |                  ts[CAST(g.i AS INT)] AS thr
+       |           FROM tt CROSS JOIN generate_series(1, $maxStrata) g(i)
+       |           WHERE g.i <= len(ls))""".stripMargin
 }

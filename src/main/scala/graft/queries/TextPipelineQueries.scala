@@ -134,6 +134,19 @@ object TextPipelineQueries extends QueryModule {
         col("doc_id"), col("text"), gdIters, gdRate)
     }),
 
+    // Temperature sampling (mT5/XLM-R mixing, α = 1/2): data-derived
+    // per-language thresholds ∝ sqrt share, rescaled to pure
+    // downsampling.
+    "mix_temp_rates" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureRates(
+        Tables.documents(s, dir), col("lang"))),
+
+    "mix_temp_sample" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureSample(
+          Tables.documents(s, dir), col("doc_id"), col("lang"), "temp7")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // Exact all-pairs n-gram Jaccard over selective 12-gram shingles.
     "dd_ngram_jaccard" -> ((s, dir) => {
       Dedup.exactJaccardPairs(Tables.documents(s, dir), col("doc_id"),
@@ -538,6 +551,17 @@ object TextPipelineQueries extends QueryModule {
          |ORDER BY f.doc_id""".stripMargin,
 
     "dd_neardup_clusters" -> clusterOracle,
+
+    "mix_temp_rates" ->
+      s"""WITH ${graft.operators.Sampling.temperatureCtesSql("documents", "lang")}
+         |SELECT stratum, n_docs, thr FROM trates ORDER BY stratum""".stripMargin,
+
+    "mix_temp_sample" ->
+      s"""WITH ${graft.operators.Sampling.temperatureCtesSql("documents", "lang")}
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN trates t ON t.stratum = d.lang
+         |WHERE CAST(('0x' || substr(md5('temp7:' || CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10000 < t.thr
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""WITH ${shCte(exactN)},

@@ -92,4 +92,23 @@ class PipelineGatesSpec extends AnyFunSuite {
     assert(out(2).getLong(1) == 2 && out(2).getLong(2) == 1)
     assert(out(2).getDouble(3) == 0.5 && out(2).getDouble(4) == 1.0)
   }
+
+  test("temperature sampling: thresholds are sqrt(n_min/n_l), zh keeps all") {
+    // 80/16/4 docs across en/de/zh: the alpha=1/2 boost rescaled to pure
+    // downsampling reduces to thr_l = round(1e4 * sqrt(n_min / n_l))
+    val docs = ((0 until 80).map(i => (i.toLong, "en")) ++
+        (80 until 96).map(i => (i.toLong, "de")) ++
+        (96 until 100).map(i => (i.toLong, "zh"))).toDF("doc_id", "lang")
+    val rates = graft.operators.Sampling.temperatureRates(docs, col("lang"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rates == Map("en" -> ((80L, 2236L)), "de" -> ((16L, 5000L)),
+      "zh" -> ((4L, 10000L))))
+    val kept = graft.operators.Sampling.temperatureSample(docs,
+        col("doc_id"), col("lang"), "t")
+      .collect().map(r => r.getLong(0)).toSet
+    // thr 10000 keeps every zh doc; en is downsampled hardest
+    assert((96L until 100L).forall(kept.contains))
+    val enKept = kept.count(_ < 80)
+    assert(enKept > 0 && enKept < 40) // ~22% expected of 80
+  }
 }
