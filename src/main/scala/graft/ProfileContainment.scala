@@ -7,6 +7,9 @@ object ProfileContainment {
     def t[A](l: String)(f: => A): A = { val t0=System.nanoTime(); val r=f; println(f"[pc] $l%-26s ${(System.nanoTime()-t0)/1e9}%7.2fs"); r }
     val q = graft.operators.Dedup.containmentPairs(docs, col("doc_id"), col("text"), 12, 0.5)
     t("full containment")(println("out: " + q.count()))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val q2 = graft.operators.Dedup.containmentPairs(docs, col("doc_id"), col("text"), 12, 0.5)
+    t("full containment warm")(println("out: " + q2.count()))
     println(q.queryExecution.executedPlan.toString.split("\n").filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Aggregate") || l.contains("Sort")).mkString("\n"))
     spark.stop()
   }

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns.{md5Hash54, shingles}
 
 /** Training-data decontamination: flag corpus documents that share any
   * character n-gram with a quarantine corpus (an eval/benchmark set) —
@@ -35,11 +34,15 @@ object Decontaminate {
   def flagged(corpus: DataFrame, docId: Column, docText: Column,
       quarantine: DataFrame, qId: Column, qText: Column,
       n: Int): DataFrame = {
+    // Native one-pass distinct gram hashing ([[graft.plans.GramHashes]]):
+    // spec-proven set-equal to the HOF chain
+    // `shingles(lt, n) → md5Hash54`, ~4× cheaper at sf0.1 (ProfilePipe:
+    // the gram pass dominated the whole composed pipeline before this).
     def gramHashes(df: DataFrame, id: Column, text: Column,
         idName: String): DataFrame =
-      df.select(id.as(idName), lower(text).as("lt"))
-        .select(col(idName), explode(shingles(col("lt"), n)).as("g"))
-        .select(col(idName), md5Hash54(col("g")).as("gh"))
+      df.select(id.as(idName),
+          explode(graft.plans.GraftExtensions.gramHashes(lower(text), n))
+            .as("gh"))
     // repartition(id) fans the gram explode out of a single-row-group
     // test scan (one narrow exchange of raw docs; a cluster scan arrives
     // already split — see Dedup.nearDupPairs for the full rationale)

@@ -208,7 +208,17 @@ object Dedup {
     * at sf0.1 local[32]. */
   private def shingleIndex(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame =
-    shingleSet(df.repartition(id), id, text, n).pinned
+    // Native one-pass distinct gram hashing (graft.plans.GramHashes,
+    // spec-proven set-equal to shingleSet→md5Hash54): the index carries
+    // 8-byte hashes instead of n-char gram strings, so the Σdf² probe
+    // compares longs and the exchange is ~n× narrower. The twin keeps
+    // joining gram STRINGS — identical pairs/counts absent a ~2⁻⁵⁶
+    // in-document collision (the decontamination gate's argument).
+    df.repartition(id)
+      .select(id.as("doc_id"),
+        explode(graft.plans.GraftExtensions.gramHashes(lower(text), n))
+          .as("s"))
+      .pinned
 
   /** Exact all-pairs n-gram Jaccard via an inverted shingle index. Cost is
     * Σ_s df(s)² — only viable when shingles are selective (long n-grams);

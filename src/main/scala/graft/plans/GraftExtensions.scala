@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.minGramHashDescriptor)
+    ext.injectFunction(GraftExtensions.gramHashesDescriptor)
     ext.injectFunction(GraftExtensions.dotI64Descriptor)
     ext.injectFunction(GraftExtensions.l2sqDescriptor)
     ext.injectOptimizerRule(GlobalRankRewrite(_))
@@ -62,6 +63,20 @@ object GraftExtensions {
       MinGramHash(children.head, n)
     })
 
+  private val gramHashesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("gram_hashes"),
+    new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "gram_hashes expects (text, n)")
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          "gram_hashes: n must be an integer literal")
+      }
+      GramHashes(children.head, n)
+    })
+
   private val dotI64Descriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_i64"),
@@ -99,8 +114,8 @@ object GraftExtensions {
     * ranking rewrite, AND the rewrite's storage-hygiene listener
     * (idempotent — skips whatever is already attached). */
   def register(spark: SparkSession): Unit = {
-    Seq(cosineSimDescriptor, minhashSigDescriptor,
-        minGramHashDescriptor, dotI64Descriptor, l2sqDescriptor).foreach {
+    Seq(cosineSimDescriptor, minhashSigDescriptor, minGramHashDescriptor,
+        gramHashesDescriptor, dotI64Descriptor, l2sqDescriptor).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info,
           (exprs: Seq[Expression]) => builder(exprs))
@@ -122,6 +137,10 @@ object GraftExtensions {
   /** Column-API entry point for [[MinGramHash]]. */
   def minGramHash(text: Column, n: Int): Column =
     Shims.column(MinGramHash(Shims.expression(text), n))
+
+  /** Column-API entry point for [[GramHashes]]. */
+  def gramHashes(text: Column, n: Int): Column =
+    Shims.column(GramHashes(Shims.expression(text), n))
 
   /** Column-API entry point for [[DotI64]]. */
   def dotI64(a: Column, b: Column): Column =
