@@ -429,12 +429,14 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
-  /** SQL twin of [[duplicateSpans]] — same single-space tokenize, same
-    * md5-54 window hash, same island rule. `maxToks` bounds the
-    * generate_series at oracle scale (the Spark side uses true length). */
-  def duplicateSpansSql(table: String, winLen: Int,
+  /** CTE chain twin of the span derivation — ends in
+    * `spans(doc_id, span_start, span_end, span_tokens)` over a `toks`
+    * CTE, shared by [[duplicateSpansSql]] and the span-cut twin.
+    * `maxToks` bounds the generate_series at oracle scale (the Spark
+    * side uses true length). */
+  def duplicateSpanCtes(table: String, winLen: Int,
       maxToks: Int = 1000): String =
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
        |                             t -> length(t) > 0) AS t
        |  FROM $table),
@@ -452,10 +454,75 @@ object Dedup {
        |        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        |isl AS (SELECT doc_id, pos,
        |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-       |        FROM brk)
-       |SELECT doc_id, MIN(pos) AS span_start,
-       |       MAX(pos) + $winLen - 1 AS span_end,
-       |       MAX(pos) + $winLen - MIN(pos) AS span_tokens
-       |FROM isl GROUP BY doc_id, isl
+       |        FROM brk),
+       |spans AS (SELECT doc_id, MIN(pos) AS span_start,
+       |                 MAX(pos) + $winLen - 1 AS span_end,
+       |                 MAX(pos) + $winLen - MIN(pos) AS span_tokens
+       |          FROM isl GROUP BY doc_id, isl)""".stripMargin
+
+  /** SQL twin of [[duplicateSpans]] — same single-space tokenize, same
+    * md5-54 window hash, same island rule. */
+  def duplicateSpansSql(table: String, winLen: Int,
+      maxToks: Int = 1000): String =
+    s"""WITH ${duplicateSpanCtes(table, winLen, maxToks)}
+       |SELECT doc_id, span_start, span_end, span_tokens FROM spans
        |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Span CUTTING — apply [[duplicateSpans]] to the corpus: remove every
+    * duplicated token range and re-assemble the cleaned document (what
+    * the Lee et al. pipeline actually ships — cut the spans, keep the
+    * document). Returns `(doc_id, n_tokens, kept_tokens, cleaned)` for
+    * every tokenizable document; docs without spans pass through whole.
+    *
+    * Scale shape: spans come from the one-exchange span pass; the cut is
+    * a doc-keyed anti range-join (equi on doc_id + range residual) and
+    * the re-assembly a per-document ordered aggregation — both
+    * partitioned by doc id, nothing global. */
+  def cutSpans(df: DataFrame, id: Column, text: Column,
+      winLen: Int): DataFrame = {
+    val spans = duplicateSpans(df, id, text, winLen)
+      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
+    val toks = df.repartition(id)
+      .select(id.as("doc_id"),
+        filter(split(lower(text), " "), t => length(t) > 0).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"),
+        posexplode(col("t")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(spans,
+        col("doc_id") === col("s_doc") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+    val total = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned"))
+      .join(total, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+        col("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SQL twin of [[cutSpans]]. Documents whose every token is inside a
+    * span drop out of the kept aggregation on BOTH sides (inner join
+    * back to totals). */
+  def cutSpansSql(table: String, winLen: Int, maxToks: Int = 1000): String =
+    s"""WITH ${duplicateSpanCtes(table, winLen, maxToks)},
+       |tk AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+       |              t[CAST(g.i + 1 AS INT)] AS tok
+       |       FROM toks CROSS JOIN generate_series(0, $maxToks) g(i)
+       |       WHERE g.i < len(t)),
+       |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |                           WHERE s.doc_id = tk.doc_id
+       |                             AND tk.pos BETWEEN s.span_start AND s.span_end)),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tk GROUP BY doc_id)
+       |SELECT k.doc_id, tot.n_tokens, COUNT(*) AS kept_tokens,
+       |       string_agg(k.tok, ' ' ORDER BY k.pos) AS cleaned
+       |FROM kept k JOIN tot ON tot.doc_id = k.doc_id
+       |GROUP BY k.doc_id, tot.n_tokens
+       |ORDER BY k.doc_id""".stripMargin
 }

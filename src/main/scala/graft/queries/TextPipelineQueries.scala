@@ -120,6 +120,13 @@ object TextPipelineQueries extends QueryModule {
         col("text"), spanWin)
     }),
 
+    // Span CUTTING: the Lee et al. pipeline's shipping artifact — cut
+    // duplicated token ranges, keep the documents.
+    "dd_span_cut" -> ((s, dir) => {
+      Dedup.cutSpans(Tables.documents(s, dir), col("doc_id"),
+        col("text"), spanWin)
+    }),
+
     // Quality-gate distillation: full-batch GD weights of the linear
     // model fitted to the heuristic composite (grid-exact gradients).
     "qc_distill_weights" -> ((s, dir) => {
@@ -537,6 +544,8 @@ object TextPipelineQueries extends QueryModule {
     "dd_minhash_lsh_neardup" -> minhashOracle,
 
     "dd_dup_spans" -> Dedup.duplicateSpansSql("documents", spanWin),
+
+    "dd_span_cut" -> Dedup.cutSpansSql("documents", spanWin),
 
     "qc_distill_weights" ->
       s"""WITH ${graft.operators.QualityModel.gdCtesSql("documents", gdIters, gdRate)}

@@ -92,4 +92,23 @@ class DedupSpec extends AnyFunSuite {
       (4L, 0L, 2L, 3L),   // "a b c"
       (4L, 8L, 11L, 4L))) // "m n o p" — island break across the z-gap
   }
+
+  test("cutSpans removes duplicated ranges, keeps span-free docs whole") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y a b c d e q r s"),
+      (2L, "m n o p m n o p"),                     // fully duplicated -> dropped
+      (3L, "unique tokens only here nothing repeats at all"),
+      (4L, "a b c z1 z2 z3 z4 z5 m n o p")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutSpans(corpus, col("doc_id"), col("text"), winLen = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      0L -> ((8L, 3L, "f g h")),
+      1L -> ((10L, 5L, "x y q r s")),
+      3L -> ((8L, 8L, "unique tokens only here nothing repeats at all")),
+      4L -> ((12L, 5L, "z1 z2 z3 z4 z5"))))
+    assert(!out.contains(2L)) // every token inside a span
+  }
 }
