@@ -79,7 +79,9 @@ object Bench {
     "emb_pca_scores",
     "qc_distill_scores",
     "pipe_embeddings",
-    "g_triangles")
+    "g_triangles",
+    "dd_span_cut",
+    "export_shards")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -42,6 +42,9 @@ object TextPipelineQueries extends QueryModule {
   // non-degenerate (857 duplicated windows / 1778 occurrences at sf0.01)
   private val spanWin = 15
 
+  // export shards: 4 balanced quality-stratified output shards
+  private val nShards = 4
+
   // quality-model distillation: 8 full-batch GD steps at rate 0.1 —
   // rate < 2/λmax (features in [0,1]⁴ bound λmax ≤ 4) so the descent is
   // stable; 8 unrolled twin blocks stay readable
@@ -118,6 +121,27 @@ object TextPipelineQueries extends QueryModule {
     "dd_dup_spans" -> ((s, dir) => {
       Dedup.duplicateSpans(Tables.documents(s, dir), col("doc_id"),
         col("text"), spanWin)
+    }),
+
+    // Quality-stratified balanced shard export: global quality order via
+    // the two-pass rank (no global window), round-robin shard ids —
+    // every shard gets the same size ±1 AND the same quality profile
+    // (the property naive hash-sharding lacks). Output is the per-shard
+    // manifest a dataset publisher ships.
+    "export_shards" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_chars_m"),
+          coalesce(col("quality_score"), lit(0.0)).as("q"))
+      graft.operators.Ranking.globalDenseRankCols(q, Seq("q", "doc_id"), "rn",
+          ascending = false)
+        .withColumn("shard", (col("rn") - 1) % lit(nShards.toLong))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars_m")).as("sum_chars"),
+          (sum(floor(col("q") * lit(1e6) + lit(0.5)).cast("long"))
+            .cast("double") / (lit(1e6) * count(lit(1)))).as("mean_q"))
+        .orderBy(col("shard"))
     }),
 
     // Span CUTTING: the Lee et al. pipeline's shipping artifact — cut
@@ -546,6 +570,19 @@ object TextPipelineQueries extends QueryModule {
     "dd_dup_spans" -> Dedup.duplicateSpansSql("documents", spanWin),
 
     "dd_span_cut" -> Dedup.cutSpansSql("documents", spanWin),
+
+    "export_shards" ->
+      s"""WITH q AS (
+         |${TextAnalysis.qualityScoreSql("documents")}),
+         |r AS (SELECT doc_id, n_chars_m, COALESCE(quality_score, 0.0) AS q FROM q),
+         |rk AS (SELECT doc_id, n_chars_m, q,
+         |              ROW_NUMBER() OVER (ORDER BY q DESC, doc_id DESC) AS rn
+         |       FROM r)
+         |SELECT (rn - 1) % $nShards AS shard, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars_m) AS BIGINT) AS sum_chars,
+         |       CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |         / (1000000.0 * COUNT(*)) AS mean_q
+         |FROM rk GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "qc_distill_weights" ->
       s"""WITH ${graft.operators.QualityModel.gdCtesSql("documents", gdIters, gdRate)}
