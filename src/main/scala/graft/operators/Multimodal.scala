@@ -199,4 +199,75 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ---- real audio codec path ------------------------------------------
+
+  case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,
+      duration_us: Long, sum_samples: Long, sum_abs: Long)
+
+  /** Closed-form PCM signal for [[audioRoundtrip]] — sample count and
+    * 16-bit values are exact integer functions of `doc_id`, so the
+    * decoded stats are SQL-recomputable (the PNG grid's discipline). */
+  private[graft] def wavN(id: Long): Int = (800 + id % 401).toInt
+  private[graft] def wavSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7) % 65536L) - 32768L).toInt
+  private[graft] val wavRate = 8000 // Hz; divides 1e6 so duration is exact
+
+  /** REAL audio codec roundtrip — the WAV analog of [[imageRoundtrip]],
+    * retiring the audio side of the decode stub: per row a 16-bit mono
+    * PCM signal (closed form of doc_id) is encoded to actual WAV bytes
+    * via `javax.sound.sampled` (the JVM's built-in audio stack, works
+    * headless), decoded back through `AudioSystem.getAudioInputStream`
+    * (header parse, format negotiation), and reduced to exact integer
+    * stats: frame count, µs duration (rate divides 10⁶), signed sum and
+    * absolute sum of samples. PCM WAV is lossless, so the decoded sums
+    * equal the closed form and the DuckDB twin recomputes them.
+    * Partition-batched like every decode path; nothing touches the
+    * driver. */
+  def audioRoundtrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.iterator.map { id =>
+          val n = wavN(id)
+          val raw = new Array[Byte](n * 2) // 16-bit LE mono
+          var i = 0
+          while (i < n) {
+            val s = wavSample(id, i)
+            raw(2 * i) = (s & 0xff).toByte
+            raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(wavRate.toFloat, 16, 1,
+            /* signed = */ true, /* bigEndian = */ false)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+            AudioFileFormat.Type.WAVE, bos)
+          val wav = bos.toByteArray                       // real WAV bytes
+          // decode: container/header parse via the real audio stack
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val f = in.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+            !f.isBigEndian, s"unexpected decoded format $f for doc $id")
+          val dec = in.readAllBytes()
+          in.close()
+          val frames = dec.length / 2
+          var sum = 0L
+          var sabs = 0L
+          var j = 0
+          while (j < frames) {
+            val v = ((dec(2 * j) & 0xff) | (dec(2 * j + 1) << 8)).toShort.toLong
+            sum += v
+            sabs += math.abs(v)
+            j += 1
+          }
+          AudioStats(id, f.getSampleRate.toInt, frames.toLong,
+            frames.toLong * 1000000L / wavRate, sum, sabs)
+        }
+      }
+    }.toDF()
+  }
 }

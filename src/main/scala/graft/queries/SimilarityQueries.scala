@@ -227,6 +227,12 @@ object SimilarityQueries extends QueryModule {
     // lossless, so any codec/stride/channel bug breaks the hash).
     "mm_decode_image" -> ((s, dir) =>
       Multimodal.imageRoundtrip(s, Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // REAL WAV/PCM roundtrip via javax.sound — the audio analog of
+    // mm_decode_image; exact integer sample stats, SQL-recomputable.
+    "mm_decode_audio" -> ((s, dir) =>
+      Multimodal.audioRoundtrip(s, Tables.documents(s, dir))
         .orderBy(col("doc_id")))
   )
 
@@ -509,6 +515,20 @@ object SimilarityQueries extends QueryModule {
         |WHERE x.i < 8 + d.doc_id % 9 AND y.i < 6 + d.doc_id % 5
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "mm_decode_audio" ->
+      """WITH n AS (SELECT doc_id, 800 + doc_id % 401 AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |             ((doc_id * 31 + g.i * 7) % 65536) - 32768 AS v
+        |      FROM n CROSS JOIN generate_series(0, 1200) g(i)
+        |      WHERE g.i < n)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(n * 125 AS BIGINT) AS duration_us,
+        |       CAST(SUM(v) AS BIGINT) AS sum_samples,
+        |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_decode_stub" ->
       """SELECT doc_id,

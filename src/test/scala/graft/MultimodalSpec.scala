@@ -80,4 +80,17 @@ class MultimodalSpec extends AnyFunSuite {
       .select("media_type").collect().map(_.getString(0)).toSeq
     assert(types == Seq("image", "audio", "video"))
   }
+
+  test("audioRoundtrip: real WAV encode/decode preserves exact sample stats") {
+    val docs = Seq(0L, 5L, 123L).toDF("doc_id")
+    val out = Multimodal.audioRoundtrip(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (id <- Seq(0L, 5L, 123L)) {
+      val n = Multimodal.wavN(id)
+      val vs = (0 until n).map(i => Multimodal.wavSample(id, i).toLong)
+      assert(out(id) == ((8000, n.toLong, n.toLong * 125,
+        vs.sum, vs.map(math.abs).sum)))
+    }
+  }
 }
