@@ -81,7 +81,8 @@ object Bench {
     "pipe_embeddings",
     "g_triangles",
     "dd_span_cut",
-    "export_shards")
+    "export_shards",
+    "mm_decode_audio")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -123,6 +123,21 @@ object TextPipelineQueries extends QueryModule {
         col("text"), spanWin)
     }),
 
+    // SQL-TEXT surface for the native expressions: a raw spark.sql query
+    // calling the SparkSessionExtensions-injected gram_hashes /
+    // min_gram_hash functions — proves the registered-function path end
+    // to end (a SQL-only user gets the codegen'd hot loops too).
+    "sql_entry_native_grams" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql(
+        s"""SELECT doc_id,
+           |       size(gram_hashes(lower(text), $exactN)) AS n_distinct_grams,
+           |       min_gram_hash(lower(text), $exactN) AS fingerprint
+           |FROM documents_v
+           |WHERE length(text) >= $exactN
+           |ORDER BY doc_id""".stripMargin)
+    }),
+
     // Quality-stratified balanced shard export: global quality order via
     // the two-pass rank (no global window), round-robin shard ids —
     // every shard gets the same size ±1 AND the same quality profile
@@ -570,6 +585,18 @@ object TextPipelineQueries extends QueryModule {
     "dd_dup_spans" -> Dedup.duplicateSpansSql("documents", spanWin),
 
     "dd_span_cut" -> Dedup.cutSpansSql("documents", spanWin),
+
+    "sql_entry_native_grams" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT) AS gh
+         |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(
+         |          list_transform(range(1, greatest(length(text) - ${exactN - 1}, 1) + 1),
+         |                         i -> substr(lower(text), CAST(i AS INT), $exactN)),
+         |          s -> length(s) = $exactN))) AS s
+         |        FROM documents WHERE length(text) >= $exactN))
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_distinct_grams,
+         |       MIN(gh) AS fingerprint
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "export_shards" ->
       s"""WITH q AS (
