@@ -44,6 +44,42 @@ object Sampling {
        |      < CASE $cases ELSE 0 END""".stripMargin
   }
 
+  // ---- per-stratum reservoir ------------------------------------------
+
+  /** Deterministic per-stratum reservoir: the k rows with the SMALLEST
+    * salted hash per stratum — a reproducible "uniform k-sample per
+    * group". The classic streaming reservoir (Vitter's R) is
+    * RNG-stateful and order-dependent; hash order gives the same
+    * statistical guarantee (md5 is uniform over keys) while being
+    * deterministic, engine-portable and re-runnable. Executed through
+    * the native bounded-top-k aggregate, so each map partition ships at
+    * most |strata|·k rows to the exchange — the corpus itself never
+    * shuffles, which is what makes "sample 10k docs per language from
+    * 100 TB" a cheap pass. */
+  def reservoir(df: DataFrame, key: Column, stratum: Column, k: Int,
+      salt: String): DataFrame =
+    df.select(stratum.as("stratum"), key.as("doc_id"),
+        md5Hash54(concat(lit(salt + ":"), key.cast("string"))).as("h"))
+      .groupBy(col("stratum"))
+      .agg(graft.plans.GraftExtensions.boundedTopK(
+        struct(col("h"), col("doc_id")), k, descFirst = false).as("top"))
+      .select(col("stratum"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("stratum"), col("t.doc_id").as("doc_id"),
+        (col("pos") + 1).as("rnk"))
+      .orderBy(col("stratum"), col("rnk"))
+
+  /** DuckDB twin of [[reservoir]] over `$src` with columns
+    * `($keyCol, $stratumCol)` — plain windowed rank, same hash. */
+  def reservoirSql(src: String, keyCol: String, stratumCol: String,
+      k: Int, salt: String): String =
+    s"""SELECT stratum, doc_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT $stratumCol AS stratum, $keyCol AS doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY $stratumCol
+       |           ORDER BY CAST(('0x' || substr(md5('$salt:' || CAST($keyCol AS VARCHAR)), 1, 14)) AS BIGINT),
+       |                    $keyCol) AS rnk
+       |  FROM $src)
+       |WHERE rnk <= $k ORDER BY stratum, rnk""".stripMargin
+
   // ---- temperature sampling -------------------------------------------
 
   /** Multilingual TEMPERATURE sampling (the mT5 / XLM-R mixing scheme):

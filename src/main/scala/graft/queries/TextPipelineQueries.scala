@@ -45,6 +45,9 @@ object TextPipelineQueries extends QueryModule {
   // export shards: 4 balanced quality-stratified output shards
   private val nShards = 4
 
+  // per-stratum reservoir size
+  private val reservoirK = 10
+
   // quality-model distillation: 8 full-batch GD steps at rate 0.1 —
   // rate < 2/λmax (features in [0,1]⁴ bound λmax ≤ 4) so the descent is
   // stable; 8 unrolled twin blocks stay readable
@@ -122,6 +125,13 @@ object TextPipelineQueries extends QueryModule {
       Dedup.duplicateSpans(Tables.documents(s, dir), col("doc_id"),
         col("text"), spanWin)
     }),
+
+    // Deterministic per-language reservoir: smallest-salted-hash k per
+    // stratum through the bounded-top-k aggregate (corpus never
+    // shuffles; |strata|·k rows per map partition reach the exchange).
+    "mix_reservoir" -> ((s, dir) =>
+      graft.operators.Sampling.reservoir(Tables.documents(s, dir),
+        col("doc_id"), col("lang"), reservoirK, "res7")),
 
     // SQL-TEXT surface for the native expressions: a raw spark.sql query
     // calling the SparkSessionExtensions-injected gram_hashes /
@@ -585,6 +595,10 @@ object TextPipelineQueries extends QueryModule {
     "dd_dup_spans" -> Dedup.duplicateSpansSql("documents", spanWin),
 
     "dd_span_cut" -> Dedup.cutSpansSql("documents", spanWin),
+
+    "mix_reservoir" ->
+      graft.operators.Sampling.reservoirSql("documents", "doc_id", "lang",
+        reservoirK, "res7"),
 
     "sql_entry_native_grams" ->
       s"""WITH g AS (

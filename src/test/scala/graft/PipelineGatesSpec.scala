@@ -111,4 +111,24 @@ class PipelineGatesSpec extends AnyFunSuite {
     val enKept = kept.count(_ < 80)
     assert(enKept > 0 && enKept < 40) // ~22% expected of 80
   }
+
+  test("reservoir: deterministic smallest-hash k per stratum, stable across runs") {
+    val docs = ((0 until 50).map(i => (i.toLong, "en")) ++
+        (50 until 53).map(i => (i.toLong, "zh"))).toDF("doc_id", "lang")
+    val r1 = graft.operators.Sampling.reservoir(docs, col("doc_id"),
+        col("lang"), k = 5, "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val r2 = graft.operators.Sampling.reservoir(docs, col("doc_id"),
+        col("lang"), k = 5, "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(r1.toSeq == r2.toSeq)                        // reproducible
+    assert(r1.count(_._1 == "en") == 5)                 // bounded per stratum
+    assert(r1.count(_._1 == "zh") == 3)                 // under-full stratum keeps all
+    assert(r1.filter(_._1 == "zh").map(_._2).toSet == Set(50L, 51L, 52L))
+    // a different salt draws a different en-sample
+    val r3 = graft.operators.Sampling.reservoir(docs, col("doc_id"),
+        col("lang"), k = 5, "other")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(r3 != r1.map(t => (t._1, t._2)).toSet)
+  }
 }
