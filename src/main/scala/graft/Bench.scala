@@ -82,7 +82,15 @@ object Bench {
     "g_triangles",
     "dd_span_cut",
     "export_shards",
-    "mm_decode_audio")
+    "mm_decode_audio",
+    // final r8 additions: the 48-bit SimHash configuration (the
+    // documented scale setting — band volume far below the saturated
+    // 32-bit run), data-derived temperature mix, per-stratum reservoir,
+    // and the SQL-text native-function path
+    "dd_simhash_wide_pairs",
+    "mix_temp_sample",
+    "mix_reservoir",
+    "sql_entry_native_grams")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC
