@@ -1075,6 +1075,220 @@ object Graph {
       .orderBy(col("id"))
   }
 
+  /** k-core decomposition via the H-operator fixpoint (Lü et al., "The
+    * H-index of a network node and its relation to degree and coreness",
+    * Nature Communications 2016): start from degree and repeatedly replace
+    * each node's value with the H-index of its neighbors' values — the
+    * largest h such that ≥ h neighbors currently hold value ≥ h. The
+    * sequence is monotone non-increasing and converges to the coreness of
+    * every node; a FIXED `iters` on both engines yields the identical
+    * t-step operator value (an upper bound on coreness, exact once the
+    * graph's peeling depth ≤ iters — GraphSpec proves exactness on a
+    * clique-plus-tail fixture).
+    *
+    * All-integer arithmetic (degree counts, row numbers, LEAST/MAX), so
+    * the unrolled [[kCoreCtesSql]] twin is bit-identical. The per-round
+    * H-index is one partitioned window (`row_number` over neighbors by
+    * value desc) + one groupBy — both shuffle on node id, the same
+    * co-partitioning every round; no global window, no driver state.
+    * `max(least(val, rn))` is invariant to tie order among equal values,
+    * but the order is pinned (val DESC, dst) anyway. */
+  def kCoreFixed(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.pinned
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    var vals = und.groupBy(col("src"))
+      .agg(count(lit(1)).as("val"))
+      .select(col("src").as("id"), col("val"))
+      .pinned
+    for (_ <- 1 to iters) {
+      val nbr = und.join(vals, und("dst") === vals("id"))
+        .select(col("src"), col("dst"), col("val"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("val").desc, col("dst"))
+      vals = nbr.withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("src"))
+        .agg(max(least(col("val"), col("rn"))).as("val"))
+        .select(col("src").as("id"), col("val"))
+        .pinned
+    }
+    und.unpersist()
+    vals.select(col("id"), col("val").as("core"))
+  }
+
+  /** DuckDB twin of [[kCoreFixed]] over an undirected, self-loop-free,
+    * distinct edge CTE `undCte(src, dst)` (BOTH directions present). Final
+    * values in `kc$iters(id, val)`. */
+  def kCoreCtesSql(undCte: String, iters: Int): String = {
+    val init =
+      s"""kc0 AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS val
+         |  FROM $undCte GROUP BY src)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""kc$t AS MATERIALIZED (
+         |  SELECT src AS id, CAST(MAX(LEAST(val, rn)) AS BIGINT) AS val FROM (
+         |    SELECT u.src, v.val,
+         |           CAST(ROW_NUMBER() OVER (PARTITION BY u.src
+         |                ORDER BY v.val DESC, u.dst) AS BIGINT) AS rn
+         |    FROM $undCte u JOIN kc${t - 1} v ON v.id = u.dst)
+         |  GROUP BY src)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in order-independent
+    * fixed-point arithmetic. Each round: authority = Σ of in-neighbors'
+    * hub scores, renormalized to total `scale`; hub = Σ of out-neighbors'
+    * fresh authority scores, renormalized likewise. The renormalizing
+    * division `(raw · scale) DIV Σraw` runs through DECIMAL(38,0) on the
+    * Spark side and HUGEINT in the [[hitsCtesSql]] twin — exact integer
+    * arithmetic in both engines, so results are bit-identical and
+    * independent of partition/summation order (the sim_kmeans technique).
+    *
+    * Overflow bounds (scale = 1e12): hub_fp ≤ scale after each
+    * normalization, so raw sums ≤ max-degree·scale ≈ 1e16 « 2^63 and the
+    * wide product raw·scale ≤ 1e28 « 10^38. Per round: two id-keyed
+    * shuffles plus two single-row total aggregates (broadcast back via
+    * crossJoin — no driver collect). */
+  def hitsFixed(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val adj = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count()
+    var hubs = nodes.withColumn("hub_fp", lit(scale / n)).pinned
+    var auths = nodes.withColumn("auth_fp", lit(scale / n)).pinned
+    for (_ <- 1 to iters) {
+      val araw = adj.join(hubs, adj("src") === hubs("id"))
+        .groupBy(adj("dst")).agg(sum(col("hub_fp")).as("araw"))
+      auths = nodes.join(araw, nodes("id") === araw("dst"), "left")
+        .crossJoin(araw.agg(sum(col("araw")).as("asum")))
+        .select(col("id"),
+          coalesce(expr(s"CAST(araw AS DECIMAL(38,0)) * $scale div asum"),
+            lit(0L)).as("auth_fp"))
+        .pinned
+      val hraw = adj.join(auths, adj("dst") === auths("id"))
+        .groupBy(adj("src")).agg(sum(col("auth_fp")).as("hraw"))
+      hubs = nodes.join(hraw, nodes("id") === hraw("src"), "left")
+        .crossJoin(hraw.agg(sum(col("hraw")).as("hsum")))
+        .select(col("id"),
+          coalesce(expr(s"CAST(hraw AS DECIMAL(38,0)) * $scale div hsum"),
+            lit(0L)).as("hub_fp"))
+        .pinned
+    }
+    adj.unpersist(); nodes.unpersist()
+    auths.join(hubs, Seq("id"))
+      .withColumn("auth", col("auth_fp").cast("double") / lit(scale.toDouble))
+      .withColumn("hub", col("hub_fp").cast("double") / lit(scale.toDouble))
+  }
+
+  /** DuckDB twin of [[hitsFixed]] over `edgesCte(src, dst)` (distinct
+    * directed edges). Final scores in `hta$iters(id, auth_fp)` /
+    * `hth$iters(id, hub_fp)`. */
+  def hitsCtesSql(edgesCte: String, iters: Int,
+      scale: Long = 1000000000000L): String = {
+    val init =
+      s"""htnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM $edgesCte UNION ALL SELECT dst FROM $edgesCte)),
+         |htn AS MATERIALIZED (SELECT COUNT(*) AS n FROM htnodes),
+         |hth0 AS MATERIALIZED (SELECT id, (SELECT $scale // n FROM htn) AS hub_fp FROM htnodes)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""htar$t AS MATERIALIZED (SELECT e.dst AS id,
+         |    CAST(SUM(h.hub_fp) AS BIGINT) AS araw
+         |  FROM $edgesCte e JOIN hth${t - 1} h ON h.id = e.src GROUP BY e.dst),
+         |hta$t AS MATERIALIZED (SELECT nd.id,
+         |    COALESCE(CAST((CAST(a.araw AS HUGEINT) * $scale)
+         |      // (SELECT CAST(SUM(araw) AS HUGEINT) FROM htar$t) AS BIGINT), 0) AS auth_fp
+         |  FROM htnodes nd LEFT JOIN htar$t a ON a.id = nd.id),
+         |hthr$t AS MATERIALIZED (SELECT e.src AS id,
+         |    CAST(SUM(a.auth_fp) AS BIGINT) AS hraw
+         |  FROM $edgesCte e JOIN hta$t a ON a.id = e.dst GROUP BY e.src),
+         |hth$t AS MATERIALIZED (SELECT nd.id,
+         |    COALESCE(CAST((CAST(h.hraw AS HUGEINT) * $scale)
+         |      // (SELECT CAST(SUM(hraw) AS HUGEINT) FROM hthr$t) AS BIGINT), 0) AS hub_fp
+         |  FROM htnodes nd LEFT JOIN hthr$t h ON h.id = nd.id)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** Sampled-source harmonic (closeness) centrality: for each node v,
+    * Σ over sampled sources s of 1/d(s, v) — the harmonic formulation is
+    * the one that stays well-defined on disconnected graphs (unreachable
+    * pairs contribute 0 rather than poisoning a mean). Exact when
+    * `sources` = all nodes; a fixed sample bounds work at scale, the same
+    * contract as [[betweennessFixed]].
+    *
+    * BFS runs ALL sources as one (source, id)-keyed frontier — one job
+    * per graph level, not per source — and distances are exact integers;
+    * the contribution `scale DIV dist` is a truncating division, so sums
+    * are order-independent BIGINTs and the unrolled [[harmonicCtesSql]]
+    * twin is bit-identical. `maxDepth` bounds the unroll on both sides. */
+  def harmonicFixed(edges: DataFrame, sources: Seq[Long], maxDepth: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = edges.select(col("src"), col("dst")).distinct().cache()
+    var seen = sources.map(s => (s, s, 0))
+      .toDF("source", "id", "dist").pinned
+    var frontier = seen
+    var level = 0
+    var done = false
+    while (!done && level < maxDepth) {
+      val f = frontier.select(col("source").as("f_source"),
+        col("id").as("f_id"))
+      val nxt = f.join(adj, col("f_id") === col("src"))
+        .select(col("f_source").as("source"), col("dst").as("id"))
+        .distinct()
+        .join(seen.select(col("source").as("s_source"), col("id").as("s_id")),
+          col("source") === col("s_source") && col("id") === col("s_id"),
+          "left_anti")
+        .withColumn("dist", lit(level + 1))
+        .pinned
+      if (nxt.isEmpty) done = true
+      else {
+        seen = seen.union(nxt).pinned
+        frontier = nxt
+        level += 1
+      }
+    }
+    adj.unpersist()
+    seen.filter(col("dist") >= 1)
+      .groupBy(col("id"))
+      .agg(sum(expr(s"$scale DIV dist")).as("harmonic_fp"))
+      .withColumn("harmonic",
+        col("harmonic_fp").cast("double") / lit(scale.toDouble))
+  }
+
+  /** DuckDB twin of [[harmonicFixed]] over `edgesCte(src, dst)`: unrolled
+    * per-level BFS `hm1..hm$maxDepth` (NOT EXISTS against the running seen
+    * set, mirroring the Spark anti-join), result in
+    * `hmres(id, harmonic_fp)`. */
+  def harmonicCtesSql(edgesCte: String, sources: Seq[Long], maxDepth: Int,
+      scale: Long = 1000000000L): String = {
+    val srcRows = sources.map(s => s"($s)").mkString(", ")
+    val init =
+      s"""hm0 AS MATERIALIZED (SELECT s AS source, s AS id, 0 AS dist
+         |  FROM (VALUES $srcRows) t(s)),
+         |hmseen0 AS MATERIALIZED (SELECT source, id FROM hm0)""".stripMargin
+    val rounds = (1 to maxDepth).map { d =>
+      s"""hm$d AS MATERIALIZED (
+         |  SELECT DISTINCT f.source, e.dst AS id, $d AS dist
+         |  FROM hm${d - 1} f JOIN $edgesCte e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM hmseen${d - 1} s
+         |                    WHERE s.source = f.source AND s.id = e.dst)),
+         |hmseen$d AS MATERIALIZED (SELECT source, id FROM hmseen${d - 1}
+         |  UNION ALL SELECT source, id FROM hm$d)""".stripMargin
+    }
+    val all = "hmall AS MATERIALIZED (" +
+      (1 to maxDepth).map(d => s"SELECT id, dist FROM hm$d")
+        .mkString(" UNION ALL ") + ")"
+    val res =
+      s"""hmres AS (SELECT id, CAST(SUM($scale // dist) AS BIGINT) AS harmonic_fp
+         |  FROM hmall GROUP BY id)""".stripMargin
+    (init +: rounds :+ all :+ res).mkString(",\n")
+  }
+
   /** SQL twin of [[triangles]] over an edge CTE `(src, dst)` — same
     * orientation, same wedge order, same nullif guard. */
   def trianglesSql(edgeCte: String): String =

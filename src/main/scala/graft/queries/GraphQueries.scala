@@ -89,6 +89,54 @@ object GraphQueries extends QueryModule {
     // projection (degree-ordered compact-forward — O(m^1.5) wedges).
     "g_triangles" -> ((s, dir) => Graph.triangles(refEdges(s, dir))),
 
+    // GDS degree centrality (gds.degree) over REFERENCES: out/in/total
+    // per part — two narrow aggregations + a full outer merge.
+    "g_degree" -> ((s, dir) => {
+      val e = refEdges(s, dir)
+      val outd = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("out_deg"))
+      val ind = e.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("in_deg"))
+      outd.join(ind, Seq("id"), "full_outer")
+        .select(col("id"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .withColumn("degree", col("out_deg") + col("in_deg"))
+        .join(Tables.part(s, dir).select(col("p_partkey").as("id"),
+          col("p_name").as("name")), Seq("id"))
+        .orderBy(col("degree").desc, col("id"))
+    }),
+
+    // GDS k-core decomposition (gds.kcore) — H-operator fixpoint on the
+    // undirected REFERENCES graph, 12 rounds on both engines (the sf
+    // graphs' peeling depth saturates well before that; GraphSpec proves
+    // exactness on a clique-plus-tail fixture).
+    "g_kcore" -> ((s, dir) =>
+      named(Graph.kCoreFixed(refEdges(s, dir), iters = 12),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("core"))
+        .orderBy(col("core").desc, col("id"))),
+
+    // HITS hubs & authorities (gds.alpha.hits) over directed REFERENCES
+    // in exact renormalized fixed point — hash-checked against the
+    // unrolled HUGEINT twin.
+    "g_hits" -> ((s, dir) =>
+      named(Graph.hitsFixed(refEdges(s, dir), iters = 10),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("auth_fp"), col("hub_fp"),
+          col("auth"), col("hub"))
+        .orderBy(col("auth_fp").desc, col("id"))),
+
+    // Sampled-source harmonic closeness (gds.closeness.harmonic): exact
+    // integer BFS distances from the same 5-source sample betweenness
+    // uses, contributions scale DIV dist.
+    "g_harmonic" -> ((s, dir) =>
+      named(Graph.harmonicFixed(refEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L),
+            maxDepth = 8),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("harmonic_fp"), col("harmonic"))
+        .orderBy(col("harmonic_fp").desc, col("id"))),
+
     "g_jaccard_parts" -> ((s, dir) => {
       val membership = Tables.lineitem(s, dir)
         .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
@@ -372,6 +420,47 @@ object GraphQueries extends QueryModule {
          |         / NULLIF(CAST(d.deg * (d.deg - 1) AS DOUBLE), 0.0) AS coeff
          |FROM dg d LEFT JOIN pn USING (id)
          |ORDER BY id""".stripMargin,
+
+    "g_degree" ->
+      s"""WITH $refEdgesSql,
+         |outd AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY src),
+         |ind AS (SELECT dst AS id, COUNT(*) AS in_deg FROM e GROUP BY dst)
+         |SELECT COALESCE(o.id, i.id) AS id,
+         |       COALESCE(o.out_deg, 0) AS out_deg,
+         |       COALESCE(i.in_deg, 0) AS in_deg,
+         |       COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS degree,
+         |       p.p_name AS name
+         |FROM outd o FULL OUTER JOIN ind i ON i.id = o.id
+         |JOIN part p ON p.p_partkey = COALESCE(o.id, i.id)
+         |ORDER BY degree DESC, id""".stripMargin,
+
+    "g_kcore" ->
+      s"""WITH $refEdgesSql,
+         |kund AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |  WHERE src <> dst),
+         |${Graph.kCoreCtesSql("kund", 12)}
+         |SELECT k.id, p.p_name AS name, k.val AS core
+         |FROM kc12 k JOIN part p ON p.p_partkey = k.id
+         |ORDER BY core DESC, id""".stripMargin,
+
+    "g_hits" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.hitsCtesSql("e", 10)}
+         |SELECT a.id, p.p_name AS name, a.auth_fp, h.hub_fp,
+         |       CAST(a.auth_fp AS DOUBLE) / 1000000000000.0 AS auth,
+         |       CAST(h.hub_fp AS DOUBLE) / 1000000000000.0 AS hub
+         |FROM hta10 a JOIN hth10 h ON h.id = a.id
+         |JOIN part p ON p.p_partkey = a.id
+         |ORDER BY a.auth_fp DESC, a.id""".stripMargin,
+
+    "g_harmonic" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.harmonicCtesSql("e", Seq(0L, 1L, 2L, 3L, 4L), 8)}
+         |SELECT r.id, p.p_name AS name, r.harmonic_fp,
+         |       CAST(r.harmonic_fp AS DOUBLE) / 1000000000.0 AS harmonic
+         |FROM hmres r JOIN part p ON p.p_partkey = r.id
+         |ORDER BY r.harmonic_fp DESC, r.id""".stripMargin,
 
     "g_jaccard_parts" ->
       """WITH adj AS (SELECT DISTINCT l_partkey AS src, l_orderkey AS dst FROM lineitem),

@@ -275,4 +275,38 @@ class GraphSpec extends AnyFunSuite {
     assert(tri(4L) == ((3L, 3L, Some(1.0))))
     assert(tri(5L) == ((1L, 0L, None)))
   }
+
+  test("kCoreFixed: K4 plus a tail — clique coreness 3, tail coreness 1") {
+    // K4 on {1,2,3,4}; tail 4-5-6. True cores: 1,2,3,4 -> 3; 5,6 -> 1.
+    // Node 4 has DEGREE 4 but core 3; node 5 degree 2 but core 1 — the
+    // two cases where degree alone gets it wrong.
+    val core = Graph.kCoreFixed(edges(
+        1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+        4L -> 5L, 5L -> 6L), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L))
+  }
+
+  test("hitsFixed: hubs and authorities separate on a directed bipartite") {
+    // 1 links to both targets, 2 to one; 3 is cited twice, 4 once.
+    val h = Graph.hitsFixed(edges(1L -> 3L, 1L -> 4L, 2L -> 3L), iters = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val (a3, a4, a1) = (h(3L)._1, h(4L)._1, h(1L)._1)
+    val (h1, h2, h3) = (h(1L)._2, h(2L)._2, h(3L)._2)
+    assert(a3 > a4 && a4 > 0L && a1 == 0L)
+    assert(h1 > h2 && h2 > 0L && h3 == 0L)
+    // renormalization keeps the total within truncation slack of scale
+    val asum = h.values.map(_._1).sum
+    assert(asum <= 1000000000000L && asum > 1000000000000L - 10)
+  }
+
+  test("harmonicFixed: path graph distances invert exactly") {
+    // 1→2→3→4, source {1}: harmonic_fp = scale/1, scale/2, scale/3.
+    val hm = Graph.harmonicFixed(edges(1L -> 2L, 2L -> 3L, 3L -> 4L),
+        Seq(1L), maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hm == Map(2L -> 1000000000L, 3L -> 500000000L, 4L -> 333333333L))
+  }
 }
