@@ -148,6 +148,52 @@ object Sampling {
       .drop("stratum", "thr")
   }
 
+  // ---- curriculum ordering --------------------------------------------
+
+  /** Curriculum phase assignment: rank the corpus by an integer quality
+    * proxy (distinct-token richness primary, length secondary — both
+    * exact counts, fused into one BIGINT so the rank key is a single
+    * order-stable integer) and cut it into `phases` equal global-rank
+    * slices: `phase = ((rank−1)·phases) DIV n`. Curriculum training
+    * consumes phase 0 (richest docs) first.
+    *
+    * The global row_number runs through
+    * [[Ranking.globalDenseRankCols]] (two-pass range-partitioned rank —
+    * dense rank ≡ row_number here because the composite key ends in the
+    * unique doc id), so no single-partition window exists at any scale;
+    * the corpus count joins back as a one-row crossJoin, not a driver
+    * collect. */
+  def curriculum(df: DataFrame, id: Column, text: Column,
+      phases: Int): DataFrame = {
+    val scored = df
+      .select(id.as("doc_id"), TextAnalysis.toks(text).as("t"))
+      .select(col("doc_id"),
+        (size(array_distinct(col("t"))).cast("long") * 1000000L +
+          size(col("t")).cast("long")).as("score"))
+      // rank DESC on (score, -doc_id): one direction for both columns,
+      // negated id = ascending id tie-break
+      .withColumn("_negid", -col("doc_id"))
+    val ranked = Ranking.globalDenseRankCols(scored,
+      Seq("score", "_negid"), "rank")
+    val n = scored.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(n)
+      .select(col("doc_id"), col("score"), col("rank"),
+        expr(s"((rank - 1) * $phases) DIV n").as("phase"))
+  }
+
+  /** DuckDB twin of [[curriculum]] over `$src` with `(doc_id, text)`. */
+  def curriculumSql(src: String, phases: Int): String =
+    s"""SELECT doc_id, score, rank,
+       |       ((rank - 1) * $phases) // (SELECT COUNT(*) FROM ($src)) AS phase
+       |FROM (
+       |  SELECT doc_id, score,
+       |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM (
+       |    SELECT doc_id,
+       |           CAST(len(list_distinct(t)) AS BIGINT) * 1000000
+       |             + CAST(len(t) AS BIGINT) AS score
+       |    FROM (SELECT doc_id, ${TextAnalysis.toksSql} AS t FROM ($src))))""".stripMargin
+
   /** CTE chain twin of [[temperatureRates]] over `$src` — ends in
     * `trates(stratum, n_docs, thr)`. Cross-stratum folds run via
     * `list_dot_product` against a ones-list (the proven sequential

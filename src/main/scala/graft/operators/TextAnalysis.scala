@@ -396,6 +396,85 @@ object TextAnalysis {
        |       c_ab * 1.0 / CAST(SUM(c_ab) OVER (PARTITION BY a) AS BIGINT) AS p
        |FROM c""".stripMargin
 
+  /** Interpolated trigram language model — the Jelinek–Mercer mixture
+    * `P(c|a,b) = λ3·PML(c|a,b) + λ2·PML(c|b) + λ1·PML(c)` with fixed
+    * weights (0.6/0.3/0.1), the classic backoff-free smoothing a
+    * perplexity-filtering pipeline trains. Count tables: trigrams keyed
+    * (a,b,c), bigrams (a,b), unigrams (w) — three corpus-bounded
+    * aggregations; every conditional is one exact BIGINT/BIGINT IEEE
+    * division and the mixture is a FIXED-order fused expression
+    * (λ3·p3 + λ2·p2 + λ1·p1, left-associative), so the DuckDB twin
+    * ([[trigramLmSql]]) hashes identically. Inner joins are total by
+    * construction: every corpus trigram (a,b,c) implies bigrams (a,b),
+    * (b,c) and unigram (c) exist.
+    *
+    * Scale shape: rows bounded by distinct corpus trigrams; the heaviest
+    * exchange is the trigram groupBy with map-side partial aggregation.
+    * No window over anything unbounded — context totals partition by
+    * vocabulary-bounded keys. */
+  def trigramLm(df: DataFrame, text: Column): DataFrame = {
+    val t = df.select(toks(text).as("t"))
+    val uni = t.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val total = uni.agg(sum(col("c_w")).as("total"))
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b")))).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val tri = t.filter(size(col("t")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i).as("a"),
+          element_at(col("t"), i + 1).as("b"),
+          element_at(col("t"), i + 2).as("c")))).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+      .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("c_abc"))
+    tri
+      .join(bi, Seq("a", "b"))
+      .join(bi.select(col("a").as("b"), col("b").as("c"),
+        col("c_ab").as("c_bc")), Seq("b", "c"))
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), Seq("b"))
+      .join(uni.select(col("w").as("c"), col("c_w").as("c_c")), Seq("c"))
+      .crossJoin(total)
+      .select(col("a"), col("b"), col("c"), col("c_abc"),
+        (col("c_abc") * lit(1.0) / col("c_ab")).as("p3"),
+        (col("c_bc") * lit(1.0) / col("c_b")).as("p2"),
+        (col("c_c") * lit(1.0) / col("total")).as("p1"))
+      .withColumn("p",
+        lit(0.6) * col("p3") + lit(0.3) * col("p2") + lit(0.1) * col("p1"))
+  }
+
+  def trigramLmSql(table: String): String =
+    s"""WITH t AS (SELECT $toksSql AS t FROM $table),
+       |uni AS (SELECT unnest(t) AS w FROM t),
+       |cu AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w),
+       |tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS total FROM cu),
+       |bg AS (SELECT
+       |         unnest(list_transform(range(1, len(t)), i -> t[CAST(i AS INT)])) AS a,
+       |         unnest(list_transform(range(1, len(t)), i -> t[CAST(i + 1 AS INT)])) AS b
+       |       FROM t WHERE len(t) >= 2),
+       |cb AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+       |tg AS (SELECT
+       |         unnest(list_transform(range(1, len(t) - 1), i -> t[CAST(i AS INT)])) AS a,
+       |         unnest(list_transform(range(1, len(t) - 1), i -> t[CAST(i + 1 AS INT)])) AS b,
+       |         unnest(list_transform(range(1, len(t) - 1), i -> t[CAST(i + 2 AS INT)])) AS c
+       |       FROM t WHERE len(t) >= 3),
+       |ct AS (SELECT a, b, c, COUNT(*) AS c_abc FROM tg GROUP BY a, b, c),
+       |lmt AS (SELECT ct.a AS a, ct.b AS b, ct.c AS c, ct.c_abc AS c_abc,
+       |          ct.c_abc * 1.0 / ab.c_ab AS p3,
+       |          bc.c_ab * 1.0 / ub.c_w AS p2,
+       |          uc.c_w * 1.0 / (SELECT total FROM tot) AS p1
+       |        FROM ct
+       |        JOIN cb ab ON ab.a = ct.a AND ab.b = ct.b
+       |        JOIN cb bc ON bc.a = ct.b AND bc.b = ct.c
+       |        JOIN cu ub ON ub.w = ct.b
+       |        JOIN cu uc ON uc.w = ct.c)
+       |SELECT a, b, c, c_abc, p3, p2, p1,
+       |       CAST(0.6 AS DOUBLE) * p3 + CAST(0.3 AS DOUBLE) * p2
+       |         + CAST(0.1 AS DOUBLE) * p1 AS p
+       |FROM lmt""".stripMargin
+
   /** LM-based quality gate: per doc, how many of its bigram transitions
     * are RARE under the corpus's own bigram LM (`P(b|a) < minP`), and
     * the rare-transition rate. The shape of perplexity filtering without

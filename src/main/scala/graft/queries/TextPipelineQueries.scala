@@ -203,6 +203,19 @@ object TextPipelineQueries extends QueryModule {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Curriculum phase assignment: global quality-proxy rank cut into 4
+    // equal slices via the two-pass rank (no global window).
+    "mix_curriculum" -> ((s, dir) =>
+      graft.operators.Sampling.curriculum(
+          Tables.documents(s, dir), col("doc_id"), col("text"), phases = 4)
+        .orderBy(col("doc_id"))),
+
+    // Interpolated trigram LM (Jelinek–Mercer 0.6/0.3/0.1 over MLE
+    // trigram/bigram/unigram conditionals).
+    "lm_trigram" -> ((s, dir) =>
+      TextAnalysis.trigramLm(Tables.documents(s, dir), col("text"))
+        .orderBy(col("a"), col("b"), col("c"))),
+
     // Exact all-pairs n-gram Jaccard over selective 12-gram shingles.
     "dd_ngram_jaccard" -> ((s, dir) => {
       Dedup.exactJaccardPairs(Tables.documents(s, dir), col("doc_id"),
@@ -649,6 +662,14 @@ object TextPipelineQueries extends QueryModule {
          |FROM documents d JOIN trates t ON t.stratum = d.lang
          |WHERE CAST(('0x' || substr(md5('temp7:' || CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10000 < t.thr
          |ORDER BY d.doc_id""".stripMargin,
+
+    "mix_curriculum" ->
+      (graft.operators.Sampling.curriculumSql(
+        "SELECT doc_id, text FROM documents", phases = 4) +
+        "\nORDER BY doc_id"),
+
+    "lm_trigram" ->
+      (TextAnalysis.trigramLmSql("documents") + "\nORDER BY a, b, c"),
 
     "dd_ngram_jaccard" ->
       s"""WITH ${shCte(exactN)},

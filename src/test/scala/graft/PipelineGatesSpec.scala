@@ -131,4 +131,35 @@ class PipelineGatesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(r3 != r1.map(t => (t._1, t._2)).toSet)
   }
+
+  test("curriculum: balanced phases, richest doc in phase 0") {
+    val docs = (0 until 20).map(i =>
+        (i.toLong, (0 to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val c = Sampling.curriculum(docs, col("doc_id"), col("text"), phases = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.get(2).toString.toLong, r.get(3).toString.toLong))).toMap
+    // 20 docs / 4 phases = 5 per phase, scores strictly decreasing with id
+    val sizes = c.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 5, 1L -> 5, 2L -> 5, 3L -> 5))
+    assert(c(19L) == ((1L, 0L)))  // richest doc: rank 1, phase 0
+    assert(c(0L)._2 == 3L)        // poorest doc: last phase
+  }
+
+  test("trigram LM: conditionals sum to 1 per context, mixture in (0,1]") {
+    val docs = Seq((1L, "a b c a b d"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trigramLm(docs, col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(4), r.getDouble(7)))
+    // Σ_c P(c|a,b) ≤ 1 per context (mass missing only where the bigram
+    // (a,b) ends a document and so has no continuation), and exactly 1
+    // for (a,b), whose 3 corpus occurrences all continue (→ c twice, d).
+    lm.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+      assert(g.map(_._4).sum <= 1.0 + 1e-12)
+    }
+    val ab = lm.filter(t => t._1 == "a" && t._2 == "b")
+    assert(math.abs(ab.map(_._4).sum - 1.0) < 1e-12)
+    assert(ab.map(_._3).toSet == Set("c", "d"))
+    lm.foreach { t => assert(t._5 > 0.0 && t._5 <= 1.0) }
+  }
 }
