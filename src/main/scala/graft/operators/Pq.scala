@@ -279,6 +279,85 @@ object Pq {
 
   // ---- DuckDB twin ----------------------------------------------------
 
+  /** OPQ-lite — variance-balanced dimension permutation (the
+    * "eigenvalue allocation" idea of Ge et al., "Optimized Product
+    * Quantization", CVPR 2013, without the learned rotation): plain PQ
+    * splits dimensions into subspaces by POSITION, so if high-variance
+    * dimensions cluster (as they do after any PCA-ish embedding head),
+    * one codebook carries most of the distortion. Rank dimensions by a
+    * variance proxy and deal them into subspaces in snake order
+    * (1..m, m..1, …) so every subspace gets an even share of spread.
+    *
+    * The proxy is the exact integer `n·Σq² − (Σq)²` over values
+    * quantized to a 1e3 grid — order-independent BIGINT arithmetic, so
+    * the [[permCtesSql]] twin is bit-identical (a double variance would
+    * be partition-order-dependent). Grid precision only affects WHICH
+    * near-tied dimensions swap — any assignment is correct; determinism
+    * is what matters. Overflow: |q| ≤ 1e3·|x|, so n·Σq² fits 2^63 up to
+    * ~10^9 vectors at |x| ≤ 1; beyond that, widen to DECIMAL(38,0).
+    *
+    * Returns `(pos, newpos)` — old dimension index → permuted index.
+    * The ranking window is over `dim` rows (a compile-time constant,
+    * never corpus-scale), the one place a global window is safe. */
+  def balancedPermutation(emb: DataFrame, m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    val stats = emb
+      .select(posexplode(Similarity.vecD(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x") * lit(1000.0) + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("s2"))
+      .select(col("pos"),
+        (col("n") * col("s2") - col("s") * col("s")).as("var_fp"))
+    val w = Window.orderBy(col("var_fp").desc, col("pos"))
+    stats.withColumn("r", row_number().over(w).cast("long") - 1L)
+      .select(col("pos"),
+        (expr(s"CASE WHEN (r DIV $m) % 2 = 0 THEN r % $m " +
+          s"ELSE $m - 1 - (r % $m) END") * dsub + expr(s"r DIV $m"))
+          .as("newpos"))
+  }
+
+  /** Apply a [[balancedPermutation]]: rebuild each vector by indexing
+    * through the broadcast inverse permutation — a narrow per-row
+    * expression, NO per-element explode/shuffle of the corpus. */
+  def permuted(emb: DataFrame, perm: DataFrame): DataFrame = {
+    val inv = perm.groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("newpos"), col("pos")))),
+        s => s.getField("pos")).as("invperm"))
+    emb.crossJoin(broadcast(inv))
+      .select(col("vec_id"),
+        transform(col("invperm"),
+          p => element_at(Similarity.vecD(col("embedding")),
+            p.cast("int") + 1)).as("embedding"))
+  }
+
+  /** DuckDB twin of [[balancedPermutation]]+[[permuted]] over the `e`
+    * CTE: ends in `pe(vec_id, v)`, the permuted corpus — feed it to
+    * [[pqCtesSql]] as `src = "pe"`. */
+  def permCtesSql(m: Int, dim: Int): String = {
+    val dsub = dim / m
+    s"""vq AS (SELECT g.i - 1 AS pos,
+       |         CAST(FLOOR(v[CAST(g.i AS INT)] * 1000.0 + 0.5) AS BIGINT) AS q
+       |       FROM e CROSS JOIN generate_series(1, $dim) g(i)),
+       |vstat AS (SELECT pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s,
+       |            CAST(SUM(q * q) AS BIGINT) AS s2
+       |          FROM vq GROUP BY pos),
+       |vrank AS (SELECT pos,
+       |            ROW_NUMBER() OVER (ORDER BY (n * s2 - s * s) DESC, pos) - 1 AS r
+       |          FROM vstat),
+       |vperm AS (SELECT pos,
+       |            (CASE WHEN (r // $m) % 2 = 0 THEN r % $m
+       |                  ELSE $m - 1 - (r % $m) END) * $dsub + (r // $m) AS newpos
+       |          FROM vrank),
+       |vinv AS (SELECT list(pos ORDER BY newpos) AS invperm FROM vperm),
+       |pe AS MATERIALIZED (SELECT e.vec_id,
+       |    list_transform((SELECT invperm FROM vinv),
+       |      p -> e.v[CAST(p + 1 AS INT)]) AS v
+       |  FROM e)""".stripMargin
+  }
+
   private def d2Sql(s: String, c: String, dsub: Int): String = {
     val diff = s"list_transform(range(1, ${dsub + 1}), " +
       s"i -> $s.sv[CAST(i AS INT)] - $c.cv[CAST(i AS INT)])"

@@ -179,6 +179,21 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // OPQ-lite — variance-balanced dimension permutation (eigenvalue
+    // allocation without the rotation) before PQ: every subspace
+    // codebook gets an even share of the corpus's spread. L2 is
+    // permutation-invariant, so exact distances are unchanged; only the
+    // quantizer's subspace split improves.
+    "sim_opq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pemb = graft.operators.Pq.permuted(emb,
+        graft.operators.Pq.balancedPermutation(emb, pqM, dim))
+      graft.operators.Pq.adcTopK(pemb,
+          graft.operators.Pq.trainCentroids(pemb, pqM, pqDsub, pqKsub, pqIters),
+          col("vec_id") < nQueries, topK, pqM, pqDsub)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // IVF×PQ — the production billion-vector composition: PQ-ADC scoring
     // only within the nProbe=2 probed IVF buckets, final rank via the
     // bounded per-query top-k aggregate (never a full-candidate shuffle).
@@ -359,6 +374,13 @@ object SimilarityQueries extends QueryModule {
     "sim_pq_topk" ->
       s"""WITH $eCte,
          |${graft.operators.Pq.pqCtesSql(pqM, pqDsub, pqKsub, pqIters)},
+         |${graft.operators.Pq.adcTailSql(pqM, pqDsub, pqIters, nQueries, topK)}
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_opq_topk" ->
+      s"""WITH $eCte,
+         |${graft.operators.Pq.permCtesSql(pqM, dim)},
+         |${graft.operators.Pq.pqCtesSql(pqM, pqDsub, pqKsub, pqIters, src = "pe")},
          |${graft.operators.Pq.adcTailSql(pqM, pqDsub, pqIters, nQueries, topK)}
          |ORDER BY query_id, rnk""".stripMargin,
 

@@ -43,6 +43,27 @@ class PqSpec extends AnyFunSuite {
     assert(adc.size == 2 * 3)
   }
 
+  test("balancedPermutation is a bijection; high-variance dims spread across subspaces") {
+    // dims 0..3 high-variance (alternating ±1), dims 4..7 constant — a
+    // positional split would put ALL spread in subspace 0.
+    val vecs = (0L until 8L).map(i =>
+      (i, Seq.tabulate(8)(d =>
+        if (d < 4) (if (i % 2 == 0) 1.0 else -1.0) else 0.5)))
+      .toDF("vec_id", "embedding")
+    val perm = Pq.balancedPermutation(vecs, m = 2, dim = 8)
+      .collect().map(r => r.getInt(0) -> r.get(1).toString.toLong).toMap
+    assert(perm.keySet == (0 until 8).toSet)
+    assert(perm.values.toSet == (0L until 8L).toSet)  // bijection
+    // snake deal: of the 4 high-variance dims, 2 land in each subspace
+    val hiSub0 = (0 until 4).count(d => perm(d) < 4)
+    assert(hiSub0 == 2)
+    // permuted rows keep the same value multiset
+    val p = Pq.permuted(vecs, Pq.balancedPermutation(vecs, m = 2, dim = 8))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).sorted).toMap
+    assert(p(0L) == Seq(0.5, 0.5, 0.5, 0.5, 1.0, 1.0, 1.0, 1.0))
+    assert(p(1L) == Seq(-1.0, -1.0, -1.0, -1.0, 0.5, 0.5, 0.5, 0.5))
+  }
+
   test("training is deterministic and moves centroids to cluster means") {
     // two planted clusters per subspace, alternating so the PREFIX seeds
     // (vec_id 0, 1) land one per cluster: evens near -1, odds near +1
