@@ -90,7 +90,22 @@ object Bench {
     "dd_simhash_wide_pairs",
     "mix_temp_sample",
     "mix_reservoir",
-    "sql_entry_native_grams")
+    "sql_entry_native_grams",
+    // third-wave r8 operators: the new bounded-iteration graph family
+    // (k-core H-operator rounds, HITS renormalized fixed point, sampled
+    // harmonic closeness, weighted/personalized PageRank — all
+    // constant-shuffles-per-round), degree centrality, the interpolated
+    // trigram LM, curriculum phase assignment, and the OPQ-lite
+    // permuted-PQ scan
+    "g_degree",
+    "g_kcore",
+    "g_hits",
+    "g_harmonic",
+    "g_pagerank_weighted",
+    "g_ppr_sample",
+    "lm_trigram",
+    "mix_curriculum",
+    "sim_opq_topk")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

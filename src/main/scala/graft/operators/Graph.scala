@@ -121,6 +121,129 @@ object Graph {
     (init +: rounds).mkString(",\n")
   }
 
+  /** Weighted PageRank (GDS `relationshipWeightProperty`): identical
+    * fixed-point loop to [[pageRankFixed]], but each edge carries an
+    * integer weight and a source's rank splits ∝ weight —
+    * `(rank·85·w) DIV (wdeg·100)` with `wdeg = Σ out-weights`. All
+    * BIGINT; overflow bound rank·85·w ≤ 8.5e13·w_max, fine for weights
+    * up to ~10^5 at scale 1e12. Twin: [[pageRankWeightedCtesSql]]. */
+  def pageRankWeightedFixed(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count()
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(sum(col("w")).as("wdeg")), "src")
+      .select(col("src"), col("dst"), col("w"), col("wdeg")).cache()
+    val teleport = (15L * scale) / (100L * n)
+    var ranks = nodes.withColumn("rank_fp", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"),
+          expr("(rank_fp * 85 * w) DIV (wdeg * 100)").as("c"))
+        .groupBy("dst").agg(sum("c").as("csum"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
+        .pinned
+    }
+    nodes.unpersist()
+    withDeg.unpersist()
+    ranks.withColumn("rank",
+      col("rank_fp").cast("double") / lit(scale.toDouble))
+  }
+
+  /** DuckDB twin of [[pageRankWeightedFixed]] over `edgesCte(src, dst,
+    * w)`. Final ranks in `wpr$iters(id, rank_fp)`. */
+  def pageRankWeightedCtesSql(edgesCte: String, iters: Int,
+      scale: Long = 1000000000000L): String = {
+    val init =
+      s"""wprnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM $edgesCte UNION ALL SELECT dst FROM $edgesCte)),
+         |wprdeg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg
+         |  FROM $edgesCte GROUP BY src),
+         |wprn AS MATERIALIZED (SELECT COUNT(*) AS n FROM wprnodes),
+         |wpr0 AS MATERIALIZED (SELECT id, (SELECT $scale // n FROM wprn) AS rank_fp FROM wprnodes)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""wprc$t AS MATERIALIZED (SELECT e.dst AS id,
+         |    CAST(SUM((r.rank_fp * 85 * e.w) // (d.wdeg * 100)) AS BIGINT) AS csum
+         |  FROM $edgesCte e JOIN wprdeg d ON d.src = e.src
+         |       JOIN wpr${t - 1} r ON r.id = e.src
+         |  GROUP BY e.dst),
+         |wpr$t AS MATERIALIZED (SELECT nd.id,
+         |    (SELECT (15 * $scale) // (100 * n) FROM wprn) + COALESCE(c.csum, 0) AS rank_fp
+         |  FROM wprnodes nd LEFT JOIN wprc$t c ON c.id = nd.id)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** Personalized PageRank (GDS `sourceNodes`): the random surfer
+    * teleports only to the source set, so rank mass measures proximity
+    * to those seeds — the recommendation/expansion primitive. Init:
+    * `scale DIV |S|` on sources, 0 elsewhere; teleport term added only
+    * to sources. Same BIGINT arithmetic as [[pageRankFixed]]; twin
+    * [[personalizedPageRankCtesSql]]. */
+  def personalizedPageRankFixed(edges: DataFrame, sources: Seq[Long],
+      iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg")).cache()
+    val nS = sources.size.toLong
+    val isSrc = col("id").isin(sources: _*)
+    val teleport = (15L * scale) / (100L * nS)
+    var ranks = nodes.withColumn("rank_fp",
+      when(isSrc, lit(scale / nS)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"),
+          expr("(rank_fp * 85) DIV (deg * 100)").as("c"))
+        .groupBy("dst").agg(sum("c").as("csum"))
+      ranks = nodes
+        .join(contribs, nodes("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (when(isSrc, lit(teleport)).otherwise(lit(0L)) +
+            coalesce(col("csum"), lit(0L))).as("rank_fp"))
+        .pinned
+    }
+    nodes.unpersist()
+    withDeg.unpersist()
+    ranks.withColumn("rank",
+      col("rank_fp").cast("double") / lit(scale.toDouble))
+  }
+
+  /** DuckDB twin of [[personalizedPageRankFixed]]; final ranks in
+    * `ppr$iters(id, rank_fp)`. */
+  def personalizedPageRankCtesSql(edgesCte: String, sources: Seq[Long],
+      iters: Int, scale: Long = 1000000000000L): String = {
+    val srcList = sources.mkString(", ")
+    val nS = sources.size
+    val init =
+      s"""pprnodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM $edgesCte UNION ALL SELECT dst FROM $edgesCte)),
+         |pprdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM $edgesCte GROUP BY src),
+         |ppr0 AS MATERIALIZED (SELECT id,
+         |  CASE WHEN id IN ($srcList) THEN ${scale / nS} ELSE 0 END AS rank_fp
+         |  FROM pprnodes)""".stripMargin
+    val teleport = (15L * scale) / (100L * nS)
+    val rounds = (1 to iters).map { t =>
+      s"""pprc$t AS MATERIALIZED (SELECT e.dst AS id,
+         |    CAST(SUM((r.rank_fp * 85) // (d.deg * 100)) AS BIGINT) AS csum
+         |  FROM $edgesCte e JOIN pprdeg d ON d.src = e.src
+         |       JOIN ppr${t - 1} r ON r.id = e.src
+         |  GROUP BY e.dst),
+         |ppr$t AS MATERIALIZED (SELECT nd.id,
+         |    CASE WHEN nd.id IN ($srcList) THEN $teleport ELSE 0 END
+         |      + COALESCE(c.csum, 0) AS rank_fp
+         |  FROM pprnodes nd LEFT JOIN pprc$t c ON c.id = nd.id)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   /** G2–G4 depth — GDS-normalized "ArticleRank": identical fixed-point
     * loop to [[pageRankFixed]], but each source's contribution divides by
     * `deg + avgDeg` instead of `deg` (ArticleRank's defining change —

@@ -40,6 +40,18 @@ object GraphQueries extends QueryModule {
       .distinct()
   }
 
+  /** [[refEdges]] with multiplicity kept as an integer weight: how many
+    * consecutive-line pairs produced each (src, dst). */
+  private def weightedRefEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("b.l_linenumber") === col("a.l_linenumber") + 1)
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   // Node-id namespacing for the heterogeneous edge table.
   private val P = 1000000L  // part offset
   private val S = 2000000L  // supplier offset
@@ -192,6 +204,25 @@ object GraphQueries extends QueryModule {
     // twin; named output per the reference's RETURN piece.title, score.
     "g_pagerank_parts" -> ((s, dir) =>
       named(Graph.pageRankFixed(refEdges(s, dir), iters = 15),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))),
+
+    // GDS relationshipWeightProperty depth — weighted PageRank over the
+    // MULTIPLICITY-weighted REFERENCES graph (how many consecutive-line
+    // pairs produced the edge): rank splits proportional to weight.
+    "g_pagerank_weighted" -> ((s, dir) =>
+      named(Graph.pageRankWeightedFixed(weightedRefEdges(s, dir), iters = 15),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))),
+
+    // GDS sourceNodes depth — personalized PageRank from the same
+    // 5-seed sample the centrality queries use: rank = proximity to the
+    // seeds (the recommendation/expansion primitive).
+    "g_ppr_sample" -> ((s, dir) =>
+      named(Graph.personalizedPageRankFixed(refEdges(s, dir),
+            Seq(0L, 1L, 2L, 3L, 4L), iters = 15),
           Tables.part(s, dir), "p_partkey", "p_name")
         .select(col("id"), col("name"), col("rank_fp"), col("rank"))
         .orderBy(col("rank_fp").desc, col("id"))),
@@ -536,6 +567,27 @@ object GraphQueries extends QueryModule {
          |SELECT pr.id, p.p_name AS name, pr.rank_fp,
          |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
          |FROM pr15 pr JOIN part p ON p.p_partkey = pr.id
+         |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin,
+
+    "g_pagerank_weighted" ->
+      s"""WITH we AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         |      COUNT(*) AS w
+         |      FROM lineitem a JOIN lineitem b
+         |        ON a.l_orderkey = b.l_orderkey
+         |       AND b.l_linenumber = a.l_linenumber + 1
+         |      GROUP BY a.l_partkey, b.l_partkey),
+         |${Graph.pageRankWeightedCtesSql("we", 15)}
+         |SELECT pr.id, p.p_name AS name, pr.rank_fp,
+         |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM wpr15 pr JOIN part p ON p.p_partkey = pr.id
+         |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin,
+
+    "g_ppr_sample" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.personalizedPageRankCtesSql("e", Seq(0L, 1L, 2L, 3L, 4L), 15)}
+         |SELECT pr.id, p.p_name AS name, pr.rank_fp,
+         |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM ppr15 pr JOIN part p ON p.p_partkey = pr.id
          |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin,
 
     "g_lpa_communities" ->

@@ -276,6 +276,25 @@ class GraphSpec extends AnyFunSuite {
     assert(tri(5L) == ((1L, 0L, None)))
   }
 
+  test("pageRankWeightedFixed: rank splits proportional to edge weight") {
+    val we = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val pr = Graph.pageRankWeightedFixed(we, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 has no in-edges: its rank IS the teleport term; subtracting
+    // it isolates the weighted inflow, which must split 9:1
+    val (c2, c3) = (pr(2L) - pr(1L), pr(3L) - pr(1L))
+    assert(c3 > 0L && c2 > c3 * 8 && c2 < c3 * 10)
+  }
+
+  test("personalizedPageRankFixed: mass stays near the source set") {
+    // two disjoint chains; personalize on {1} — the 3→4 chain gets 0.
+    val ppr = Graph.personalizedPageRankFixed(
+        edges(1L -> 2L, 3L -> 4L), Seq(1L), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(1L) > 0L && ppr(2L) > 0L)
+    assert(ppr(3L) == 0L && ppr(4L) == 0L)
+  }
+
   test("kCoreFixed: K4 plus a tail — clique coreness 3, tail coreness 1") {
     // K4 on {1,2,3,4}; tail 4-5-6. True cores: 1,2,3,4 -> 3; 5,6 -> 1.
     // Node 4 has DEGREE 4 but core 3; node 5 degree 2 but core 1 — the
