@@ -105,7 +105,8 @@ object Bench {
     "g_ppr_sample",
     "lm_trigram",
     "mix_curriculum",
-    "sim_opq_topk")
+    "sim_opq_topk",
+    "g_fastrp")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

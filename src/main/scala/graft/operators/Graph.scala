@@ -1412,6 +1412,95 @@ object Graph {
     (init +: rounds :+ all :+ res).mkString(",\n")
   }
 
+  /** FastRP-lite node embeddings (Chen et al., "Fast and Accurate
+    * Network Embeddings via Very Sparse Random Projection", CIKM 2019 —
+    * the algorithm behind gds.fastRP): project each node to a random
+    * ±1 d-vector, then repeatedly average neighbors; the final embedding
+    * sums the deeper iterations (GDS iterationWeights (0, 1, 1, …) —
+    * round 1 is pure init noise and is skipped).
+    *
+    * "Lite" deviations, both documented: the random projection is a
+    * DENSE ±1 sign vector derived from md5(id:pos) — deterministic and
+    * engine-portable where GDS uses seeded sparse Gaussian — and there
+    * is no per-node L2 normalization (a sqrt would break cross-engine
+    * bit-equality). Averaging is the truncating integer division
+    * `Σ DIV deg` — BOTH engines truncate toward zero, verified, so the
+    * unrolled [[fastRpCtesSql]] twin is bit-identical.
+    *
+    * Iteration weights are the UNEQUAL ramp (1, 2, …, iters−1) — GDS's
+    * iterationWeights surface. With EQUAL weights, mean propagation on
+    * any bipartite graph (every tree!) alternates between two phase
+    * sequences and the summed embedding collapses to the same value for
+    * adjacent structural classes; the ramp keeps rounds distinguishable.
+    *
+    * Scale shape: |V|·dim rows, two node-keyed shuffles per round,
+    * constant rounds — the same budget as a PageRank iteration per
+    * dimension batch. Returns `(id, pos, emb)` exploded. */
+  def fastRpFixed(edges: DataFrame, dim: Int, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 2, "fastRP sums iterations 2..iters")
+    val e = edges.pinned
+    val und = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg")).cache()
+    var r = deg
+      .select(col("id"), explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+      .withColumn("v",
+        when(graft.functions.TextFns.md5Hash54(
+            concat(col("id").cast("string"), lit(":"),
+              col("pos").cast("string"))) % 2 === 0,
+          lit(scale)).otherwise(lit(-scale)))
+      .select(col("id"), col("pos"), col("v"))
+      .pinned
+    val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to iters) {
+      val msgs = und.join(r, und("dst") === r("id"))
+        .select(col("src"), col("pos"), col("v"))
+        .groupBy(col("src"), col("pos")).agg(sum(col("v")).as("s"))
+      r = msgs.join(deg, msgs("src") === deg("id"))
+        .select(deg("id"), col("pos"), expr("s DIV deg").as("v"))
+        .pinned
+      if (t >= 2) kept += r.withColumn("v", col("v") * lit(t - 1L))
+    }
+    und.unpersist()
+    val out = kept.reduce(_ union _)
+      .groupBy(col("id"), col("pos")).agg(sum(col("v")).as("emb"))
+    deg.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[fastRpFixed]] over an undirected distinct
+    * self-loop-free edge CTE `undCte(src, dst)` (both directions).
+    * Result in `fremb(id, pos, emb)`. */
+  def fastRpCtesSql(undCte: String, dim: Int, iters: Int,
+      scale: Long = 1000000000L): String = {
+    val init =
+      s"""frdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg
+         |  FROM $undCte GROUP BY src),
+         |fr0 AS MATERIALIZED (SELECT d.id, g.pos,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(d.id AS VARCHAR) || ':' ||
+         |           CAST(g.pos AS VARCHAR)), 1, 14)) AS BIGINT) % 2 = 0
+         |         THEN $scale ELSE -$scale END AS v
+         |  FROM frdeg d CROSS JOIN range(0, $dim) g(pos))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""fr$t AS MATERIALIZED (SELECT m.id, m.pos, m.s // d.deg AS v FROM (
+         |    SELECT u.src AS id, r.pos, CAST(SUM(r.v) AS BIGINT) AS s
+         |    FROM $undCte u JOIN fr${t - 1} r ON r.id = u.dst
+         |    GROUP BY u.src, r.pos) m
+         |  JOIN frdeg d ON d.id = m.id)""".stripMargin
+    }
+    val acc = (2 to iters)
+      .map(t => s"SELECT id, pos, v * ${t - 1} AS v FROM fr$t")
+      .mkString(" UNION ALL ")
+    val res =
+      s"""fremb AS (SELECT id, pos, CAST(SUM(v) AS BIGINT) AS emb
+         |  FROM ($acc) GROUP BY id, pos)""".stripMargin
+    (init +: rounds :+ res).mkString(",\n")
+  }
+
   /** SQL twin of [[triangles]] over an edge CTE `(src, dst)` — same
     * orientation, same wedge order, same nullif guard. */
   def trianglesSql(edgeCte: String): String =

@@ -227,6 +227,13 @@ object GraphQueries extends QueryModule {
         .select(col("id"), col("name"), col("rank_fp"), col("rank"))
         .orderBy(col("rank_fp").desc, col("id"))),
 
+    // GDS fastRP depth — deterministic FastRP-lite node embeddings over
+    // the undirected REFERENCES graph: ±1 md5-sign projection, neighbor
+    // averaging, iterations 2..3 summed.
+    "g_fastrp" -> ((s, dir) =>
+      Graph.fastRpFixed(refEdges(s, dir), dim = 8, iters = 3)
+        .orderBy(col("id"), col("pos"))),
+
     // G5 — community detection via connected components. Min-label
     // propagation converges to min-node-id-per-component, which a
     // recursive CTE can re-derive → oracle-checked.
@@ -568,6 +575,15 @@ object GraphQueries extends QueryModule {
          |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
          |FROM pr15 pr JOIN part p ON p.p_partkey = pr.id
          |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin,
+
+    "g_fastrp" ->
+      s"""WITH $refEdgesSql,
+         |frund AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |  WHERE src <> dst),
+         |${Graph.fastRpCtesSql("frund", 8, 3)}
+         |SELECT id, pos, emb FROM fremb
+         |ORDER BY id, pos""".stripMargin,
 
     "g_pagerank_weighted" ->
       s"""WITH we AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst,

@@ -295,6 +295,22 @@ class GraphSpec extends AnyFunSuite {
     assert(ppr(3L) == 0L && ppr(4L) == 0L)
   }
 
+  test("fastRP: deterministic; structurally equivalent nodes embed identically") {
+    // 2 and 3 share the exact neighborhood {1}: every averaged round is
+    // identical for them, and the embedding skips the round-0 noise.
+    val g = edges(1L -> 2L, 1L -> 3L)
+    val e1 = Graph.fastRpFixed(g, dim = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val e2 = Graph.fastRpFixed(g, dim = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(e1 == e2)                       // bit-identical re-run
+    assert(e1.size == 12)                  // 3 nodes × 4 dims
+    (0 until 4).foreach { p =>
+      assert(e1((2L, p)) == e1((3L, p)))   // structural equivalence
+    }
+    assert((0 until 4).exists(p => e1((1L, p)) != e1((2L, p))))
+  }
+
   test("kCoreFixed: K4 plus a tail — clique coreness 3, tail coreness 1") {
     // K4 on {1,2,3,4}; tail 4-5-6. True cores: 1,2,3,4 -> 3; 5,6 -> 1.
     // Node 4 has DEGREE 4 but core 3; node 5 degree 2 but core 1 — the
