@@ -106,7 +106,9 @@ object Bench {
     "lm_trigram",
     "mix_curriculum",
     "sim_opq_topk",
-    "g_fastrp")
+    "g_fastrp",
+    "txt_blocklist",
+    "txt_gopher_gate")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -134,6 +134,85 @@ object TextAnalysis {
        |FROM $table""".stripMargin
   }
 
+  // ---- blocklist filtering -------------------------------------------
+
+  /** Token blocklist filter — the bad-word / spam-term gate every web
+    * corpus pipeline runs (C4 drops pages on a public "bad words" list).
+    * Per doc: total and distinct blocked-token hits plus the boolean
+    * gate. The match runs as explode → literal IN-set filter → doc
+    * rollup: for a bounded list the IN-set compiles into the scan
+    * predicate; a 100k-term list would swap in a broadcast join on the
+    * token — same plan shape, same outputs. */
+  def blocklistFlags(df: DataFrame, id: Column, text: Column,
+      terms: Seq[String]): DataFrame = {
+    val base = df.select(id.as("doc_id"), toks(text).as("t"))
+    val m = base.select(col("doc_id"), explode(col("t")).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocked"),
+        countDistinct(col("token")).as("n_distinct_blocked"))
+    base.select(col("doc_id")).join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+        coalesce(col("n_distinct_blocked"), lit(0L)).as("n_distinct_blocked"))
+      .withColumn("blocked", col("n_blocked") > 0)
+  }
+
+  def blocklistFlagsSql(table: String, terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM $table),
+       |m AS (SELECT doc_id, COUNT(*) AS n_blocked,
+       |        COUNT(DISTINCT tok) AS n_distinct_blocked
+       |      FROM (SELECT doc_id, unnest(t) AS tok FROM t)
+       |      WHERE tok IN ($inList) GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(m.n_blocked, 0) AS n_blocked,
+       |       COALESCE(m.n_distinct_blocked, 0) AS n_distinct_blocked,
+       |       COALESCE(m.n_blocked, 0) > 0 AS blocked
+       |FROM t LEFT JOIN m USING (doc_id)""".stripMargin
+  }
+
+  // ---- composite quality gate ----------------------------------------
+
+  /** Gopher-style composite keep/drop gate (Rae et al. 2021 §A1.1's rule
+    * shape): token-count band, mean-word-length band, lexical-diversity
+    * floor, duplicate-bigram ceiling — each rule surfaced as its own
+    * boolean (pipelines audit WHICH rule dropped a doc), `keep` the
+    * conjunction. Composes the already-hash-proven [[tokenStats]] and
+    * [[repetition]] signals via one doc-keyed join; all comparisons are
+    * against literals on exact values, so the twin is bit-identical. */
+  def gopherGate(df: DataFrame, id: Column, text: Column,
+      minTokens: Int, maxTokens: Int,
+      minDiversity: Double, maxDupBigram: Double): DataFrame = {
+    val ts = tokenStats(df, id, text)
+    val rep = repetition(df, id, text)
+    ts.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("len_ok"),
+        (col("avg_token_len") >= 3.0 && col("avg_token_len") <= 10.0)
+          .as("wordlen_ok"),
+        (col("n_distinct") * lit(1.0) / nullif(col("n_tokens"), lit(0)) >=
+          minDiversity).as("diversity_ok"),
+        (coalesce(col("dup_bigram_frac"), lit(0.0)) <= maxDupBigram)
+          .as("repetition_ok"))
+      .withColumn("keep", col("len_ok") && col("wordlen_ok") &&
+        col("diversity_ok") && col("repetition_ok"))
+  }
+
+  def gopherGateSql(table: String, minTokens: Int, maxTokens: Int,
+      minDiversity: Double, maxDupBigram: Double): String =
+    s"""SELECT ts.doc_id, ts.n_tokens,
+       |       ts.n_tokens >= $minTokens AND ts.n_tokens <= $maxTokens AS len_ok,
+       |       ts.avg_token_len >= 3.0 AND ts.avg_token_len <= 10.0 AS wordlen_ok,
+       |       ts.n_distinct * 1.0 / NULLIF(ts.n_tokens, 0) >= $minDiversity AS diversity_ok,
+       |       COALESCE(rep.dup_bigram_frac, 0.0) <= $maxDupBigram AS repetition_ok,
+       |       (ts.n_tokens >= $minTokens AND ts.n_tokens <= $maxTokens)
+       |         AND (ts.avg_token_len >= 3.0 AND ts.avg_token_len <= 10.0)
+       |         AND (ts.n_distinct * 1.0 / NULLIF(ts.n_tokens, 0) >= $minDiversity)
+       |         AND (COALESCE(rep.dup_bigram_frac, 0.0) <= $maxDupBigram) AS keep
+       |FROM (${tokenStatsSql(table)}) ts
+       |JOIN (${repetitionSql(table)}) rep USING (doc_id)""".stripMargin
+
   // ---- language identification ---------------------------------------
 
   /** Distinctive function-word lists per language (public knowledge; the

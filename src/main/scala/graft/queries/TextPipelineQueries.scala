@@ -37,6 +37,17 @@ object TextPipelineQueries extends QueryModule {
   // candidate; Jaccard's 0.6 gate misses these when sizes are skewed
   private val containThreshold = 0.5
 
+  // blocklist demo terms (all present in the corpus vocabulary so the
+  // gate is non-degenerate at every SF); shared with the twin
+  private val blockTerms = Seq("spark", "merge", "vector")
+
+  // Gopher-gate thresholds sized to this corpus's 10–99 token docs so
+  // every rule both passes and fails somewhere (non-degenerate split)
+  private val gopherMinTok = 30
+  private val gopherMaxTok = 90
+  private val gopherMinDiv = 0.35
+  private val gopherMaxDup = 0.4
+
   // duplicate-span window: 15 tokens is the same order as Lee et al.'s
   // 50-byte ExactSubstr unit at this corpus's ~5.5 chars/token; probed
   // non-degenerate (857 duplicated windows / 1778 occurrences at sf0.01)
@@ -215,6 +226,18 @@ object TextPipelineQueries extends QueryModule {
     "lm_trigram" -> ((s, dir) =>
       TextAnalysis.trigramLm(Tables.documents(s, dir), col("text"))
         .orderBy(col("a"), col("b"), col("c"))),
+
+    // Token blocklist gate (the C4 bad-words pass, demo term list).
+    "txt_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistFlags(Tables.documents(s, dir), col("doc_id"),
+          col("text"), blockTerms)
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style composite keep/drop gate with per-rule audit booleans.
+    "txt_gopher_gate" -> ((s, dir) =>
+      TextAnalysis.gopherGate(Tables.documents(s, dir), col("doc_id"),
+          col("text"), gopherMinTok, gopherMaxTok, gopherMinDiv, gopherMaxDup)
+        .orderBy(col("doc_id"))),
 
     // Exact all-pairs n-gram Jaccard over selective 12-gram shingles.
     "dd_ngram_jaccard" -> ((s, dir) => {
@@ -670,6 +693,14 @@ object TextPipelineQueries extends QueryModule {
 
     "lm_trigram" ->
       (TextAnalysis.trigramLmSql("documents") + "\nORDER BY a, b, c"),
+
+    "txt_blocklist" ->
+      (TextAnalysis.blocklistFlagsSql("documents", blockTerms) +
+        "\nORDER BY doc_id"),
+
+    "txt_gopher_gate" ->
+      (TextAnalysis.gopherGateSql("documents", gopherMinTok, gopherMaxTok,
+        gopherMinDiv, gopherMaxDup) + "\nORDER BY doc_id"),
 
     "dd_ngram_jaccard" ->
       s"""WITH ${shCte(exactN)},
