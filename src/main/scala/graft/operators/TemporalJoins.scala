@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,5 +78,66 @@ object TemporalJoins {
     wb.join(pb, Seq("_bin"))
       .filter(col(timeCol) >= col("w_start") && col(timeCol) < col("w_end"))
       .drop("_bin")
+  }
+
+  /** Funnel analysis — per user, the earliest strictly-ordered
+    * completion of each stage: `t1 = min ts(stage₁)`, `t_{i+1} = min
+    * ts(stage_{i+1}) with ts > t_i`, and `stage` = how far the user got.
+    * The product-analytics staple (view → click → purchase conversion).
+    *
+    * One user-keyed aggregation per stage — stage count is a constant,
+    * so the plan is a fixed chain of groupBy/left-join pairs, each
+    * shuffled on user_id (co-partitioned after the first exchange).
+    * Timestamps surface as epoch seconds (`t{i}_s`) so the hash compare
+    * never sees timestamp formatting. A user who stalls at stage i has
+    * NULL for every later t (the strict `ts > NULL` predicate is
+    * null-false in both engines). */
+  def funnel(events: DataFrame, user: Column, ts: Column, etype: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    var cur = events.filter(etype === stages.head)
+      .groupBy(user.as("user_id")).agg(min(ts).as("t1"))
+    for (i <- 1 until stages.size) {
+      val ev = events.filter(etype === stages(i))
+        .select(user.as("u2"), ts.as("ts2"))
+      val keys = col("user_id") +: (1 to i).map(j => col(s"t$j"))
+      cur = cur.join(ev,
+          col("user_id") === col("u2") && col("ts2") > col(s"t$i"), "left")
+        .groupBy(keys: _*)
+        .agg(min(col("ts2")).as(s"t${i + 1}"))
+    }
+    val stageExpr = (2 to stages.size)
+      .map(j => when(col(s"t$j").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    cur.select(col("user_id") +:
+      (1 to stages.size).map(j =>
+        unix_timestamp(col(s"t$j")).as(s"t${j}_s")) :+
+      stageExpr.as("stage"): _*)
+  }
+
+  /** DuckDB twin of [[funnel]] over `events(user_id, ts, event_type)`. */
+  def funnelSql(table: String, stages: Seq[String]): String = {
+    val s1 =
+      s"""fs1 AS (SELECT user_id, MIN(ts) AS t1 FROM $table
+         |  WHERE event_type = '${stages.head}' GROUP BY user_id)""".stripMargin
+    val steps = (1 until stages.size).map { i =>
+      val prevCols = (1 to i).map(j => s"p.t$j").mkString(", ")
+      s"""fs${i + 1} AS (SELECT p.user_id, $prevCols, MIN(e.ts) AS t${i + 1}
+         |  FROM fs$i p LEFT JOIN $table e
+         |    ON e.user_id = p.user_id AND e.event_type = '${stages(i)}'
+         |   AND e.ts > p.t$i
+         |  GROUP BY p.user_id, $prevCols)""".stripMargin
+    }
+    val tCols = (1 to stages.size)
+      .map(j => s"CAST(floor(epoch(t$j)) AS BIGINT) AS t${j}_s").mkString(",\n       ")
+    val stageSum = (2 to stages.size)
+      .map(j => s"CASE WHEN t$j IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $s1,
+       |${steps.mkString(",\n")}
+       |SELECT user_id,
+       |       $tCols,
+       |       1 + $stageSum AS stage
+       |FROM fs${stages.size}""".stripMargin
   }
 }

@@ -127,6 +127,14 @@ object EventQueries extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Funnel analysis: earliest strictly-ordered view → click →
+    // purchase per user, plus how far each user got.
+    "evt_funnel" -> ((s, dir) =>
+      graft.operators.TemporalJoins.funnel(Tables.events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
     // Range join: 10-minute incident windows (one per error event)
     // counted against clicks inside them — the inequality predicate
     // binned into an equi-join on 600 s time bins
@@ -172,6 +180,10 @@ object EventQueries extends QueryModule {
         |SELECT w.win_id, COUNT(c.ts) AS n_clicks
         |FROM w LEFT JOIN c ON c.ts >= w.w_start AND c.ts < w.w_end
         |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin,
+
+    "evt_funnel" ->
+      (graft.operators.TemporalJoins.funnelSql("events",
+        Seq("view", "click", "purchase")) + "\nORDER BY user_id"),
 
     "st_window_counts" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

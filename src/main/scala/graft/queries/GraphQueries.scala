@@ -295,6 +295,24 @@ object GraphQueries extends QueryModule {
         .select(col("label").as("community"), col("size"))
         .orderBy(col("size").desc, col("community"))),
 
+    // Composed graph pipeline (the graph mirror of pipe_end_to_end):
+    // detect communities, score nodes, roll both up per community —
+    // size, total PageRank mass, and the top-ranked member. Catches
+    // inter-operator schema drift between the louvain and pagerank
+    // families the isolated entries can't.
+    "g_pipe_communities" -> ((s, dir) => {
+      val e = refEdges(s, dir)
+      Graph.louvain(e, rounds = 6)
+        .join(Graph.pageRankFixed(e, iters = 15), Seq("id"))
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("size"),
+          sum(col("rank_fp")).as("mass_fp"),
+          max(struct(col("rank_fp"), col("id"))).as("_top"))
+        .select(col("community"), col("size"), col("mass_fp"),
+          col("_top.id").as("top_id"))
+        .orderBy(col("mass_fp").desc, col("community"))
+    }),
+
     // G2 — author ArticleRank through the reference's own projection
     // (graph_queries.cyp:48-58): (Author)-[:AUTHORSHIP]-(Piece)
     // -[:REFERENCES*1..10]->(Piece)-[:AUTHORSHIP]-(Author2), i.e. the
@@ -633,6 +651,26 @@ object GraphQueries extends QueryModule {
          |${Graph.louvain2CtesSql("lund", 6, 6)}
          |SELECT label AS community, COUNT(*) AS size FROM lvf
          |GROUP BY label ORDER BY size DESC, community""".stripMargin,
+
+    "g_pipe_communities" ->
+      s"""WITH $refEdgesSql,
+         |lund AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |  WHERE src <> dst),
+         |${Graph.louvainCtesSql("lund", 6)},
+         |${Graph.pageRankCtesSql("e", 15)},
+         |j AS (SELECT v.label, v.id, p.rank_fp
+         |      FROM lv6 v JOIN pr15 p ON p.id = v.id),
+         |agg AS (SELECT label, COUNT(*) AS size,
+         |          CAST(SUM(rank_fp) AS BIGINT) AS mass_fp
+         |        FROM j GROUP BY label),
+         |top AS (SELECT label, id AS top_id FROM (
+         |          SELECT label, id, ROW_NUMBER() OVER (PARTITION BY label
+         |            ORDER BY rank_fp DESC, id DESC) AS rn FROM j)
+         |        WHERE rn = 1)
+         |SELECT a.label AS community, a.size, a.mass_fp, t.top_id
+         |FROM agg a JOIN top t USING (label)
+         |ORDER BY a.mass_fp DESC, community""".stripMargin,
 
     "g_articlerank_customers" -> projectedPrOracle(authorshipEndsSql,
       "SELECT c_custkey AS k, c_name AS name FROM customer"),

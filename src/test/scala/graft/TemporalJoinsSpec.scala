@@ -66,4 +66,20 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .select(col("win_id"), col("p_id")).collect()
     assert(all.length == got.size)
   }
+
+  test("funnel: strict stage ordering — out-of-order click stalls the user") {
+    import spark.implicits._
+    val ev = Seq(
+        (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+        (2L, 100L, "click"), (2L, 200L, "view"),   // click BEFORE view
+        (3L, 100L, "view"), (3L, 200L, "purchase")) // skipped click
+      .toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val f = TemporalJoins.funnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    // user 1 completes; 2's click precedes its view; 3 never clicks, so
+    // its purchase cannot count (strict order through EVERY stage)
+    assert(f == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
 }
