@@ -1285,7 +1285,10 @@ object Graph {
     for (_ <- 1 to iters) {
       // pin the raw sums: each is consumed TWICE (total + per-node join)
       // — unpinned, the graph join would recompute per consumer, doubling
-      // every round's shuffle work (measured 22 s → ~6 s at sf0.1)
+      // every round's shuffle work. (Wall time at sf0.1 is still ~20 s:
+      // the loop is per-round-latency bound at that graph size — see
+      // BASELINE.md round-8 fifth wave for the measured attribution and
+      // the two rejected further optimizations.)
       val araw = adj.join(hubs, adj("src") === hubs("id"))
         .groupBy(adj("dst")).agg(sum(col("hub_fp")).as("araw"))
         .pinned
