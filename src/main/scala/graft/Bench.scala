@@ -110,7 +110,9 @@ object Bench {
     "txt_blocklist",
     "txt_gopher_gate",
     "evt_funnel",
-    "g_pipe_communities")
+    "g_pipe_communities",
+    "lm_trigram_surprise",
+    "sim_recall_eval")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -554,6 +554,53 @@ object TextAnalysis {
        |         + CAST(0.1 AS DOUBLE) * p1 AS p
        |FROM lmt""".stripMargin
 
+  /** [[lmSurprise]] under the INTERPOLATED trigram model: per doc, how
+    * many trigram transitions score below `minP` under [[trigramLm]]'s
+    * mixture. The smoothed model never assigns an in-corpus trigram
+    * probability 0, so the gate measures genuine rarity rather than
+    * count sparsity — the trigram analog of perplexity filtering, kept
+    * hash-stable the same way (threshold count, no logs). Docs with
+    * fewer than 3 tokens report 0 and NULL rate. */
+  def trigramSurprise(df: DataFrame, id: Column, text: Column,
+      minP: Double): DataFrame = {
+    val lm = trigramLm(df, text).select(col("a"), col("b"), col("c"), col("p"))
+    val tg = df.select(id.as("doc_id"), toks(text).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3,
+          transform(sequence(lit(1), size(col("t")) - 2),
+            i => struct(element_at(col("t"), i).as("a"),
+              element_at(col("t"), i + 1).as("b"),
+              element_at(col("t"), i + 2).as("c"))))
+          .otherwise(array().cast("array<struct<a:string,b:string,c:string>>"))
+          .as("gs"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"),
+        col("g.c").as("c"))
+    tg.join(lm, Seq("a", "b", "c"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("a")).as("n_trigrams"),
+        coalesce(sum(when(col("p") < minP, 1L).otherwise(0L)), lit(0L))
+          .as("n_rare"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_rare"),
+        (col("n_rare") * lit(1.0) /
+          nullif(col("n_trigrams"), lit(0))).as("rare_rate"))
+  }
+
+  def trigramSurpriseSql(table: String, minP: Double): String =
+    s"""WITH lmr AS (${trigramLmSql(table)}),
+       |dt AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t) - 1), i -> t[CAST(i AS INT)])) AS a,
+       |         unnest(list_transform(range(1, len(t) - 1), i -> t[CAST(i + 1 AS INT)])) AS b,
+       |         unnest(list_transform(range(1, len(t) - 1), i -> t[CAST(i + 2 AS INT)])) AS c
+       |       FROM (SELECT doc_id, $toksSql AS t FROM $table) WHERE len(t) >= 3),
+       |r AS (SELECT dt.doc_id, COUNT(*) AS n_trigrams,
+       |        CAST(SUM(CASE WHEN lmr.p < $minP THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |      FROM dt JOIN lmr USING (a, b, c) GROUP BY dt.doc_id)
+       |SELECT d.doc_id, COALESCE(r.n_trigrams, 0) AS n_trigrams,
+       |       COALESCE(r.n_rare, 0) AS n_rare,
+       |       r.n_rare * 1.0 / NULLIF(r.n_trigrams, 0) AS rare_rate
+       |FROM $table d LEFT JOIN r USING (doc_id)""".stripMargin
+
   /** LM-based quality gate: per doc, how many of its bigram transitions
     * are RARE under the corpus's own bigram LM (`P(b|a) < minP`), and
     * the rare-transition rate. The shape of perplexity filtering without

@@ -179,6 +179,30 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ANN EVALUATION — per-query recall@k of the IVF index against the
+    // brute-force ground truth (the eval leg every ANN deployment runs
+    // before trusting an index; both legs are the already-hash-proven
+    // operators, so this also guards their relative drift).
+    "sim_recall_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val truth = Similarity.bruteForceTopK(emb, col("vec_id") < nQueries,
+          ivfK)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopKWith(emb, trained(s, dir),
+          col("vec_id") < nQueries, ivfK)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      val hits = truth.join(approx,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_truth"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * lit(1.0) / lit(ivfK))
+            .as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // OPQ-lite — variance-balanced dimension permutation (eigenvalue
     // allocation without the rotation) before PQ: every subspace
     // codebook gets an even share of the corpus's spread. L2 is
@@ -376,6 +400,46 @@ object SimilarityQueries extends QueryModule {
          |${graft.operators.Pq.pqCtesSql(pqM, pqDsub, pqKsub, pqIters)},
          |${graft.operators.Pq.adcTailSql(pqM, pqDsub, pqIters, nQueries, topK)}
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_recall_eval" ->
+      s"""WITH $eCte,
+         |${Similarity.kMeansCtesSql(nCentroids, kmIters, dim)},
+         |scored AS (SELECT e.vec_id, c.centroid_id, ${cosExpr("e", "c")} AS cos
+         |           FROM e CROSS JOIN cents$kmIters c),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |             SELECT vec_id, centroid_id,
+         |                    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                      ORDER BY cos DESC, centroid_id) AS rnk
+         |             FROM scored) WHERE rnk = 1),
+         |ea AS (SELECT e.vec_id, e.v, a.centroid_id
+         |       FROM e JOIN assign a ON a.vec_id = e.vec_id),
+         |q AS (SELECT vec_id AS query_id, v, centroid_id AS qc
+         |      FROM ea WHERE vec_id < $nQueries),
+         |cand AS (SELECT q.query_id, ea.vec_id, ${cosExpr("q", "ea")} AS cos
+         |         FROM q JOIN ea ON ea.centroid_id = q.qc
+         |                       AND ea.vec_id <> q.query_id),
+         |approx AS (SELECT query_id, vec_id FROM (
+         |             SELECT query_id, vec_id,
+         |                    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                      ORDER BY cos DESC, vec_id) AS rnk
+         |             FROM cand) WHERE rnk <= $ivfK),
+         |bq AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $nQueries),
+         |bscored AS (SELECT bq.query_id, e.vec_id, ${cosExpr("bq", "e")} AS cos
+         |            FROM bq JOIN e ON e.vec_id <> bq.query_id),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |            SELECT query_id, vec_id,
+         |                   ROW_NUMBER() OVER (PARTITION BY query_id
+         |                     ORDER BY cos DESC, vec_id) AS rnk
+         |            FROM bscored) WHERE rnk <= $ivfK),
+         |h AS (SELECT t.query_id, COUNT(*) AS n_hit
+         |      FROM truth t JOIN approx a
+         |        ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+         |      GROUP BY t.query_id),
+         |tc AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY query_id)
+         |SELECT tc.query_id, tc.n_truth, COALESCE(h.n_hit, 0) AS n_hit,
+         |       COALESCE(h.n_hit, 0) * 1.0 / $ivfK AS recall
+         |FROM tc LEFT JOIN h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     "sim_opq_topk" ->
       s"""WITH $eCte,

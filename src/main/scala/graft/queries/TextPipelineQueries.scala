@@ -74,6 +74,11 @@ object TextPipelineQueries extends QueryModule {
   // bigram types (median P ≈ 0.033) — a real tail, not degenerate
   private val lmMinP = 0.02
 
+  // trigram-mixture rarity threshold: the 0.1·P1 unigram floor keeps
+  // every in-corpus trigram's p above ~0.1/|vocab|, so the gate needs a
+  // threshold above that floor to be non-degenerate
+  private val trigramMinP = 0.02
+
   // end-to-end pipeline gate thresholds — mid-range so both keep and
   // drop branches are populated on this corpus (a gate that never drops
   // tests nothing)
@@ -226,6 +231,12 @@ object TextPipelineQueries extends QueryModule {
     "lm_trigram" -> ((s, dir) =>
       TextAnalysis.trigramLm(Tables.documents(s, dir), col("text"))
         .orderBy(col("a"), col("b"), col("c"))),
+
+    // Rare-transition gate under the interpolated trigram model.
+    "lm_trigram_surprise" -> ((s, dir) =>
+      TextAnalysis.trigramSurprise(Tables.documents(s, dir), col("doc_id"),
+          col("text"), minP = trigramMinP)
+        .orderBy(col("doc_id"))),
 
     // Token blocklist gate (the C4 bad-words pass, demo term list).
     "txt_blocklist" -> ((s, dir) =>
@@ -693,6 +704,10 @@ object TextPipelineQueries extends QueryModule {
 
     "lm_trigram" ->
       (TextAnalysis.trigramLmSql("documents") + "\nORDER BY a, b, c"),
+
+    "lm_trigram_surprise" ->
+      (TextAnalysis.trigramSurpriseSql("documents", minP = trigramMinP) +
+        "\nORDER BY doc_id"),
 
     "txt_blocklist" ->
       (TextAnalysis.blocklistFlagsSql("documents", blockTerms) +
