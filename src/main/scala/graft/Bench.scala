@@ -112,7 +112,9 @@ object Bench {
     "evt_funnel",
     "g_pipe_communities",
     "lm_trigram_surprise",
-    "sim_recall_eval")
+    "sim_recall_eval",
+    "agg_cube_orders",
+    "evt_retention")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

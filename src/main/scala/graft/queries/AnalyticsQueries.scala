@@ -61,6 +61,38 @@ object AnalyticsQueries extends QueryModule {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Full CUBE over (year, status) with a money measure — all four
+    // grouping sets in one pass (ROLLUP's lattice sibling).
+    "agg_cube_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.TextFns.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("order_year").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // Cohort retention matrix: signup-week cohorts × active-week offset
+    // (the product-analytics staple next to evt_funnel). Weeks truncate
+    // to Monday identically in both engines; offsets are integer
+    // day-diffs DIV 7.
+    "evt_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      cohort.join(active, Seq("user_id"))
+        .filter(col("w") >= col("cohort_week"))
+        .select(unix_timestamp(col("cohort_week")).as("cohort_week_s"),
+          expr("datediff(w, cohort_week) DIV 7").as("week_offset"))
+        .groupBy(col("cohort_week_s"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort_week_s"), col("week_offset"))
+    }),
+
     // Exact interpolated quantiles per group (Spark `percentile` and
     // DuckDB `quantile_cont` share the linear-interpolation definition;
     // integer inputs make the arithmetic identical).
@@ -139,6 +171,26 @@ object AnalyticsQueries extends QueryModule {
         |       COUNT(*) AS n_orders
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
-        |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+        |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_cube_orders" ->
+      """SELECT year(o_orderdate) AS order_year, o_orderstatus,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+        |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "evt_retention" ->
+      """WITH c AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |j AS (SELECT c.cohort_week, a.w FROM c JOIN a USING (user_id)
+        |      WHERE a.w >= c.cohort_week)
+        |SELECT CAST(floor(epoch(cohort_week)) AS BIGINT) AS cohort_week_s,
+        |       CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(w AS DATE)) // 7 AS BIGINT) AS week_offset,
+        |       COUNT(*) AS n_active
+        |FROM j GROUP BY 1, 2
+        |ORDER BY cohort_week_s, week_offset""".stripMargin
   )
 }
