@@ -114,7 +114,8 @@ object Bench {
     "lm_trigram_surprise",
     "sim_recall_eval",
     "agg_cube_orders",
-    "evt_retention")
+    "evt_retention",
+    "g_sssp")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

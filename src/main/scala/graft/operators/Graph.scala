@@ -1355,8 +1355,14 @@ object Graph {
     * the contribution `scale DIV dist` is a truncating division, so sums
     * are order-independent BIGINTs and the unrolled [[harmonicCtesSql]]
     * twin is bit-identical. `maxDepth` bounds the unroll on both sides. */
-  def harmonicFixed(edges: DataFrame, sources: Seq[Long], maxDepth: Int,
-      scale: Long = 1000000000L): DataFrame = {
+  /** Batched multi-source BFS distance table `(source, id, dist)` —
+    * unweighted SSSP (gds.bfs / gds.shortestPath without weights): all
+    * sources advance as ONE (source, id)-keyed frontier, one job per
+    * graph level. The building block [[harmonicFixed]] aggregates; it is
+    * also a first-class result (reachability radius, distance features).
+    * `dist` = 0 for the source itself; unreached pairs are absent. */
+  def bfsDistances(edges: DataFrame, sources: Seq[Long],
+      maxDepth: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
@@ -1384,7 +1390,12 @@ object Graph {
       }
     }
     adj.unpersist()
-    seen.filter(col("dist") >= 1)
+    seen
+  }
+
+  def harmonicFixed(edges: DataFrame, sources: Seq[Long], maxDepth: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    bfsDistances(edges, sources, maxDepth).filter(col("dist") >= 1)
       .groupBy(col("id"))
       .agg(sum(expr(s"$scale DIV dist")).as("harmonic_fp"))
       .withColumn("harmonic",

@@ -227,6 +227,16 @@ object GraphQueries extends QueryModule {
         .select(col("id"), col("name"), col("rank_fp"), col("rank"))
         .orderBy(col("rank_fp").desc, col("id"))),
 
+    // Unweighted single-source shortest paths (gds.bfs /
+    // gds.shortestPath without weights): the raw BFS distance table
+    // from part 0, depth-bounded like the other sampled traversals.
+    "g_sssp" -> ((s, dir) =>
+      named(Graph.bfsDistances(refEdges(s, dir), Seq(0L), maxDepth = 8)
+          .select(col("id"), col("dist")),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("dist"))
+        .orderBy(col("dist"), col("id"))),
+
     // GDS fastRP depth — deterministic FastRP-lite node embeddings over
     // the undirected REFERENCES graph: ±1 md5-sign projection, neighbor
     // averaging, iterations 2..3 summed.
@@ -593,6 +603,15 @@ object GraphQueries extends QueryModule {
          |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
          |FROM pr15 pr JOIN part p ON p.p_partkey = pr.id
          |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin,
+
+    "g_sssp" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.harmonicCtesSql("e", Seq(0L), 8)}
+         |SELECT d.id, p.p_name AS name, d.dist
+         |FROM (SELECT id, 0 AS dist FROM hm0
+         |      UNION ALL SELECT id, dist FROM hmall) d
+         |JOIN part p ON p.p_partkey = d.id
+         |ORDER BY d.dist, d.id""".stripMargin,
 
     "g_fastrp" ->
       s"""WITH $refEdgesSql,

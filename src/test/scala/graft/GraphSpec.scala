@@ -337,6 +337,15 @@ class GraphSpec extends AnyFunSuite {
     assert(asum <= 1000000000000L && asum > 1000000000000L - 10)
   }
 
+  test("bfsDistances: exact levels on a diamond, unreached absent") {
+    // 1→2, 1→3, 2→4, 3→4, plus isolated-from-1 edge 5→6
+    val d = Graph.bfsDistances(
+        edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 5L -> 6L),
+        Seq(1L), maxDepth = 5)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2)) // 5,6 unreached
+  }
+
   test("harmonicFixed: path graph distances invert exactly") {
     // 1→2→3→4, source {1}: harmonic_fp = scale/1, scale/2, scale/3.
     val hm = Graph.harmonicFixed(edges(1L -> 2L, 2L -> 3L, 3L -> 4L),
