@@ -212,7 +212,7 @@ object GraphQueries extends QueryModule {
     // MULTIPLICITY-weighted REFERENCES graph (how many consecutive-line
     // pairs produced the edge): rank splits proportional to weight.
     "g_pagerank_weighted" -> ((s, dir) =>
-      named(Graph.pageRankWeightedFixed(weightedRefEdges(s, dir), iters = 15),
+      named(Graph.pageRankWeightedFixed(weightedRefEdges(s, dir), iters = 10),
           Tables.part(s, dir), "p_partkey", "p_name")
         .select(col("id"), col("name"), col("rank_fp"), col("rank"))
         .orderBy(col("rank_fp").desc, col("id"))),
@@ -222,7 +222,7 @@ object GraphQueries extends QueryModule {
     // seeds (the recommendation/expansion primitive).
     "g_ppr_sample" -> ((s, dir) =>
       named(Graph.personalizedPageRankFixed(refEdges(s, dir),
-            Seq(0L, 1L, 2L, 3L, 4L), iters = 15),
+            Seq(0L, 1L, 2L, 3L, 4L), iters = 10),
           Tables.part(s, dir), "p_partkey", "p_name")
         .select(col("id"), col("name"), col("rank_fp"), col("rank"))
         .orderBy(col("rank_fp").desc, col("id"))),
@@ -313,7 +313,7 @@ object GraphQueries extends QueryModule {
     "g_pipe_communities" -> ((s, dir) => {
       val e = refEdges(s, dir)
       Graph.louvain(e, rounds = 6)
-        .join(Graph.pageRankFixed(e, iters = 15), Seq("id"))
+        .join(Graph.pageRankFixed(e, iters = 10), Seq("id"))
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("size"),
           sum(col("rank_fp")).as("mass_fp"),
@@ -629,18 +629,18 @@ object GraphQueries extends QueryModule {
          |        ON a.l_orderkey = b.l_orderkey
          |       AND b.l_linenumber = a.l_linenumber + 1
          |      GROUP BY a.l_partkey, b.l_partkey),
-         |${Graph.pageRankWeightedCtesSql("we", 15)}
+         |${Graph.pageRankWeightedCtesSql("we", 10)}
          |SELECT pr.id, p.p_name AS name, pr.rank_fp,
          |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
-         |FROM wpr15 pr JOIN part p ON p.p_partkey = pr.id
+         |FROM wpr10 pr JOIN part p ON p.p_partkey = pr.id
          |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin,
 
     "g_ppr_sample" ->
       s"""WITH $refEdgesSql,
-         |${Graph.personalizedPageRankCtesSql("e", Seq(0L, 1L, 2L, 3L, 4L), 15)}
+         |${Graph.personalizedPageRankCtesSql("e", Seq(0L, 1L, 2L, 3L, 4L), 10)}
          |SELECT pr.id, p.p_name AS name, pr.rank_fp,
          |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
-         |FROM ppr15 pr JOIN part p ON p.p_partkey = pr.id
+         |FROM ppr10 pr JOIN part p ON p.p_partkey = pr.id
          |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin,
 
     "g_lpa_communities" ->
@@ -677,9 +677,9 @@ object GraphQueries extends QueryModule {
          |    SELECT src, dst FROM e UNION SELECT dst, src FROM e)
          |  WHERE src <> dst),
          |${Graph.louvainCtesSql("lund", 6)},
-         |${Graph.pageRankCtesSql("e", 15)},
+         |${Graph.pageRankCtesSql("e", 10)},
          |j AS (SELECT v.label, v.id, p.rank_fp
-         |      FROM lv6 v JOIN pr15 p ON p.id = v.id),
+         |      FROM lv6 v JOIN pr10 p ON p.id = v.id),
          |agg AS (SELECT label, COUNT(*) AS size,
          |          CAST(SUM(rank_fp) AS BIGINT) AS mass_fp
          |        FROM j GROUP BY label),
