@@ -185,9 +185,11 @@ object SimilarityQueries extends QueryModule {
     // operators, so this also guards their relative drift).
     "sim_recall_eval" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val truth = Similarity.bruteForceTopK(emb, col("vec_id") < nQueries,
-          ivfK)
-        .select(col("query_id"), col("neighbor_id"))
+      // pinned: the ground-truth list has two consumers (hit join +
+      // per-query totals) and its brute-force scan is the expensive leg
+      val truth = graft.plans.Pins.pin(
+        Similarity.bruteForceTopK(emb, col("vec_id") < nQueries, ivfK)
+          .select(col("query_id"), col("neighbor_id")))
       val approx = Similarity.ivfTopKWith(emb, trained(s, dir),
           col("vec_id") < nQueries, ivfK)
         .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
