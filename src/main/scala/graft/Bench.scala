@@ -115,7 +115,9 @@ object Bench {
     "sim_recall_eval",
     "agg_cube_orders",
     "evt_retention",
-    "g_sssp")
+    "g_sssp",
+    "g_bellman_ford",
+    "mix_upsample")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

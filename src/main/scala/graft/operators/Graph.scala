@@ -121,6 +121,50 @@ object Graph {
     (init +: rounds).mkString(",\n")
   }
 
+  /** Weighted single-source shortest paths by bounded Bellman–Ford
+    * (gds.shortestPath.dijkstra's semantics for non-negative integer
+    * costs — min-plus relaxation is the join-friendly formulation;
+    * Dijkstra's priority queue is inherently sequential, while each
+    * relaxation round here is one shuffle): `dist_t(v) = min(dist_{t-1}
+    * (v), min over edges u→v of dist_{t-1}(u) + cost)`. Exact once
+    * `rounds` ≥ the hop count of the longest shortest path; MIN over
+    * BIGINTs is order-independent, so the unrolled [[bellmanFordCtesSql]]
+    * twin is bit-identical. Unreached nodes are absent.
+    *
+    * `wedges` must carry `(src, dst, cost)` with non-negative integer
+    * cost. Scale: the dist table is the only per-round exchange. */
+  def bellmanFord(wedges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val spark = wedges.sparkSession
+    import spark.implicits._
+    val e = wedges.select(col("src"), col("dst"), col("cost")).cache()
+    var dist = Seq((source, 0L)).toDF("id", "d").pinned
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("d") + col("cost")).as("d"))
+      dist = dist.union(relaxed)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .pinned
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** DuckDB twin of [[bellmanFord]] over `wedgesCte(src, dst, cost)`;
+    * final distances in `bf$rounds(id, d)`. */
+  def bellmanFordCtesSql(wedgesCte: String, source: Long,
+      rounds: Int): String = {
+    val init = s"bf0 AS MATERIALIZED (SELECT CAST($source AS BIGINT) AS id, CAST(0 AS BIGINT) AS d)"
+    val rs = (1 to rounds).map { t =>
+      s"""bf$t AS MATERIALIZED (SELECT id, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |    SELECT id, d FROM bf${t - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, b.d + e.cost AS d
+         |    FROM $wedgesCte e JOIN bf${t - 1} b ON b.id = e.src)
+         |  GROUP BY id)""".stripMargin
+    }
+    (init +: rs).mkString(",\n")
+  }
+
   /** Weighted PageRank (GDS `relationshipWeightProperty`): identical
     * fixed-point loop to [[pageRankFixed]], but each edge carries an
     * integer weight and a source's rank splits ∝ weight —

@@ -148,6 +148,37 @@ object Sampling {
       .drop("stratum", "thr")
   }
 
+  // ---- stratified up-sampling -----------------------------------------
+
+  /** Epochs-style stratified UP-sampling (the data-constrained-scaling
+    * move: repeat under-represented sources k× rather than dropping
+    * others — Muennighoff et al. 2023 show up to ~4 repeats cost little):
+    * each row is emitted `factor(stratum)` times with a `copy` index
+    * (0-based), factor 1 for unlisted strata. The complement of
+    * [[stratified]], which only down-samples. Pure narrow explode —
+    * no shuffle, no RNG; the copy index keeps downstream dedup/packing
+    * deterministic. */
+  def upsample(df: DataFrame, stratum: Column,
+      factors: Map[String, Int]): DataFrame = {
+    val factor = factors.foldLeft(lit(1)) { case (acc, (s, k)) =>
+      when(stratum === s, lit(k)).otherwise(acc)
+    }
+    df.withColumn("copy", explode(sequence(lit(0), factor - 1)))
+  }
+
+  /** DuckDB twin of [[upsample]] appended to `selectSql` (same factors;
+    * generate_series bound = max factor). */
+  def upsampleSql(selectSql: String, stratumCol: String,
+      factors: Map[String, Int]): String = {
+    val cases = factors.toSeq.sortBy(_._1)
+      .map { case (s, k) => s"WHEN $stratumCol = '$s' THEN $k" }
+      .mkString(" ")
+    val maxK = factors.values.max
+    s"""SELECT t.*, g.i AS copy FROM ($selectSql) t
+       |CROSS JOIN generate_series(0, ${maxK - 1}) g(i)
+       |WHERE g.i < CASE $cases ELSE 1 END""".stripMargin
+  }
+
   // ---- curriculum ordering --------------------------------------------
 
   /** Curriculum phase assignment: rank the corpus by an integer quality

@@ -237,6 +237,19 @@ object GraphQueries extends QueryModule {
         .select(col("id"), col("name"), col("dist"))
         .orderBy(col("dist"), col("id"))),
 
+    // Weighted SSSP (gds.shortestPath with costs) — bounded
+    // Bellman–Ford from part 0 over inverse-multiplicity costs
+    // (frequently co-referenced parts are "closer": cost = 10 DIV
+    // (w+1) + 1, mirrored verbatim in the twin).
+    "g_bellman_ford" -> ((s, dir) =>
+      named(Graph.bellmanFord(
+            weightedRefEdges(s, dir)
+              .withColumn("cost", expr("10 DIV (w + 1) + 1")),
+            source = 0L, rounds = 8),
+          Tables.part(s, dir), "p_partkey", "p_name")
+        .select(col("id"), col("name"), col("d"))
+        .orderBy(col("d"), col("id"))),
+
     // GDS fastRP depth — deterministic FastRP-lite node embeddings over
     // the undirected REFERENCES graph: ±1 md5-sign projection, neighbor
     // averaging, iterations 2..3 summed.
@@ -612,6 +625,18 @@ object GraphQueries extends QueryModule {
          |      UNION ALL SELECT id, dist FROM hmall) d
          |JOIN part p ON p.p_partkey = d.id
          |ORDER BY d.dist, d.id""".stripMargin,
+
+    "g_bellman_ford" ->
+      s"""WITH we AS MATERIALIZED (SELECT src, dst, 10 // (w + 1) + 1 AS cost FROM (
+         |      SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS w
+         |      FROM lineitem a JOIN lineitem b
+         |        ON a.l_orderkey = b.l_orderkey
+         |       AND b.l_linenumber = a.l_linenumber + 1
+         |      GROUP BY a.l_partkey, b.l_partkey)),
+         |${Graph.bellmanFordCtesSql("we", 0L, 8)}
+         |SELECT b.id, p.p_name AS name, b.d
+         |FROM bf8 b JOIN part p ON p.p_partkey = b.id
+         |ORDER BY b.d, b.id""".stripMargin,
 
     "g_fastrp" ->
       s"""WITH $refEdgesSql,

@@ -41,6 +41,10 @@ object TextPipelineQueries extends QueryModule {
   // gate is non-degenerate at every SF); shared with the twin
   private val blockTerms = Seq("spark", "merge", "vector")
 
+  // up-sampling repeat factors (≤4 per the data-constrained-scaling
+  // findings); strata absent from the map keep factor 1
+  private val upsampleFactors = Map("zh" -> 4, "fr" -> 2)
+
   // Gopher-gate thresholds sized to this corpus's 10–99 token docs so
   // every rule both passes and fails somewhere (non-degenerate split)
   private val gopherMinTok = 30
@@ -218,6 +222,15 @@ object TextPipelineQueries extends QueryModule {
           Tables.documents(s, dir), col("doc_id"), col("lang"), "temp7")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+
+    // Epochs-style up-sampling: repeat under-represented languages
+    // (zh 4x, fr 2x) with a copy index — the data-constrained-scaling
+    // complement of the down-sampling mixers above.
+    "mix_upsample" -> ((s, dir) =>
+      graft.operators.Sampling.upsample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          col("lang"), upsampleFactors)
+        .orderBy(col("doc_id"), col("copy"))),
 
     // Curriculum phase assignment: global quality-proxy rank cut into 4
     // equal slices via the two-pass rank (no global window).
@@ -696,6 +709,11 @@ object TextPipelineQueries extends QueryModule {
          |FROM documents d JOIN trates t ON t.stratum = d.lang
          |WHERE CAST(('0x' || substr(md5('temp7:' || CAST(d.doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10000 < t.thr
          |ORDER BY d.doc_id""".stripMargin,
+
+    "mix_upsample" ->
+      (graft.operators.Sampling.upsampleSql(
+        "SELECT doc_id, lang FROM documents", "lang", upsampleFactors) +
+        "\nORDER BY doc_id, copy"),
 
     "mix_curriculum" ->
       (graft.operators.Sampling.curriculumSql(

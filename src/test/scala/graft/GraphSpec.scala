@@ -346,6 +346,15 @@ class GraphSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2)) // 5,6 unreached
   }
 
+  test("bellmanFord: cheap 2-hop path beats expensive direct edge") {
+    import spark.implicits._
+    val we = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+      .toDF("src", "dst", "cost")
+    val d = Graph.bellmanFord(we, source = 1L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 5L)) // not the direct 10
+  }
+
   test("harmonicFixed: path graph distances invert exactly") {
     // 1→2→3→4, source {1}: harmonic_fp = scale/1, scale/2, scale/3.
     val hm = Graph.harmonicFixed(edges(1L -> 2L, 2L -> 3L, 3L -> 4L),
