@@ -308,6 +308,82 @@ object StatefulCounts {
   }
 }
 
+/** Timeout-driven streaming SESSIONIZATION via `flatMapGroupsWithState`
+  * + `EventTimeTimeout` — the one state mechanism the rest of the
+  * streaming surface doesn't exercise: sessions must EMIT when the user
+  * goes quiet, which no arriving row for that key can trigger. The state
+  * store holds one open session per user; a batch's rows either extend
+  * it, close it (gap exceeded within the data), or start a new one, and
+  * the event-time timeout closes sessions the WATERMARK passes — i.e.
+  * emission is driven by global stream progress, exactly the semantics a
+  * batch gap-sessionizer (evt_sessionize) cannot express incrementally.
+  *
+  * Scale: state is one small case class per ACTIVE user, partitioned by
+  * user, dropped at timeout — bounded by concurrent users, not history.
+  * Output is append-mode closed sessions; still-open sessions are state,
+  * not output. */
+object StreamingSessions {
+  case class OpenSession(start: Long, end: Long, nEvents: Long)
+  case class ClosedSession(user_id: Long, session_start_s: Long,
+      session_end_s: Long, n_events: Long, duration_s: Long)
+
+  def run(spark: SparkSession, srcDir: String, checkpointDir: String,
+      sinkName: String, gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val closed = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(user, s.start, s.end,
+            s.nEvents, s.end - s.start)
+          if (state.hasTimedOut) {
+            val out = Iterator.single(close(state.get))
+            state.remove()
+            out
+          } else {
+            val ts = rows.map(_._2.getTime / 1000L).toArray.sorted
+            var out = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapSeconds =>
+                  cur = Some(OpenSession(s.start, math.max(s.end, t),
+                    s.nEvents + 1))
+                case Some(s) =>
+                  out ::= close(s)
+                  cur = Some(OpenSession(t, t, 1L))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last-event + gap
+              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L)
+            }
+            out.reverseIterator
+          }
+      }
+    val q = closed.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+}
+
 /** A Type-1-upsert parquet table (SURVEY §2.9 D2–D5 on plain parquet):
   * versioned directories + a pointer file stand in for ACID MERGE
   * (Delta/Iceberg at real scale — same logical flow). Re-applying a batch

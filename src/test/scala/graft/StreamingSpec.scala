@@ -79,6 +79,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin == Seq((1L, 3L, 7.0), (2L, 2L, 8.0)))
   }
 
+  test("flatMapGroupsWithState sessionization: gap closes in-data, timeout closes via watermark") {
+    val src = tmp("ev-sess-src")
+    // file 1: user1 has two events 2 min apart (one session)
+    writeEvents(src, 1, Seq(
+      (0L, "2024-01-01 00:10:00", 1L, "view", 1.0, "{}"),
+      (1L, "2024-01-01 00:12:00", 1L, "click", 1.0, "{}")))
+    // file 2: user1 reappears 48 min later (> 30-min gap -> closes the
+    // first session IN-DATA and opens a second)
+    writeEvents(src, 2, Seq(
+      (2L, "2024-01-01 01:00:00", 2L, "view", 1.0, "{}"),
+      (3L, "2024-01-01 01:00:00", 1L, "view", 1.0, "{}")))
+    // file 3: only user2 activity at 01:45 -> watermark (01:35) passes
+    // user1's timeout (01:00 + 30 min) and the TIMEOUT closes session 2
+    writeEvents(src, 3, Seq(
+      (4L, "2024-01-01 01:45:00", 2L, "view", 1.0, "{}")))
+    val out = graft.streaming.StreamingSessions
+      .run(spark, src, tmp("ev-sess-ck"), "sess_sink", gapSeconds = 1800L)
+      .orderBy("user_id", "session_start_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // user1 session 1: 00:10-00:12, 2 events (closed by the in-data gap)
+    // user1 session 2 AND user2's 01:00 session: closed by the
+    // event-time TIMEOUT once the watermark (01:35) passes 01:30
+    // user2's 01:45 session is still OPEN state -> absent from output
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00").getTime / 1000
+    assert(out.toSeq == Seq(
+      (1L, t0, t0 + 120, 2L),
+      (1L, t0 + 3000, t0 + 3000, 1L),
+      (2L, t0 + 3000, t0 + 3000, 1L)))
+  }
+
   test("batched client fetches in <=batchSize groups inside partitions") {
     import spark.implicits._
     val ids = (0 until 137).map(i => s"id$i").toDS().repartition(3)
