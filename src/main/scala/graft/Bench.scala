@@ -117,7 +117,8 @@ object Bench {
     "evt_retention",
     "g_sssp",
     "g_bellman_ford",
-    "mix_upsample")
+    "mix_upsample",
+    "mm_resize")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

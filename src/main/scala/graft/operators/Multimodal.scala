@@ -200,6 +200,64 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ThumbStats(doc_id: Long, width: Int, height: Int,
+      thumb_w: Int, thumb_h: Int, t_sum_r: Long, t_sum_g: Long,
+      t_sum_b: Long)
+
+  /** REAL image RESIZE through the codec (the brief's named multimodal
+    * op): encode the closed-form grid to genuine PNG, decode it back,
+    * then nearest-neighbor downsample to a `tw`×`th` thumbnail —
+    * `src(x, y) = (tx·w DIV tw, ty·h DIV th)`, floor sampling, so every
+    * sampled pixel is SQL-recomputable from the grid formulas and the
+    * integer channel sums of the thumbnail hash against the twin.
+    * (Bilinear would average fractional weights — float order enters —
+    * which is why production thumbnailers that must be reproducible,
+    * e.g. dataset dedup by thumbnail hash, pin nearest-neighbor too.)
+    * Partition-batched like [[decodeFeatures]]. */
+  def imageResize(spark: SparkSession, documents: DataFrame,
+      tw: Int = 4, th: Int = 4): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.iterator.map { id =>
+          val (w, h) = (gridW(id), gridH(id))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (gridR(id, x, y) << 16) | (gridG(id, x, y) << 8) | gridB(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val decoded = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var ty = 0
+          while (ty < th) {
+            var tx = 0
+            while (tx < tw) {
+              val rgb = decoded.getRGB(tx * decoded.getWidth / tw,
+                ty * decoded.getHeight / th)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              tx += 1
+            }
+            ty += 1
+          }
+          ThumbStats(id, decoded.getWidth, decoded.getHeight, tw, th,
+            sr, sg, sb)
+        }
+      }
+    }.toDF()
+  }
+
   // ---- real audio codec path ------------------------------------------
 
   case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,

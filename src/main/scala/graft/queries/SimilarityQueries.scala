@@ -274,6 +274,12 @@ object SimilarityQueries extends QueryModule {
     // mm_decode_image; exact integer sample stats, SQL-recomputable.
     "mm_decode_audio" -> ((s, dir) =>
       Multimodal.audioRoundtrip(s, Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // REAL image resize through the codec: PNG decode → nearest-neighbor
+    // 4×4 thumbnail; floor sampling keeps every pixel SQL-recomputable.
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.imageResize(s, Tables.documents(s, dir))
         .orderBy(col("doc_id")))
   )
 
@@ -616,6 +622,21 @@ object SimilarityQueries extends QueryModule {
         |       CAST(SUM(v) AS BIGINT) AS sum_samples,
         |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
         |FROM s GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |              (tx.i * w) // 4 AS x, (ty.i * h) // 4 AS y
+        |       FROM g CROSS JOIN generate_series(0, 3) tx(i)
+        |              CROSS JOIN generate_series(0, 3) ty(i))
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(4 AS INT) AS thumb_w, CAST(4 AS INT) AS thumb_h,
+        |       CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS t_sum_r,
+        |       CAST(SUM((doc_id * 17 + x * 11 + y * 3) % 256) AS BIGINT) AS t_sum_g,
+        |       CAST(SUM((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS t_sum_b
+        |FROM px GROUP BY doc_id, w, h
         |ORDER BY doc_id""".stripMargin,
 
     "mm_decode_stub" ->

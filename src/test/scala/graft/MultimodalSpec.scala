@@ -81,6 +81,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(types == Seq("image", "audio", "video"))
   }
 
+  test("imageResize: 4x4 nearest-neighbor thumbnail equals closed-form samples") {
+    val docs = Seq(0L, 7L, 42L).toDF("doc_id")
+    val out = Multimodal.imageResize(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    for (id <- Seq(0L, 7L, 42L)) {
+      val (w, h) = (Multimodal.gridW(id), Multimodal.gridH(id))
+      val pts = for (ty <- 0 until 4; tx <- 0 until 4)
+        yield (tx * w / 4, ty * h / 4)
+      val (er, eg, eb) = (
+        pts.map { case (x, y) => Multimodal.gridR(id, x, y).toLong }.sum,
+        pts.map { case (x, y) => Multimodal.gridG(id, x, y).toLong }.sum,
+        pts.map { case (x, y) => Multimodal.gridB(id, x, y).toLong }.sum)
+      assert(out(id) == ((w, h, er, eg, eb)))
+    }
+  }
+
   test("audioRoundtrip: real WAV encode/decode preserves exact sample stats") {
     val docs = Seq(0L, 5L, 123L).toDF("doc_id")
     val out = Multimodal.audioRoundtrip(spark, docs)
