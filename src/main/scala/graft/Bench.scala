@@ -118,7 +118,8 @@ object Bench {
     "g_sssp",
     "g_bellman_ford",
     "mix_upsample",
-    "mm_resize")
+    "mm_resize",
+    "g_fastrp_topk")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -257,6 +257,40 @@ object GraphQueries extends QueryModule {
       Graph.fastRpFixed(refEdges(s, dir), dim = 8, iters = 3)
         .orderBy(col("id"), col("pos"))),
 
+    // Graph-embedding RETRIEVAL (the node2vec-style use of fastRP):
+    // cosine top-k similar parts in embedding space — structurally
+    // similar nodes surface without sharing any direct edge. Dots and
+    // norms are exact BIGINT sums over the integer embeddings (scale
+    // 1e6 keeps Σ products « 2^63); cosine is one fixed-shape double
+    // expression; per-query top-k via the bounded aggregate.
+    "g_fastrp_topk" -> ((s, dir) => {
+      val emb = Graph.fastRpFixed(refEdges(s, dir), dim = 8, iters = 3,
+        scale = 1000000L)
+      val norms = emb.groupBy(col("id"))
+        .agg(sum(col("emb") * col("emb")).as("n2"))
+        .filter(col("n2") > 0)
+      val q = emb.select(col("id").as("qid"), col("pos"), col("emb").as("qv"))
+        .filter(col("qid") < 20)
+      val dots = q.join(emb.select(col("id").as("nid"), col("pos"),
+            col("emb").as("nv")), Seq("pos"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+      dots
+        .join(norms.select(col("id").as("qid"), col("n2").as("qn2")), Seq("qid"))
+        .join(norms.select(col("id").as("nid"), col("n2").as("nn2")), Seq("nid"))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+        .groupBy(col("qid"))
+        .agg(graft.plans.GraftExtensions.boundedTopK(
+          struct(col("cos"), col("nid")), 5, descFirst = true).as("top"))
+        .select(col("qid").as("query_id"),
+          posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("query_id"), col("t.nid").as("neighbor_id"),
+          (col("p") + 1).as("rnk"), col("t.cos").as("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // G5 — community detection via connected components. Min-label
     // propagation converges to min-node-id-per-component, which a
     // recursive CTE can re-derive → oracle-checked.
@@ -646,6 +680,31 @@ object GraphQueries extends QueryModule {
          |${Graph.fastRpCtesSql("frund", 8, 3)}
          |SELECT id, pos, emb FROM fremb
          |ORDER BY id, pos""".stripMargin,
+
+    "g_fastrp_topk" ->
+      s"""WITH $refEdgesSql,
+         |frund AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |  WHERE src <> dst),
+         |${Graph.fastRpCtesSql("frund", 8, 3, scale = 1000000L)},
+         |fnorm AS MATERIALIZED (SELECT id, CAST(SUM(emb * emb) AS BIGINT) AS n2
+         |  FROM fremb GROUP BY id HAVING SUM(emb * emb) > 0),
+         |fq AS (SELECT id AS qid, pos, emb AS qv FROM fremb WHERE id < 20),
+         |fdot AS (SELECT q.qid, n.id AS nid,
+         |    CAST(SUM(q.qv * n.emb) AS BIGINT) AS dot
+         |  FROM fq q JOIN fremb n ON n.pos = q.pos AND n.id <> q.qid
+         |  GROUP BY q.qid, n.id),
+         |fcos AS (SELECT d.qid, d.nid,
+         |    CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |  FROM fdot d JOIN fnorm a ON a.id = d.qid
+         |       JOIN fnorm b ON b.id = d.nid),
+         |franked AS (SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+         |  FROM fcos)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS INT) AS rnk, cos
+         |FROM franked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "g_pagerank_weighted" ->
       s"""WITH we AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst,
