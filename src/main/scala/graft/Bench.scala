@@ -119,7 +119,8 @@ object Bench {
     "g_bellman_ford",
     "mix_upsample",
     "mm_resize",
-    "g_fastrp_topk")
+    "g_fastrp_topk",
+    "g_random_walks")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

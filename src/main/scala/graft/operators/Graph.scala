@@ -1564,6 +1564,74 @@ object Graph {
     (init +: rounds :+ res).mkString(",\n")
   }
 
+  /** Deterministic random walks (gds.randomWalk — the corpus generator
+    * node2vec/DeepWalk train on): from every start node, `steps` hops
+    * where hop `t` picks out-neighbor index `md5(walk_id:t) % deg` — a
+    * hash-derived pseudo-random choice, so walks are uniform-ish per
+    * step yet bit-reproducible across runs AND engines (an RNG would be
+    * neither). Neighbor indexing is `row_number` per source ordered by
+    * dst (partitioned window, degree-bounded). Dead-end nodes simply
+    * end their walk (inner join drops it). Returns `(walk_id, step,
+    * node)` including step 0.
+    *
+    * Scale: the walk frontier is |starts| rows hopping through
+    * node-keyed joins — constant rounds, walk count independent of
+    * graph size. Twin: [[randomWalksCtesSql]]. */
+  def randomWalks(edges: DataFrame, startMax: Long, steps: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val adjIdx = e.withColumn("idx",
+      row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("dst"))).cast("long") - 1L)
+      .select(col("src").as("a_src"), col("idx"), col("dst"))
+      .pinned
+    val deg = e.groupBy(col("src").as("d_src"))
+      .agg(count(lit(1)).as("deg")).pinned
+    var cur = e.select(col("src")).distinct()
+      .filter(col("src") < startMax)
+      .select(col("src").as("walk_id"), col("src").as("node"))
+      .pinned
+    val acc = scala.collection.mutable.ArrayBuffer(
+      cur.withColumn("step", lit(0)))
+    for (t <- 1 to steps) {
+      cur = cur.join(deg, cur("node") === deg("d_src"))
+        .withColumn("pick",
+          graft.functions.TextFns.md5Hash54(concat(
+            col("walk_id").cast("string"), lit(":"), lit(t).cast("string")))
+            % col("deg"))
+        .join(adjIdx, col("node") === col("a_src") && col("pick") === col("idx"))
+        .select(col("walk_id"), col("dst").as("node"))
+        .pinned
+      acc += cur.withColumn("step", lit(t))
+    }
+    e.unpersist()
+    acc.reduce(_ unionByName _)
+      .select(col("walk_id"), col("step"), col("node"))
+  }
+
+  /** DuckDB twin of [[randomWalks]] over `edgesCte(src, dst)` (distinct);
+    * walk rows in `rwall(walk_id, step, node)`. */
+  def randomWalksCtesSql(edgesCte: String, startMax: Long,
+      steps: Int): String = {
+    val init =
+      s"""rwadj AS MATERIALIZED (SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |  FROM $edgesCte),
+         |rwdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM $edgesCte GROUP BY src),
+         |rw0 AS MATERIALIZED (SELECT src AS walk_id, src AS node
+         |  FROM (SELECT DISTINCT src FROM $edgesCte) WHERE src < $startMax)""".stripMargin
+    val rounds = (1 to steps).map { t =>
+      s"""rw$t AS MATERIALIZED (SELECT w.walk_id, a.dst AS node
+         |  FROM rw${t - 1} w
+         |  JOIN rwdeg d ON d.src = w.node
+         |  JOIN rwadj a ON a.src = w.node
+         |   AND a.idx = CAST(('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':$t'), 1, 14)) AS BIGINT) % d.deg)""".stripMargin
+    }
+    val all = "rwall AS (" +
+      (0 to steps).map(t => s"SELECT walk_id, $t AS step, node FROM rw$t")
+        .mkString(" UNION ALL ") + ")"
+    (init +: rounds :+ all).mkString(",\n")
+  }
+
   /** SQL twin of [[triangles]] over an edge CTE `(src, dst)` — same
     * orientation, same wedge order, same nullif guard. */
   def trianglesSql(edgeCte: String): String =

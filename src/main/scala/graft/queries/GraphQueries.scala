@@ -257,6 +257,13 @@ object GraphQueries extends QueryModule {
       Graph.fastRpFixed(refEdges(s, dir), dim = 8, iters = 3)
         .orderBy(col("id"), col("pos"))),
 
+    // Deterministic random walks (gds.randomWalk — node2vec's corpus
+    // generator): hash-derived neighbor choice per hop, bit-reproducible
+    // across runs and engines; dead ends simply end the walk.
+    "g_random_walks" -> ((s, dir) =>
+      Graph.randomWalks(refEdges(s, dir), startMax = 20L, steps = 5)
+        .orderBy(col("walk_id"), col("step"))),
+
     // Graph-embedding RETRIEVAL (the node2vec-style use of fastRP):
     // cosine top-k similar parts in embedding space — structurally
     // similar nodes surface without sharing any direct edge. Dots and
@@ -680,6 +687,12 @@ object GraphQueries extends QueryModule {
          |${Graph.fastRpCtesSql("frund", 8, 3)}
          |SELECT id, pos, emb FROM fremb
          |ORDER BY id, pos""".stripMargin,
+
+    "g_random_walks" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.randomWalksCtesSql("e", 20L, 5)}
+         |SELECT walk_id, CAST(step AS INT) AS step, node FROM rwall
+         |ORDER BY walk_id, step""".stripMargin,
 
     "g_fastrp_topk" ->
       s"""WITH $refEdgesSql,

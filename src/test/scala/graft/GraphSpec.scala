@@ -346,6 +346,26 @@ class GraphSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2)) // 5,6 unreached
   }
 
+  test("randomWalks: valid edges every hop, reproducible, dead ends stop") {
+    // 1 -> {2,3}; 2 -> 4; 3 and 4 are dead ends
+    val g = edges(1L -> 2L, 1L -> 3L, 2L -> 4L)
+    val es = Set((1L, 2L), (1L, 3L), (2L, 4L))
+    val w1 = Graph.randomWalks(g, startMax = 10L, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val w2 = Graph.randomWalks(g, startMax = 10L, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(w1.sorted.toSeq == w2.sorted.toSeq)      // reproducible
+    val byWalk = w1.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    byWalk.values.foreach { path =>
+      path.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(es.contains((a, b))) // every hop a real edge
+        case _ =>
+      }
+    }
+    assert(byWalk.keySet == Set(1L, 2L))            // starts = sources < 10
+    assert(byWalk.values.forall(_.length <= 4))     // dead ends stop early
+  }
+
   test("bellmanFord: cheap 2-hop path beats expensive direct edge") {
     import spark.implicits._
     val we = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
