@@ -120,7 +120,8 @@ object Bench {
     "mix_upsample",
     "mm_resize",
     "g_fastrp_topk",
-    "g_random_walks")
+    "g_random_walks",
+    "g_node2vec_walks")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -1632,6 +1632,117 @@ object Graph {
     (init +: rounds :+ all).mkString(",\n")
   }
 
+  /** node2vec-biased SECOND-ORDER walks (Grover & Leskovec, KDD 2016;
+    * gds.node2vec's walk stage): hop `t` weights each out-neighbor of
+    * the current node by its relation to the PREVIOUS node — `wReturn`
+    * for going back, `wCommon` when `prev→nbr` is itself an edge
+    * (distance-1 "BFS-ish" move), `wFar` otherwise ("DFS-ish") — the
+    * integer analogs of node2vec's 1/p, 1, 1/q. Selection is the
+    * deterministic weighted draw: neighbors ordered by id carry a
+    * cumulative weight, and `md5(walk_id:t) % totalWeight` picks the
+    * bracket — reproducible across runs and engines, unlike alias-table
+    * RNG sampling. Step 1 is a uniform first-order hop ([[randomWalks]]'
+    * rule). All arithmetic integer; twin [[node2vecWalksCtesSql]].
+    *
+    * Per step: one neighbor join, one LEFT probe of the edge set for the
+    * distance-1 test, one walk-keyed window over ≤ degree rows. Frontier
+    * stays |starts| rows. */
+  def node2vecWalks(edges: DataFrame, startMax: Long, steps: Int,
+      wReturn: Long = 2L, wCommon: Long = 6L, wFar: Long = 3L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val adjR = e.select(col("src").as("a_src"), col("dst").as("a_dst")).pinned
+    val probe = e.select(col("src").as("p_src"), col("dst").as("p_dst")).pinned
+    var cur = e.select(col("src")).distinct()
+      .filter(col("src") < startMax)
+      .select(col("src").as("walk_id"), col("src").as("prev"),
+        col("src").as("node"))
+      .pinned
+    val acc = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("walk_id"), lit(0).as("step"), col("node")))
+    for (t <- 1 to steps) {
+      val hash = graft.functions.TextFns.md5Hash54(concat(
+        col("walk_id").cast("string"), lit(":"), lit(t).cast("string")))
+      val stepped =
+        if (t == 1) {
+          // uniform first-order hop: no previous node yet
+          val deg = e.groupBy(col("src").as("d_src"))
+            .agg(count(lit(1)).as("deg"))
+          val idx = adjR.withColumn("idx",
+            row_number().over(Window.partitionBy(col("a_src"))
+              .orderBy(col("a_dst"))).cast("long") - 1L)
+          cur.join(deg, col("node") === col("d_src"))
+            .withColumn("pick", hash % col("deg"))
+            .join(idx, col("node") === col("a_src") && col("pick") === col("idx"))
+            .select(col("walk_id"), col("node").as("prev"),
+              col("a_dst").as("node"))
+        } else {
+          val w = Window.partitionBy(col("walk_id")).orderBy(col("a_dst"))
+          cur.join(adjR, col("node") === col("a_src"))
+            .join(probe, col("prev") === col("p_src") &&
+              col("a_dst") === col("p_dst"), "left")
+            .withColumn("wt",
+              when(col("a_dst") === col("prev"), lit(wReturn))
+                .when(col("p_dst").isNotNull, lit(wCommon))
+                .otherwise(lit(wFar)))
+            .withColumn("cumw", sum(col("wt")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("tot", sum(col("wt")).over(
+              Window.partitionBy(col("walk_id"))))
+            .withColumn("r", hash % col("tot"))
+            .filter(col("cumw") > col("r") &&
+              col("cumw") - col("wt") <= col("r"))
+            .select(col("walk_id"), col("node").as("prev"),
+              col("a_dst").as("node"))
+        }
+      cur = stepped.pinned
+      acc += cur.select(col("walk_id"), lit(t).as("step"), col("node"))
+    }
+    e.unpersist()
+    acc.reduce(_ unionByName _)
+      .select(col("walk_id"), col("step"), col("node"))
+  }
+
+  /** DuckDB twin of [[node2vecWalks]]; walk rows in
+    * `nvall(walk_id, step, node)`. */
+  def node2vecWalksCtesSql(edgesCte: String, startMax: Long, steps: Int,
+      wReturn: Long = 2L, wCommon: Long = 6L, wFar: Long = 3L): String = {
+    def hashSql(t: Int) =
+      s"CAST(('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':$t'), 1, 14)) AS BIGINT)"
+    val init =
+      s"""nvadj AS MATERIALIZED (SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |  FROM $edgesCte),
+         |nvdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM $edgesCte GROUP BY src),
+         |nv0 AS MATERIALIZED (SELECT src AS walk_id, src AS prev, src AS node
+         |  FROM (SELECT DISTINCT src FROM $edgesCte) WHERE src < $startMax),
+         |nv1 AS MATERIALIZED (SELECT w.walk_id, w.node AS prev, a.dst AS node
+         |  FROM nv0 w
+         |  JOIN nvdeg d ON d.src = w.node
+         |  JOIN nvadj a ON a.src = w.node
+         |   AND a.idx = ${hashSql(1)} % d.deg)""".stripMargin
+    val rounds = (2 to steps).map { t =>
+      s"""nvc$t AS MATERIALIZED (SELECT w.walk_id, w.node, a.dst AS nbr,
+         |    CASE WHEN a.dst = w.prev THEN $wReturn
+         |         WHEN p.dst IS NOT NULL THEN $wCommon
+         |         ELSE $wFar END AS wt,
+         |    ${hashSql(t)} AS h
+         |  FROM nv${t - 1} w
+         |  JOIN $edgesCte a ON a.src = w.node
+         |  LEFT JOIN $edgesCte p ON p.src = w.prev AND p.dst = a.dst),
+         |nv$t AS MATERIALIZED (SELECT walk_id, node AS prev, nbr AS node FROM (
+         |    SELECT walk_id, node, nbr, wt,
+         |      SUM(wt) OVER (PARTITION BY walk_id ORDER BY nbr
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         |      h % SUM(wt) OVER (PARTITION BY walk_id) AS r
+         |    FROM nvc$t)
+         |  WHERE cumw > r AND cumw - wt <= r)""".stripMargin
+    }
+    val all = "nvall AS (" +
+      (0 to steps).map(t => s"SELECT walk_id, $t AS step, node FROM nv$t")
+        .mkString(" UNION ALL ") + ")"
+    ((init +: rounds) :+ all).mkString(",\n")
+  }
+
   /** SQL twin of [[triangles]] over an edge CTE `(src, dst)` — same
     * orientation, same wedge order, same nullif guard. */
   def trianglesSql(edgeCte: String): String =

@@ -264,6 +264,13 @@ object GraphQueries extends QueryModule {
       Graph.randomWalks(refEdges(s, dir), startMax = 20L, steps = 5)
         .orderBy(col("walk_id"), col("step"))),
 
+    // node2vec-biased second-order walks (Grover & Leskovec 2016):
+    // return/common/far neighbor weights (2/6/3 ≈ 1/p,1,1/q), weighted
+    // bracket selection by the same hash draw — deterministic node2vec.
+    "g_node2vec_walks" -> ((s, dir) =>
+      Graph.node2vecWalks(refEdges(s, dir), startMax = 20L, steps = 5)
+        .orderBy(col("walk_id"), col("step"))),
+
     // Graph-embedding RETRIEVAL (the node2vec-style use of fastRP):
     // cosine top-k similar parts in embedding space — structurally
     // similar nodes surface without sharing any direct edge. Dots and
@@ -692,6 +699,12 @@ object GraphQueries extends QueryModule {
       s"""WITH $refEdgesSql,
          |${Graph.randomWalksCtesSql("e", 20L, 5)}
          |SELECT walk_id, CAST(step AS INT) AS step, node FROM rwall
+         |ORDER BY walk_id, step""".stripMargin,
+
+    "g_node2vec_walks" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.node2vecWalksCtesSql("e", 20L, 5)}
+         |SELECT walk_id, CAST(step AS INT) AS step, node FROM nvall
          |ORDER BY walk_id, step""".stripMargin,
 
     "g_fastrp_topk" ->

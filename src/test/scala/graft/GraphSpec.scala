@@ -366,6 +366,25 @@ class GraphSpec extends AnyFunSuite {
     assert(byWalk.values.forall(_.length <= 4))     // dead ends stop early
   }
 
+  test("node2vecWalks: weighted bracket draw matches the hand-computed hash") {
+    // 1→2; from 2: neighbors {1 (return, w=2), 3 (far, w=3)} ordered
+    // (1 cumw 2, 3 cumw 5), tot 5; draw = md5("1:2")[0:14] % 5.
+    val g = edges(1L -> 2L, 2L -> 1L, 2L -> 3L)
+    val w = Graph.node2vecWalks(g, startMax = 2L, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(w((1L, 0)) == 1L)
+    assert(w((1L, 1)) == 2L) // only neighbor of 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h54(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14), 16)
+    val expected = if (h54("1:2") % 5 < 2) 1L else 3L
+    assert(w((1L, 2)) == expected)
+    // reproducible end to end
+    val w2 = Graph.node2vecWalks(g, startMax = 2L, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(w == w2)
+  }
+
   test("bellmanFord: cheap 2-hop path beats expensive direct edge") {
     import spark.implicits._
     val we = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
