@@ -182,7 +182,8 @@ object Bench {
     val loadBefore = loadAvg()
     val benchCpu0 = cpuSnap()
     val results = headline.filter(qs.contains).map { name =>
-      def run(): (Double, Option[String]) = {
+      def run(): (Double, Long, Option[String]) = {
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         val err =
           try { materialize(name); None }
@@ -190,6 +191,7 @@ object Bench {
             Some(e.toString.takeWhile(_ != '\n').take(200))
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gcDelta = gcMillis() - g0 // GC landing INSIDE the timed window
         spark.catalog.clearCache() // drop per-query persisted intermediates
         // clearCache only covers SQL-cached plans: localCheckpoint'd RDDs
         // (rank boundary pins, the near-dup result) otherwise accumulate in
@@ -199,14 +201,25 @@ object Bench {
         // a GC-timing-dependent 3-4x degradation of exactly those queries.
         // Between timed runs nothing is reused, so sweep them all.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        (dt, err)
+        // Then force a full GC in this UNTIMED gap (r8 driver bench: 15 s of
+        // GC pauses concentrated mid-bench, g_louvain alone 5.5 s / 64 s max
+        // at 0.02% steal). Two accumulation paths need it: (a) broadcast and
+        // shuffle driver state is only released when ContextCleaner's weak
+        // refs are collected (its own periodic GC defaults to 30 min — far
+        // longer than the bench), and (b) the unpersisted block memory above
+        // becomes heap garbage that otherwise bills the NEXT query's timed
+        // run as a multi-second mid-run pause. gc_ms telemetry is scoped to
+        // the materialize window, so these explicit GCs don't pollute it.
+        System.gc()
+        (dt, gcDelta, err)
       }
       run() // warm-up, excluded from the stats
-      val cpu0 = cpuSnap(); val gc0 = gcMillis()
+      val cpu0 = cpuSnap()
       val runs = (1 to 5).map(_ => run())
-      val cpu1 = cpuSnap(); val gc1 = gcMillis()
-      val ok = runs.collect { case (t, None) => t }
-      val firstErr = runs.collectFirst { case (_, Some(m)) => m }
+      val cpu1 = cpuSnap()
+      val gcTimed = runs.map(_._2).sum
+      val ok = runs.collect { case (t, _, None) => t }
+      val firstErr = runs.collectFirst { case (_, _, Some(m)) => m }
       // steal% over the query's 5 timed runs: ticks the hypervisor took from
       // this VM while the query ran. >1–2% sustained means the machine, not
       // the plan, owns part of the wall time.
@@ -214,7 +227,7 @@ object Bench {
         yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
       val tel =
         if (ok.isEmpty) None
-        else Some(QueryTel(ok.min, ok.max, gc1 - gc0, stealPct))
+        else Some(QueryTel(ok.min, ok.max, gcTimed, stealPct))
       (name, if (ok.isEmpty) None else Some(median(ok)),
         if (ok.isEmpty) firstErr else None, tel)
     }

@@ -15,6 +15,9 @@ object ProfileGraphScale {
     val edges = graft.queries.GraphQueries
       .refEdgesPublic(spark, "/root/testdata/sf0.1").cache()
     edges.count()
+    // The ids to protect are the InMemoryRelation's persisted RDD ids, NOT
+    // edges.rdd.id (each .rdd call deserializes a fresh RDD with a new id)
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
     def t[A](l: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[gs] $l%-16s ${(System.nanoTime() - t0) / 1e9}%7.2fs"); r
@@ -37,8 +40,9 @@ object ProfileGraphScale {
       t(s"fastrp x$m") {
         println("rows: " + graft.operators.Graph.fastRpFixed(e, 8, 3).count())
       }
-      spark.sparkContext.getPersistentRDDs.values
-        .filterNot(_.id == edges.rdd.id).foreach(_.unpersist(true))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds.contains(id) }
+        .values.foreach(_.unpersist(true))
     }
     spark.stop()
   }

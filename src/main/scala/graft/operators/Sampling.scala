@@ -160,6 +160,10 @@ object Sampling {
     * deterministic. */
   def upsample(df: DataFrame, stratum: Column,
       factors: Map[String, Int]): DataFrame = {
+    // factor 0 would make sequence(0, -1) emit [0, -1] (two copies) while
+    // the SQL twin's `g.i < 0` emits zero — refuse rather than diverge
+    require(factors.values.forall(_ >= 1),
+      s"upsample factors must be >= 1, got $factors")
     val factor = factors.foldLeft(lit(1)) { case (acc, (s, k)) =>
       when(stratum === s, lit(k)).otherwise(acc)
     }
@@ -170,13 +174,16 @@ object Sampling {
     * generate_series bound = max factor). */
   def upsampleSql(selectSql: String, stratumCol: String,
       factors: Map[String, Int]): String = {
+    require(factors.values.forall(_ >= 1),
+      s"upsample factors must be >= 1, got $factors")
     val cases = factors.toSeq.sortBy(_._1)
       .map { case (s, k) => s"WHEN $stratumCol = '$s' THEN $k" }
       .mkString(" ")
-    val maxK = factors.values.max
+    val maxK = (factors.values.toSeq :+ 1).max
+    val caseExpr = if (factors.isEmpty) "1" else s"CASE $cases ELSE 1 END"
     s"""SELECT t.*, g.i AS copy FROM ($selectSql) t
        |CROSS JOIN generate_series(0, ${maxK - 1}) g(i)
-       |WHERE g.i < CASE $cases ELSE 1 END""".stripMargin
+       |WHERE g.i < $caseExpr""".stripMargin
   }
 
   // ---- curriculum ordering --------------------------------------------

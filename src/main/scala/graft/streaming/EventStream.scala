@@ -366,8 +366,14 @@ object StreamingSessions {
             }
             cur.foreach { s =>
               state.update(s)
-              // close when the watermark passes last-event + gap
-              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000L)
+              // close when the watermark passes last-event + gap; clamp to
+              // strictly-after-watermark — flatMapGroupsWithState does NOT
+              // auto-drop late rows, and setTimeoutTimestamp throws if the
+              // timestamp is not later than the current watermark (a late
+              // event could leave end+gap at/below it and kill the query)
+              state.setTimeoutTimestamp(
+                math.max((s.end + gapSeconds) * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
             }
             out.reverseIterator
           }
