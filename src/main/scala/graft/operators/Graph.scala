@@ -521,6 +521,92 @@ object Graph {
     labels
   }
 
+  /** G5 directed — strongly connected components (the reference README's
+    * literal stated intent: "detecting communities by finding strongly
+    * connected components in … authors citing each other",
+    * reference README.md:74-78 — weak-CC merges nodes connected in EITHER
+    * direction; SCC requires a directed cycle both ways).
+    *
+    * Parallel forward–backward refinement (the Fleischer et al. 2000
+    * divide-and-conquer run simultaneously in every block, with the min
+    * node id as every block's pivot — Orzan-style coloring): each round
+    * (a) keeps only intra-block edges, (b) propagates the min id forward
+    * (`flabel(v)` = min id reaching v within its block) and backward
+    * (`blabel(v)` = min id v reaches within its block) to fixpoint, and
+    * (c) splits every block by the (flabel, blabel) pair. The subset with
+    * flabel = blabel = c is exactly SCC(c) — flabel(v)=c means c→v,
+    * blabel(v)=c means v→c — and SCCs are never split because mutual
+    * reachability forces equal label pairs. Progress per round is
+    * guaranteed: each block's min id c always forms the nonempty (c,c)
+    * group, so an unconverged block strictly refines. Converged when
+    * flabel = blabel everywhere; the final label is the MIN MEMBER ID of
+    * the SCC — a canonical, algorithm-independent labeling, which is what
+    * lets the DuckDB twin verify it from the mutual-reachability closure
+    * instead of replaying the refinement.
+    *
+    * Scale: every step is an id-keyed join/groupBy — no reachability
+    * closure is ever materialized on the Spark side (the O(n²) closure
+    * exists only in the sf0.01 oracle). Outer rounds = FW-BW recursion
+    * depth (log-ish on real graphs; a pure chain converges in ONE round
+    * because blabel separates every node); inner rounds = block diameter. */
+  def stronglyConnectedComponents(edges: DataFrame, maxRounds: Int = 30,
+      maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var assign = nodes.withColumn("block", lit(0L)).pinned
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val bsrc = assign.select(col("id").as("src"), col("block").as("b_src"))
+      val bdst = assign.select(col("id").as("dst"), col("block").as("b_dst"))
+      val eb = e.join(bsrc, "src").join(bdst, "dst")
+        .filter(col("b_src") === col("b_dst"))
+        .select(col("src"), col("dst")).pinned
+      // min-label propagation to fixpoint along `adj` (intra-block edges
+      // only, so labels never cross a block boundary)
+      def minProp(adj: DataFrame): DataFrame = {
+        var labels = assign.select(col("id"), col("id").as("lab")).pinned
+        var done = false
+        var i = 0
+        while (!done && i < maxIters) {
+          val nbr = adj
+            .join(labels.select(col("id").as("src"), col("lab")), "src")
+            .groupBy(col("dst")).agg(min(col("lab")).as("nbr"))
+          val next = labels.join(nbr, labels("id") === nbr("dst"), "left")
+            .select(col("id"),
+              least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
+            .pinned
+          val changed = next.as("n").join(labels.as("o"),
+              col("n.id") === col("o.id"))
+            .filter(col("n.lab") =!= col("o.lab")).count()
+          labels = next
+          done = changed == 0
+          i += 1
+        }
+        labels
+      }
+      val f = minProp(eb).select(col("id"), col("lab").as("flabel"))
+      val b = minProp(eb.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("id").as("b_id"), col("lab").as("blabel"))
+      val joined = assign.join(f, "id").join(b, col("id") === col("b_id"))
+        .select(col("id"), col("block"), col("flabel"), col("blabel"))
+        .pinned
+      val pending = joined.filter(col("flabel") =!= col("blabel")).count()
+      // new block id = min member id of each (block, flabel, blabel) group
+      val newBlocks = joined
+        .groupBy(col("block"), col("flabel"), col("blabel"))
+        .agg(min(col("id")).as("nb"))
+      assign = joined.join(newBlocks, Seq("block", "flabel", "blabel"))
+        .select(col("id"), col("nb").as("block")).pinned
+      converged = pending == 0
+      round += 1
+    }
+    e.unpersist()
+    assign.select(col("id"), col("block").as("component"))
+  }
+
   /** G6 — Brandes betweenness centrality from a sampled source set
     * (unweighted). ALL sampled sources advance as ONE frontier DataFrame
     * keyed by (source, id): the forward BFS and the backward dependency
@@ -1741,6 +1827,117 @@ object Graph {
       (0 to steps).map(t => s"SELECT walk_id, $t AS step, node FROM nv$t")
         .mkString(" UNION ALL ") + ")"
     ((init +: rounds) :+ all).mkString(",\n")
+  }
+
+  /** Walk-window skip-gram co-occurrence counts: ordered (center,
+    * context) pairs within ±`window` positions over [[randomWalks]] /
+    * [[node2vecWalks]] output `(walk_id, step, node)` — the corpus
+    * statistic word2vec/DeepWalk actually train on (Levy & Goldberg,
+    * NeurIPS 2014 show skip-gram with negative sampling implicitly
+    * factorizes this table's shifted PMI; node2vec = the same objective
+    * over walk corpora). Pure integer counting.
+    *
+    * Scale: the self-join is keyed on walk_id (≤ walk-length rows per
+    * key — no hub blowup possible), the groupBy on node pairs; both are
+    * plain hash shuffles, and the pair space is bounded by
+    * |walks|·len·window, independent of graph size. */
+  def walkCooccurrence(walks: DataFrame, window: Int): DataFrame = {
+    val a = walks.select(col("walk_id").as("wa"), col("step").as("sa"),
+      col("node").as("na"))
+    val b = walks.select(col("walk_id").as("wb"), col("step").as("sb"),
+      col("node").as("nb"))
+    a.join(b, col("wa") === col("wb") && col("sb") =!= col("sa") &&
+        col("sb") >= col("sa") - window && col("sb") <= col("sa") + window)
+      .groupBy(col("na").as("node_a"), col("nb").as("node_b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** SQL twin of [[walkCooccurrence]] over `walksCte(walk_id, step,
+    * node)` → `cooc(node_a, node_b, cnt)`. */
+  def walkCoocCteSql(walksCte: String, window: Int): String =
+    s"""cooc AS MATERIALIZED (
+       |  SELECT a.node AS node_a, b.node AS node_b, COUNT(*) AS cnt
+       |  FROM $walksCte a JOIN $walksCte b
+       |    ON a.walk_id = b.walk_id AND b.step <> a.step
+       |   AND b.step BETWEEN a.step - $window AND a.step + $window
+       |  GROUP BY a.node, b.node)""".stripMargin
+
+  /** 1-D NetMF-style node embedding (Qiu et al., WSDM 2018): the
+    * dominant eigenvector of the walk-corpus PPMI matrix — the spectral
+    * factor skip-gram training approximates — via sparse power iteration
+    * under the exact-grid discipline of [[Embeddings.powerVector]].
+    *
+    * PPMI(a,b) = max(0, ln(cnt·T / (row_a·row_b))) where T = Σcnt and
+    * row_x = Σ_b cnt(x,·). The ONE transcendental — ln of an exact
+    * rational — is snapped to the 1e-6 grid AT MATRIX BUILD (`floor(
+    * ln·1e6 + ½)/1e6`), so both engines iterate on identical rationals
+    * thereafter: each power step snaps the m·w terms to the grid before
+    * the BIGINT sum, and the norm divide / sqrt are single
+    * correctly-rounded IEEE ops of exact operands.
+    *
+    * Scale: M stays sparse (one row per co-occurring pair — never a
+    * dense d×d or n×n); each step is one pair-keyed join, one node
+    * groupBy, and a 1-row broadcast norm. Completes the walk stack:
+    * [[randomWalks]] → [[walkCooccurrence]] → learned embedding. */
+  def pmiEmbed(cooc: DataFrame, iters: Int): DataFrame = {
+    val tot = cooc.agg(sum(col("cnt")).cast("double").as("t"))
+    val marg = cooc.groupBy(col("node_a").as("mid"))
+      .agg(sum(col("cnt")).cast("double").as("mc"))
+    val m = cooc
+      .join(marg.select(col("mid").as("node_a"), col("mc").as("ra")), "node_a")
+      .join(marg.select(col("mid").as("node_b"), col("mc").as("rb")), "node_b")
+      .crossJoin(broadcast(tot))
+      .select(col("node_a"), col("node_b"),
+        (greatest(lit(0L),
+          floor(log(col("cnt").cast("double") * col("t") /
+            (col("ra") * col("rb"))) * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("m"))
+      .pinned
+    var w = m.select(col("node_a").as("id")).distinct()
+      .withColumn("w", lit(1.0)).pinned
+    for (_ <- 1 to iters) {
+      val u = m.join(w.select(col("id").as("node_b"), col("w")), "node_b")
+        .groupBy(col("node_a").as("id"))
+        .agg((sum(floor(col("m") * col("w") * lit(1e6) + lit(0.5))
+          .cast("long")).cast("double") / lit(1e6)).as("u"))
+      val nrm = u.agg(sqrt(
+        sum(floor(col("u") * col("u") * lit(1e6) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e6)).as("nrm"))
+      w = u.crossJoin(broadcast(nrm))
+        .select(col("id"), (col("u") / col("nrm")).as("w")).pinned
+    }
+    w.select(col("id"), col("w").as("emb"))
+  }
+
+  /** SQL twin of [[pmiEmbed]] over `cooc(node_a, node_b, cnt)`: CTE
+    * chain ending in `pw$iters(id, w)`. Same grid constants, same snap
+    * points. */
+  def pmiEmbedCtesSql(iters: Int): String = {
+    val init =
+      s"""ptot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM cooc),
+         |pmarg AS (SELECT node_a AS mid, CAST(SUM(cnt) AS DOUBLE) AS mc
+         |          FROM cooc GROUP BY node_a),
+         |pm AS MATERIALIZED (SELECT c.node_a, c.node_b,
+         |    CAST(GREATEST(CAST(0 AS BIGINT),
+         |      CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE) * ptot.t / (ra.mc * rb.mc))
+         |        * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS m
+         |  FROM cooc c
+         |  JOIN pmarg ra ON ra.mid = c.node_a
+         |  JOIN pmarg rb ON rb.mid = c.node_b
+         |  CROSS JOIN ptot),
+         |pw0 AS (SELECT DISTINCT node_a AS id, 1.0 AS w FROM pm)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""pu$t AS (SELECT m.node_a AS id,
+         |    CAST(SUM(CAST(FLOOR(m.m * w.w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS u
+         |  FROM pm m JOIN pw${t - 1} w ON w.id = m.node_b
+         |  GROUP BY m.node_a),
+         |pn$t AS (SELECT sqrt(
+         |    CAST(SUM(CAST(FLOOR(u * u * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0) AS nrm FROM pu$t),
+         |pw$t AS (SELECT id, u / nrm AS w FROM pu$t CROSS JOIN pn$t)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
   }
 
   /** SQL twin of [[triangles]] over an edge CTE `(src, dst)` — same

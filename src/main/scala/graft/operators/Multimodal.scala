@@ -258,6 +258,89 @@ object Multimodal {
     }.toDF()
   }
 
+  case class FrameStats(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Closed-form per-frame pixel grid for [[videoFrameSample]]: frame
+    * count and RGB are exact integer functions of (doc_id, frame, x, y),
+    * so the oracle recomputes the decoded sums with SQL arithmetic. */
+  private[graft] def vidFrames(id: Long): Int = (2 + id % 4).toInt // 2..5
+  private[graft] def vidR(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+  private[graft] def vidG(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 17 + f * 29 + x * 11 + y * 3) % 256).toInt
+  private[graft] def vidB(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 23 + f * 37 + x * 5 + y * 19) % 256).toInt
+
+  /** REAL multi-frame decode — retires the last stubbed media path: per
+    * doc a genuine multi-frame CONTAINER is built (length-prefixed PNG
+    * frames — the chunked layout AVI/MP4 atoms use, with PNG as the
+    * per-frame codec since it's the bare JVM's lossless one), then the
+    * consumer side DEMUXES the container by its length index and decodes
+    * every `everyK`-th frame through `javax.imageio` — real frame
+    * sampling, the I-frame-stride shape a video pre-training pipeline
+    * runs (decode only what you sample; skipped frames are skipped at
+    * the demux level and never hit the codec). Each sampled frame
+    * reduces to exact integer channel sums; PNG is lossless, so the
+    * sums equal the closed-form grid and the DuckDB twin recomputes
+    * them. Partition-batched; nothing touches the driver. */
+  def videoFrameSample(spark: SparkSession, documents: DataFrame,
+      everyK: Int = 2): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { id =>
+          val (w, h) = (gridW(id), gridH(id))
+          val nf = vidFrames(id)
+          // encode: one container of nf length-prefixed PNG frames
+          val bos = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(bos)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, (vidR(id, f, x, y) << 16) |
+                  (vidG(id, f, x, y) << 8) | vidB(id, f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", fb)
+            val png = fb.toByteArray
+            dos.writeInt(png.length)
+            dos.write(png)
+            f += 1
+          }
+          val container = bos.toByteArray // real multi-frame media bytes
+          // demux + sampled decode (container knowledge ends here: the
+          // reader walks the length index to EOF, decoding only sampled
+          // frames)
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(container))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+          var idx = 0
+          while (in.available() >= 4) {
+            val len = in.readInt()
+            val png = new Array[Byte](len)
+            in.readFully(png)
+            if (idx % everyK == 0) {
+              val (dw, dh, sr, sg, sb) = decodeSums(png).getOrElse(
+                sys.error(s"frame decode failed for doc $id frame $idx"))
+              out += FrameStats(id, idx, dw, dh, sr, sg, sb)
+            }
+            idx += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF()
+  }
+
   // ---- real audio codec path ------------------------------------------
 
   case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,

@@ -271,6 +271,21 @@ object GraphQueries extends QueryModule {
       Graph.node2vecWalks(refEdges(s, dir), startMax = 20L, steps = 5)
         .orderBy(col("walk_id"), col("step"))),
 
+    // skip-gram co-occurrence counts over the walk corpus (±2 window) —
+    // the statistic word2vec/DeepWalk train on; 500 walk starts so the
+    // pair table has real mass.
+    "g_walk_cooc" -> ((s, dir) =>
+      Graph.walkCooccurrence(
+        Graph.randomWalks(refEdges(s, dir), startMax = 500L, steps = 5), 2)
+        .orderBy(col("node_a"), col("node_b"))),
+
+    // the walk→embedding TRAINING step (NetMF): dominant eigenvector of
+    // the walk-corpus PPMI matrix by sparse exact-grid power iteration.
+    "g_pmi_embed" -> ((s, dir) =>
+      Graph.pmiEmbed(Graph.walkCooccurrence(
+        Graph.randomWalks(refEdges(s, dir), startMax = 500L, steps = 5), 2), 5)
+        .orderBy(col("id"))),
+
     // Graph-embedding RETRIEVAL (the node2vec-style use of fastRP):
     // cosine top-k similar parts in embedding space — structurally
     // similar nodes surface without sharing any direct edge. Dots and
@@ -312,6 +327,17 @@ object GraphQueries extends QueryModule {
       Graph.connectedComponents(refEdges(s, dir), maxIters = 100)
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("component"))),
+
+    // G5 directed — strongly connected components (the reference README's
+    // literal "finding strongly connected components" intent that weak-CC
+    // doesn't satisfy). Per-node membership (stronger than the size
+    // histogram): the canonical label (min mutually-reachable id) is
+    // algorithm-independent, so the FW-BW refinement here hash-matches
+    // the oracle's mutual-reachability-closure CTE.
+    "g_scc" -> ((s, dir) =>
+      Graph.stronglyConnectedComponents(refEdges(s, dir))
+        .select(col("id"), col("component"))
+        .orderBy(col("id"))),
 
     // G6 — sampled-source Brandes betweenness in BIGINT fixed point
     // (σ counts exact, δ accumulated at 1e-9 grid with truncating
@@ -631,6 +657,21 @@ object GraphQueries extends QueryModule {
          |SELECT component, COUNT(*) AS size FROM comps
          |GROUP BY component ORDER BY size DESC, component""".stripMargin,
 
+    "g_scc" ->
+      s"""WITH RECURSIVE $refEdgesSql,
+         |de AS (SELECT src, dst FROM e WHERE src <> dst),
+         |sccnodes AS (SELECT src AS id FROM de UNION SELECT dst FROM de),
+         |r(a, b) AS (
+         |  SELECT src AS a, dst AS b FROM de
+         |  UNION
+         |  SELECT r.a, d.dst FROM r JOIN de d ON d.src = r.b),
+         |mut AS (SELECT r1.a AS id, r1.b AS m FROM r r1
+         |        JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),
+         |scc AS (SELECT n.id,
+         |               LEAST(n.id, COALESCE(MIN(m.m), n.id)) AS component
+         |        FROM sccnodes n LEFT JOIN mut m ON m.id = n.id GROUP BY n.id)
+         |SELECT id, component FROM scc ORDER BY id""".stripMargin,
+
     "g_2hop_reach" ->
       s"""WITH $refEdgesSql,
          |reach AS (SELECT src, dst FROM e
@@ -706,6 +747,19 @@ object GraphQueries extends QueryModule {
          |${Graph.node2vecWalksCtesSql("e", 20L, 5)}
          |SELECT walk_id, CAST(step AS INT) AS step, node FROM nvall
          |ORDER BY walk_id, step""".stripMargin,
+
+    "g_walk_cooc" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.randomWalksCtesSql("e", 500L, 5)},
+         |${Graph.walkCoocCteSql("rwall", 2)}
+         |SELECT node_a, node_b, cnt FROM cooc ORDER BY node_a, node_b""".stripMargin,
+
+    "g_pmi_embed" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.randomWalksCtesSql("e", 500L, 5)},
+         |${Graph.walkCoocCteSql("rwall", 2)},
+         |${Graph.pmiEmbedCtesSql(5)}
+         |SELECT id, w AS emb FROM pw5 ORDER BY id""".stripMargin,
 
     "g_fastrp_topk" ->
       s"""WITH $refEdgesSql,

@@ -9,9 +9,10 @@ import graft.plans.Pins.PinnedOps
 
 /** Embedding similarity search + multimodal column queries. Cosine values
   * are bit-identical to DuckDB (sequential double folds both sides), so
-  * even the scores hash-match — including `mm_decode_stub`, whose
-  * rolling byte checksum the twin re-derives with a `list_reduce` fold
-  * over the payload bytes (ASCII corpus: `ord` per char == byte).
+  * even the scores hash-match. Every media family runs a REAL codec
+  * (PNG image, WAV audio, PNG-container video); the generic byte-stub
+  * decode survives only as `decodeFeatures`' non-decodable fallback,
+  * exercised in MultimodalSpec.
   */
 object SimilarityQueries extends QueryModule {
 
@@ -147,17 +148,15 @@ object SimilarityQueries extends QueryModule {
     }),
 
     // Multimodal frame sampling: fixed-size byte frames from video
-    // payloads, one row per frame with content hash. Oracle slices the
-    // source text (payloads are its UTF-8 bytes; corpus is pure ASCII so
-    // varchar slicing in DuckDB sees identical bytes). The oracle's
-    // generate_series(0, 40) bound allows 41*64 = 2624-char docs — the
-    // corpus max is 577 (the Spark side uses the true length).
-    "mm_frame_sample" -> ((s, dir) => {
-      Multimodal.sampleFrames(
-          Multimodal.toMedia(Tables.documents(s, dir))
-            .filter(col("media_type") === "video"), 64)
-        .orderBy(col("doc_id"), col("frame_idx"))
-    }),
+    // REAL multi-frame decode (r9, retiring the last media stub): a
+    // length-prefixed-PNG container per doc is demuxed and every 2nd
+    // frame decoded through javax.imageio; sampled frames reduce to
+    // exact channel sums the oracle recomputes from the closed-form
+    // grids (PNG lossless). Byte-level sampleFrames stays as the
+    // codec-free slicing util (MultimodalSpec).
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.videoFrameSample(s, Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("frame_idx"))),
 
     // Product quantization: per-subspace codebooks (deterministic
     // Lloyd's per subspace) and the m-code corpus representation.
@@ -255,12 +254,10 @@ object SimilarityQueries extends QueryModule {
           topK, rrfN)
         .orderBy(col("query_id"), col("rnk"))),
 
-    // Multimodal decode stub end-to-end (checksum oracle; MultimodalSpec).
-    "mm_decode_stub" -> ((s, dir) =>
-      Multimodal.mediaFeatures(s, Tables.documents(s, dir))
-        .select(col("doc_id"), col("media_type"), col("byte_len"),
-          col("checksum"), col("n_frames"))
-        .orderBy(col("doc_id"))),
+    // mm_decode_stub retired in r9 (VERDICT r8 #5): every media family
+    // now has a real codec path (PNG image, WAV audio, PNG-container
+    // video); the generic stub fallback remains spec-only
+    // (MultimodalSpec exercises decodeFeatures' non-decodable branch).
 
     // REAL codec path: PNG encode→javax.imageio decode roundtrip; the
     // decoded integer channel sums hash-check against the oracle's pure
@@ -585,15 +582,22 @@ object SimilarityQueries extends QueryModule {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "mm_frame_sample" ->
-      """SELECT doc_id,
-        |       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        |       CAST(i AS INT) AS frame_idx,
-        |       length(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_len,
-        |       md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
-        |FROM documents, generate_series(0, 40) t(i)
-        |WHERE (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] = 'video'
-        |  AND length(text) > 0
-        |  AND i <= (length(text) - 1) // 64
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+        |                  2 + doc_id % 4 AS nf
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, f.i AS frame_idx
+        |       FROM g CROSS JOIN generate_series(0, 4) f(i)
+        |       WHERE f.i < nf AND f.i % 2 = 0),
+        |px AS (SELECT doc_id, w, h, frame_idx, x.i AS x, y.i AS y
+        |       FROM fr CROSS JOIN generate_series(0, 15) x(i)
+        |              CROSS JOIN generate_series(0, 9) y(i)
+        |       WHERE x.i < w AND y.i < h)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(SUM((doc_id * 31 + frame_idx * 41 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((doc_id * 17 + frame_idx * 29 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((doc_id * 23 + frame_idx * 37 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, frame_idx, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_decode_image" ->
@@ -638,21 +642,6 @@ object SimilarityQueries extends QueryModule {
         |       CAST(SUM((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS t_sum_b
         |FROM px GROUP BY doc_id, w, h
         |ORDER BY doc_id""".stripMargin,
-
-    "mm_decode_stub" ->
-      """SELECT doc_id,
-        |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-        |       octet_length(encode(text)) AS byte_len,
-        |       CASE WHEN length(text) = 0 THEN 0
-        |            ELSE list_reduce(
-        |              [CAST(ord(text[i:i]) AS BIGINT) FOR i IN range(1, length(text)+1)],
-        |              (a, b) -> (a * 31 + b) & 4294967295)
-        |       END AS checksum,
-        |       CAST(CASE CAST(doc_id % 3 AS INT)
-        |            WHEN 2 THEN n_chars
-        |            WHEN 1 THEN n_chars * 2
-        |            ELSE 1 END AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_media_table" ->
       """SELECT doc_id,

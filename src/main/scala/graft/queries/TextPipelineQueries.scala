@@ -458,49 +458,81 @@ object TextPipelineQueries extends QueryModule {
     // clusters on differing PII spans); redaction VALUES are covered by
     // the standalone txt_pii_scrub oracle.
     "pipe_end_to_end" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val clean = docs
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-      val scrubbed = Pii.scrub(clean, col("doc_id"), col("text"))
-        .select(col("doc_id"), col("scrubbed"))
-        .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
-      val pairs = Dedup.nearDupPairs(scrubbed, col("doc_id"), col("scrubbed"),
-          shingleN, minhashK, nearDupThreshold)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val drops = graft.operators.Graph.connectedComponents(pairs, maxIters = 50)
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("doc_id"))
-      val deduped = scrubbed.join(drops, Seq("doc_id"), "left_anti")
-      val quality = TextAnalysis.qualityScore(deduped, col("doc_id"),
-        col("scrubbed")).select(col("doc_id"), col("quality_score"))
-      val rep = TextAnalysis.repetition(deduped, col("doc_id"),
-        col("scrubbed")).select(col("doc_id"), col("dup_bigram_frac"))
-      val gated = deduped.join(quality, "doc_id").join(rep, "doc_id")
-        .filter(col("quality_score") >= pipeQualityMin &&
-          (col("dup_bigram_frac").isNull ||
-            col("dup_bigram_frac") <= pipeDupMax))
-        .select(col("doc_id"), col("scrubbed"), col("lang"))
-      // quarantine = the (scrubbed, un-gated) first 25 docs — the eval
-      // set; corpus = gated docs outside it
-      val corpusSide = gated.filter(col("doc_id") >= 25)
-      val flaggedIds = graft.operators.Decontaminate.flagged(
-          corpusSide, col("doc_id"), col("scrubbed"),
-          scrubbed.filter(col("doc_id") < 25), col("doc_id"), col("scrubbed"),
-          n = pipeDeconN)
-        .select(col("doc_id"))
-      val decon = corpusSide.join(flaggedIds, Seq("doc_id"), "left_anti")
-      val mixed = graft.operators.Sampling.stratified(decon, col("doc_id"),
-        col("lang"), mixRates, "mix7")
-      val withTokens = mixed.select(col("doc_id"), col("lang"),
-        size(TextAnalysis.toks(col("scrubbed"))).cast("long").as("n_tokens"))
-      graft.operators.Packing.packSequences(withTokens, "doc_id",
-          "n_tokens", budget = 2048L)
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          col("stream_offset"), col("seq_id"))
-        .orderBy(col("doc_id"))
+      val perDoc = pipePerDoc(Tables.documents(s, dir))
+      pipeTail(perDoc, pipePairs(perDoc))
     })
   )
+
+  // ---- THE pipeline's stages, shared verbatim by the batch query above
+  // and [[graft.streaming.StreamingTextPipeline]] (r9, VERDICT r8 #6):
+  // same functions, same constants, so streamed == batch is equality of
+  // compositions, not of two reimplementations. Split along the
+  // incremental boundary: [[pipePerDoc]] is everything computable from
+  // one document alone (runs ONCE per doc at ingest in the streaming
+  // twin and accumulates as state), [[pipePairs]] is cross-doc pair
+  // discovery (streaming restricts it to pairs touching the new batch —
+  // the union over batches is exactly the batch pair set), and
+  // [[pipeTail]] is the compact-state refresh (CC → gates → decon → mix
+  // → pack over the accumulated narrow rows).
+
+  /** Per-doc stages: clean → PII scrub → quality / repetition / token
+    * metrics. Output: (doc_id, scrubbed, lang, source, quality_score,
+    * dup_bigram_frac, n_tokens) — one narrow row per surviving doc. */
+  private[graft] def pipePerDoc(docs: DataFrame): DataFrame = {
+    val clean = docs
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    val scrubbed = Pii.scrub(clean, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("scrubbed"))
+      .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    val quality = TextAnalysis.qualityScore(scrubbed, col("doc_id"),
+      col("scrubbed")).select(col("doc_id"), col("quality_score"))
+    val rep = TextAnalysis.repetition(scrubbed, col("doc_id"),
+      col("scrubbed")).select(col("doc_id"), col("dup_bigram_frac"))
+    scrubbed.join(quality, "doc_id").join(rep, "doc_id")
+      .withColumn("n_tokens",
+        size(TextAnalysis.toks(col("scrubbed"))).cast("long"))
+  }
+
+  /** Cross-doc near-dup pair discovery over scrubbed text (the
+    * estimate-prune + exact-verify MinHash path). */
+  private[graft] def pipePairs(perDoc: DataFrame): DataFrame =
+    Dedup.nearDupPairs(perDoc, col("doc_id"), col("scrubbed"),
+        shingleN, minhashK, nearDupThreshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+
+  /** Tail over accumulated per-doc rows + accumulated pairs: cluster
+    * min-id survivor → quality/repetition gates → eval-set
+    * decontamination (quarantine = scrubbed docs with id < 25) →
+    * stratified mixing → sequence packing. */
+  private[graft] def pipeTail(perDoc: DataFrame, pairs: DataFrame): DataFrame = {
+    val drops = graft.operators.Graph.connectedComponents(pairs, maxIters = 50)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val deduped = perDoc.join(drops, Seq("doc_id"), "left_anti")
+    val gated = deduped
+      .filter(col("quality_score") >= pipeQualityMin &&
+        (col("dup_bigram_frac").isNull ||
+          col("dup_bigram_frac") <= pipeDupMax))
+      .select(col("doc_id"), col("scrubbed"), col("lang"), col("n_tokens"))
+    // quarantine = the (scrubbed, un-gated) first 25 docs — the eval
+    // set; corpus = gated docs outside it
+    val corpusSide = gated.filter(col("doc_id") >= 25)
+    val flaggedIds = graft.operators.Decontaminate.flagged(
+        corpusSide, col("doc_id"), col("scrubbed"),
+        perDoc.filter(col("doc_id") < 25), col("doc_id"), col("scrubbed"),
+        n = pipeDeconN)
+      .select(col("doc_id"))
+    val decon = corpusSide.join(flaggedIds, Seq("doc_id"), "left_anti")
+    val mixed = graft.operators.Sampling.stratified(decon, col("doc_id"),
+      col("lang"), mixRates, "mix7")
+    graft.operators.Packing.packSequences(
+        mixed.select(col("doc_id"), col("lang"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("stream_offset"), col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Shared shingle CTE (DuckDB): distinct char n-grams. The constant
     * 1000-row series bounds text length at oracle scale (sf0.01 max 553);

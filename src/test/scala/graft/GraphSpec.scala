@@ -36,6 +36,47 @@ class GraphSpec extends AnyFunSuite {
     assert(cc(10L) == 10L && cc(11L) == 10L)
   }
 
+  test("SCC splits two cycles joined by a one-way edge (weak-CC merges them)") {
+    // 1→2→3→1 and 4→5→6→4 joined by 3→4: ONE weak component, TWO SCCs
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L, 3L -> 4L)
+    val weak = Graph.connectedComponents(g)
+      .select("component").distinct().count()
+    assert(weak == 1L)
+    val scc = Graph.stronglyConnectedComponents(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(scc(_) == 1L))
+    assert(Seq(4L, 5L, 6L).forall(scc(_) == 4L))
+  }
+
+  test("walkCooccurrence counts ±window skip-gram pairs") {
+    val walks = Seq((0L, 0, 10L), (0L, 1, 11L), (0L, 2, 12L))
+      .toDF("walk_id", "step", "node")
+    val c1 = Graph.walkCooccurrence(walks, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(c1 == Map((10L, 11L) -> 1L, (11L, 10L) -> 1L,
+      (11L, 12L) -> 1L, (12L, 11L) -> 1L))
+    val c2 = Graph.walkCooccurrence(walks, 2)
+    assert(c2.count() == 6) // window 2 adds the (10,12)/(12,10) pair
+  }
+
+  test("pmiEmbed converges to the symmetric eigenvector on a 2-node corpus") {
+    val cooc = Seq((1L, 2L, 2L), (2L, 1L, 2L)).toDF("node_a", "node_b", "cnt")
+    val emb = Graph.pmiEmbed(cooc, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // PPMI matrix is symmetric with equal rows → eigenvector (1/√2, 1/√2)
+    assert(math.abs(emb(1L) - math.sqrt(0.5)) < 1e-3)
+    assert(math.abs(emb(2L) - math.sqrt(0.5)) < 1e-3)
+  }
+
+  test("SCC labels a DAG all-singleton and a chain in one round") {
+    // chain 1→2→3→4: every node its own SCC (canonical label = own id)
+    val scc = Graph.stronglyConnectedComponents(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(i => scc(i) == i))
+  }
+
   test("kHopReach computes 2-hop closure on a path") {
     val r = Graph.kHopReach(edges(1L -> 2L, 2L -> 3L, 3L -> 4L), 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

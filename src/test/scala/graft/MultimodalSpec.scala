@@ -98,6 +98,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("videoFrameSample: demuxed PNG container frames equal closed-form sums") {
+    val docs = Seq(0L, 3L, 11L).toDF("doc_id")
+    val out = Multimodal.videoFrameSample(spark, docs, everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    for (id <- Seq(0L, 3L, 11L)) {
+      val (w, h) = (Multimodal.gridW(id), Multimodal.gridH(id))
+      val sampled = (0 until Multimodal.vidFrames(id)).filter(_ % 2 == 0)
+      // exactly the sampled frames appear — skipped ones never decode
+      assert(out.keys.count(_._1 == id) == sampled.size)
+      for (f <- sampled) {
+        val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+        val (er, eg, eb) = (
+          px.map { case (x, y) => Multimodal.vidR(id, f, x, y).toLong }.sum,
+          px.map { case (x, y) => Multimodal.vidG(id, f, x, y).toLong }.sum,
+          px.map { case (x, y) => Multimodal.vidB(id, f, x, y).toLong }.sum)
+        assert(out((id, f)) == ((w, h, er, eg, eb)))
+      }
+    }
+  }
+
   test("audioRoundtrip: real WAV encode/decode preserves exact sample stats") {
     val docs = Seq(0L, 5L, 123L).toDF("doc_id")
     val out = Multimodal.audioRoundtrip(spark, docs)
