@@ -121,7 +121,19 @@ object Bench {
     "mm_resize",
     "g_fastrp_topk",
     "g_random_walks",
-    "g_node2vec_walks")
+    "g_node2vec_walks",
+    // r9 additions: directed SCC (parallel FW-BW refinement), the walk
+    // training stack's co-occurrence + PMI-embedding stages, and the
+    // real multi-frame container decode
+    "g_scc",
+    "g_walk_cooc",
+    "g_pmi_embed",
+    "mm_frame_sample",
+    // r9 wave 3: star-contraction CC (the log-round 100 TB CC), semantic
+    // eval-set decontamination, and BM25 keyword retrieval
+    "g_components_star",
+    "decon_semantic",
+    "txt_bm25_topk")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -22,27 +22,36 @@ object ProfileGraphScale {
       val t0 = System.nanoTime(); val r = f
       println(f"[gs] $l%-16s ${(System.nanoTime() - t0) / 1e9}%7.2fs"); r
     }
-    for (m <- Seq(1, 3, 10)) {
+    // r9 A/B: pin cadence 1 (every round — the r8 behavior) vs 2 (unroll
+    // two rounds per pin — VERDICT r8 #2) on the three single-consumer
+    // fixed-point loops. harmonic/fastrp dropped from the sweep: their
+    // loops keep multi-consumer frames and are untouched by the knob.
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds.contains(id) }
+        .values.foreach(_.unpersist(true))
+    for (m <- Seq(1, 10)) {
       val e = (0 until m).map(i =>
           edges.select((col("src") + lit(i * 10000000L)).as("src"),
             (col("dst") + lit(i * 10000000L)).as("dst")))
         .reduce(_ unionByName _)
-      t(s"kcore x$m") {
-        println("rows: " + graft.operators.Graph.kCoreFixed(e, 12).count())
+      for (p <- Seq(1, 2)) {
+        t(s"kcore x$m p$p") {
+          println("rows: " +
+            graft.operators.Graph.kCoreFixed(e, 12, pinEvery = p).count())
+        }
+        sweep()
+        t(s"hits x$m p$p") {
+          println("rows: " +
+            graft.operators.Graph.hitsFixed(e, 10, pinEvery = p).count())
+        }
+        sweep()
+        t(s"pagerank x$m p$p") {
+          println("rows: " +
+            graft.operators.Graph.pageRankFixed(e, 10, pinEvery = p).count())
+        }
+        sweep()
       }
-      t(s"hits x$m") {
-        println("rows: " + graft.operators.Graph.hitsFixed(e, 10).count())
-      }
-      t(s"harmonic x$m") {
-        println("rows: " + graft.operators.Graph
-          .harmonicFixed(e, Seq(0L, 1L, 2L, 3L, 4L), 8).count())
-      }
-      t(s"fastrp x$m") {
-        println("rows: " + graft.operators.Graph.fastRpFixed(e, 8, 3).count())
-      }
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => protectedIds.contains(id) }
-        .values.foreach(_.unpersist(true))
     }
     spark.stop()
   }

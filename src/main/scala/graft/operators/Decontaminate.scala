@@ -78,4 +78,31 @@ object Decontaminate {
        |FROM cg JOIN qg ON qg.gh = cg.gh
        |GROUP BY cg.doc_id""".stripMargin
   }
+
+  /** SEMANTIC decontamination (r9) — the embedding sibling of
+    * [[flagged]]: per corpus vector, the max cosine against ANY
+    * quarantine (eval-set) vector, flagged at `threshold`. Catches the
+    * leakage the n-gram gate cannot: a paraphrased or re-tokenized eval
+    * item shares no 12-gram but still lands next to its source in
+    * embedding space (the reverse of the gate that misses semantic
+    * rewrites is the gate that misses verbatim ones — production
+    * pipelines run BOTH, as this module now does).
+    *
+    * Scale shape mirrors [[flagged]]: the quarantine side is an eval set
+    * (small by definition) and is BROADCAST; the corpus side streams
+    * through one narrow projection + a per-vector max — the corpus never
+    * shuffles. Cosine is the bit-identical native expression
+    * ([[Similarity.cosine]]), and MAX over doubles is order-independent,
+    * so the result hash-matches the DuckDB twin. */
+  def semanticFlagged(corpus: DataFrame, id: Column, vec: Column,
+      quarantine: DataFrame, qId: Column, qVec: Column,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), Similarity.vecD(vec).as("v"))
+    val q = quarantine.select(qId.as("q_id"), Similarity.vecD(qVec).as("qv"))
+    c.crossJoin(broadcast(q))
+      .select(col("vec_id"), Similarity.cosine(col("v"), col("qv")).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .withColumn("flagged", col("max_cos") >= threshold)
+  }
 }

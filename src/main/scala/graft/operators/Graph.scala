@@ -64,7 +64,7 @@ object Graph {
     * partition/summation order, unlike a double accumulation.
     * `rank_fp * 85 ≤ 8.5e13 << 2^63`: no overflow at any graph size. */
   def pageRankFixed(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, pinEvery: Int = 2): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
@@ -73,17 +73,22 @@ object Graph {
       .select(col("src"), col("dst"), col("deg")).cache()
     val teleport = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank_fp", lit(scale / n))
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"),
           expr("(rank_fp * 85) DIV (deg * 100)").as("c"))
         .groupBy("dst").agg(sum("c").as("csum"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
-        .pinned
+      // ranks has ONE mid-loop consumer (next round's join), so pinning
+      // every `pinEvery`-th round halves the eager-materialization job
+      // count without ever double-evaluating a two-consumer frame (the
+      // r8 fifth-wave regression came from UNPINNING such frames, not
+      // from deeper per-pin plans). The final round always pins.
+      ranks = if (t % pinEvery == 0 || t == iters) next.pinned else next
     }
     nodes.unpersist()
     withDeg.unpersist()
@@ -391,7 +396,15 @@ object Graph {
     * similarity of the pairs that remain). Construction is fully lazy —
     * no counting job at call time; callers that want the GDS
     * `degreeCutoff`-style cut report inspect [[jaccardExcludedHubs]]
-    * after (or instead of) materializing the result. */
+    * after (or instead of) materializing the result.
+    *
+    * SCALE DEFAULT: deployments beyond oracle scale should ALWAYS pass a
+    * `maxDegree` cap — the uncapped call is the reference formulation
+    * kept for parity, and its Σdeg² pair generation is the one quadratic
+    * in this family (`g_jaccard_capped` is the mirrored 100× query,
+    * `JaccardDegreeCap` in GraphQueries the worked configuration — the
+    * same documented-knob pattern as the LSH family's `rowsPerBand` /
+    * `dd_simhash_wide_pairs`). */
   def jaccardSimilarity(edges: DataFrame, threshold: Double,
       maxDegree: Option[Long] = None): DataFrame = {
     // null endpoints dropped up front: a groupBy- or join-based pair
@@ -519,6 +532,74 @@ object Graph {
     }
     und.unpersist()
     labels
+  }
+
+  /** G5 at 100 TB — connected components by alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): each round every node hooks its neighbors onto
+    * its neighborhood minimum —
+    *  - large-star: for every node u, each neighbor v > u re-attaches to
+    *    m(u) = min(N(u) ∪ {u});
+    *  - small-star (per the LARGER endpoint u of each edge): u and all
+    *    its smaller neighbors attach to their minimum.
+    * Both preserve connectivity, and the edge set contracts toward a
+    * star forest whose centers are the component minima — in O(log n)
+    * rounds on real graphs, vs the O(diameter) rounds of
+    * [[connectedComponents]]' min-label propagation. On a 100 TB graph
+    * with long chains that difference is the job count, which is exactly
+    * the cost that dominates the bounded-iteration family (BASELINE.md
+    * fifth wave) — so this is the scale deployment's CC, while the
+    * min-label twin stays as the reference-parity formulation. Output is
+    * identical (canonical min-member-id labels), which is what lets
+    * `g_components_star` verify against the same closure oracle as
+    * `g_components`. */
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val base = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).pinned
+    val nodes = base.select(col("src").as("id"))
+      .union(base.select(col("dst").as("id"))).distinct().pinned
+    var e = base
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct().pinned
+    var eCnt = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds && eCnt > 0) {
+      // large-star over both directions
+      val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mL = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = adj.filter(col("v") > col("u"))
+        .join(mL, "u")
+        .filter(col("v") =!= col("m"))
+        // m = min(N⁺(u)) ≤ u < v, so (m, v) is already (lo, hi)
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct().pinned
+      // small-star keyed by the larger endpoint
+      val adjS = large.select(col("hi").as("u"), col("lo").as("v"))
+      val mS = adjS.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = adjS.join(mS, "u")
+        .select(col("v").as("x"), col("m").as("y"))
+        .union(mS.select(col("u").as("x"), col("m").as("y")))
+        .filter(col("x") =!= col("y"))
+        // y is a per-u minimum over values < u ≤ x, so (y, x) = (lo, hi)
+        .select(col("y").as("lo"), col("x").as("hi"))
+        .distinct().pinned
+      val nextCnt = next.count()
+      converged = nextCnt == eCnt &&
+        next.join(e, Seq("lo", "hi"), "left_anti").isEmpty
+      e = next
+      eCnt = nextCnt
+      round += 1
+    }
+    // converged edge set is a star forest: (component-min, member)
+    nodes
+      .join(e.select(col("hi").as("id"), col("lo").as("parent")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("parent"), col("id")).as("component"))
   }
 
   /** G5 directed — strongly connected components (the reference README's
@@ -1346,7 +1427,8 @@ object Graph {
     * co-partitioning every round; no global window, no driver state.
     * `max(least(val, rn))` is invariant to tie order among equal values,
     * but the order is pinned (val DESC, dst) anyway. */
-  def kCoreFixed(edges: DataFrame, iters: Int): DataFrame = {
+  def kCoreFixed(edges: DataFrame, iters: Int,
+      pinEvery: Int = 2): DataFrame = {
     val e = edges.pinned
     val und = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -1356,16 +1438,18 @@ object Graph {
       .agg(count(lit(1)).as("val"))
       .select(col("src").as("id"), col("val"))
       .pinned
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val nbr = und.join(vals, und("dst") === vals("id"))
         .select(col("src"), col("dst"), col("val"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("val").desc, col("dst"))
-      vals = nbr.withColumn("rn", row_number().over(w).cast("long"))
+      val next = nbr.withColumn("rn", row_number().over(w).cast("long"))
         .groupBy(col("src"))
         .agg(max(least(col("val"), col("rn"))).as("val"))
         .select(col("src").as("id"), col("val"))
-        .pinned
+      // single mid-loop consumer → pin every `pinEvery` rounds (see
+      // pageRankFixed)
+      vals = if (t % pinEvery == 0 || t == iters) next.pinned else next
     }
     und.unpersist()
     vals.select(col("id"), col("val").as("core"))
@@ -1405,14 +1489,14 @@ object Graph {
     * shuffles plus two single-row total aggregates (broadcast back via
     * crossJoin — no driver collect). */
   def hitsFixed(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, pinEvery: Int = 2): DataFrame = {
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
     var hubs = nodes.withColumn("hub_fp", lit(scale / n)).pinned
     var auths = nodes.withColumn("auth_fp", lit(scale / n)).pinned
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       // pin the raw sums: each is consumed TWICE (total + per-node join)
       // — unpinned, the graph join would recompute per consumer, doubling
       // every round's shuffle work. (Wall time at sf0.1 is still ~20 s:
@@ -1422,21 +1506,27 @@ object Graph {
       val araw = adj.join(hubs, adj("src") === hubs("id"))
         .groupBy(adj("dst")).agg(sum(col("hub_fp")).as("araw"))
         .pinned
-      auths = nodes.join(araw, nodes("id") === araw("dst"), "left")
+      // auths/hubs each have ONE mid-loop consumer (the next raw-sum
+      // join), so they pin only every `pinEvery`-th round — the raw-sum
+      // pins above stay unconditional, which is what distinguishes this
+      // from the r8-rejected fusion (that one UNPINNED two-consumer
+      // frames). The final round always pins both.
+      val pinNow = t % pinEvery == 0 || t == iters
+      val nextAuths = nodes.join(araw, nodes("id") === araw("dst"), "left")
         .crossJoin(araw.agg(sum(col("araw")).as("asum")))
         .select(col("id"),
           coalesce(expr(s"CAST(araw AS DECIMAL(38,0)) * $scale div asum"),
             lit(0L)).as("auth_fp"))
-        .pinned
+      auths = if (pinNow) nextAuths.pinned else nextAuths
       val hraw = adj.join(auths, adj("dst") === auths("id"))
         .groupBy(adj("src")).agg(sum(col("auth_fp")).as("hraw"))
         .pinned
-      hubs = nodes.join(hraw, nodes("id") === hraw("src"), "left")
+      val nextHubs = nodes.join(hraw, nodes("id") === hraw("src"), "left")
         .crossJoin(hraw.agg(sum(col("hraw")).as("hsum")))
         .select(col("id"),
           coalesce(expr(s"CAST(hraw AS DECIMAL(38,0)) * $scale div hsum"),
             lit(0L)).as("hub_fp"))
-        .pinned
+      hubs = if (pinNow) nextHubs.pinned else nextHubs
     }
     adj.unpersist(); nodes.unpersist()
     auths.join(hubs, Seq("id"))

@@ -682,4 +682,87 @@ object TextAnalysis {
        |           g -> length(g) = 8)),
        |         g -> CAST(('0x' || substr(md5(g), 1, 14)) AS BIGINT))) AS min_gram_hash
        |FROM $table""".stripMargin
+
+  // ---- BM25 retrieval (r9) --------------------------------------------
+
+  /** Okapi BM25 top-k (Robertson et al., TREC-3; k1 = 1.2, b = 0.75) in
+    * the exact-grid discipline: the per-term fraction
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` is cleared of floats by
+    * multiplying through by `10·Σdl` —
+    * `num = 22·tf·Σdl`, `den = 10·tf·Σdl + 3·Σdl + 9·dl·N` — so both
+    * engines divide the SAME two BIGINTs; the idf
+    * `ln((N−df+½)/(df+½)) = ln((2N−2df+1)/(2df+1))` (exact rational
+    * inside the ln) is snapped to the 1e-6 grid (the g_pmi_embed
+    * technique); and each doc-term contribution is re-snapped before the
+    * BIGINT sum, making the score order-independent and hash-exact.
+    *
+    * Scale: tf rows exist only for (doc, query-term) hits; df and the
+    * corpus stats are broadcast one-row/`|terms|`-row frames; top-k is
+    * TakeOrderedAndProject, never a global sort. BIGINT-exact while
+    * 22·tf·Σdl < 2⁶³ (Σdl ≈ 4·10¹⁷ at tf ≤ 1000) — beyond that, widen
+    * the two products to DECIMAL(38,0).
+    *
+    * The repo's retrieval family: this is the standalone scorer of the
+    * keyword leg that [[graft.operators.Hybrid.rrfTopK]] fuses by rank. */
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k: Int): DataFrame = {
+    val toksed = df.select(id.as("doc_id"), toks(text).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val stats = toksed.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("dltot"))
+    val tf = toksed
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(
+          (floor(log((lit(2L) * col("n") - lit(2L) * col("df") + lit(1L))
+              .cast("double") /
+              (lit(2L) * col("df") + lit(1L)).cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long").cast("double") / lit(1e6))
+          * ((lit(22L) * col("tf") * col("dltot")).cast("double") /
+             (lit(10L) * col("tf") * col("dltot") + lit(3L) * col("dltot") +
+              lit(9L) * col("dl") * col("n")).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("c_fp"))
+      .groupBy(col("doc_id")).agg(sum(col("c_fp")).as("score_fp"))
+      .withColumn("score", col("score_fp").cast("double") / lit(1e6))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]] over `table(doc_id, text)` — same
+    * integer clearing, same grid snaps, same op order. */
+  def bm25TopKSql(table: String, terms: Seq[String], k: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH bd AS (SELECT doc_id, $toksSql AS t FROM $table),
+       |bdl AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM bd),
+       |bstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |                  CAST(SUM(dl) AS BIGINT) AS dltot FROM bdl),
+       |btf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |        FROM (SELECT doc_id, dl, unnest(t) AS tok FROM bdl)
+       |        WHERE tok IN ($termList)
+       |        GROUP BY doc_id, dl, tok),
+       |bdf AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM btf GROUP BY tok),
+       |bsc AS (SELECT f.doc_id,
+       |          CAST(FLOOR(
+       |            (CAST(CAST(FLOOR(ln(CAST(2 * s.n - 2 * d.df + 1 AS DOUBLE)
+       |                / CAST(2 * d.df + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+       |              AS BIGINT) AS DOUBLE) / 1000000.0)
+       |            * (CAST(22 * f.tf * s.dltot AS DOUBLE)
+       |               / CAST(10 * f.tf * s.dltot + 3 * s.dltot
+       |                      + 9 * f.dl * s.n AS DOUBLE))
+       |            * 1000000.0 + 0.5) AS BIGINT) AS c_fp
+       |        FROM btf f JOIN bdf d ON d.tok = f.tok CROSS JOIN bstats s),
+       |bscore AS (SELECT doc_id, CAST(SUM(c_fp) AS BIGINT) AS score_fp
+       |           FROM bsc GROUP BY doc_id)
+       |SELECT doc_id, score_fp,
+       |       CAST(score_fp AS DOUBLE) / 1000000.0 AS score
+       |FROM bscore ORDER BY score_fp DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

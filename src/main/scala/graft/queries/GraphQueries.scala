@@ -328,6 +328,15 @@ object GraphQueries extends QueryModule {
         .groupBy(col("component")).agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("component"))),
 
+    // G5 at scale — the SAME component histogram via alternating
+    // large-star/small-star (O(log n) rounds vs min-label's O(diameter);
+    // the job-count difference IS the cost at 100 TB). Canonical output
+    // ⇒ verified against the identical closure oracle as g_components.
+    "g_components_star" -> ((s, dir) =>
+      Graph.connectedComponentsStar(refEdges(s, dir))
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("component"))),
+
     // G5 directed — strongly connected components (the reference README's
     // literal "finding strongly connected components" intent that weak-CC
     // doesn't satisfy). Per-node membership (stronger than the size
@@ -489,6 +498,20 @@ object GraphQueries extends QueryModule {
       |        ON a.l_orderkey = b.l_orderkey
       |       AND b.l_linenumber = a.l_linenumber + 1)""".stripMargin
 
+  /** Closure-CTE component-size twin shared by `g_components` and
+    * `g_components_star` (identical canonical output by construction). */
+  private val componentsSizesSql =
+    s"""WITH RECURSIVE $refEdgesSql,
+       |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |r(id, comp) AS (
+       |  SELECT src AS id, src AS comp FROM und
+       |  UNION
+       |  SELECT u.dst AS id, r.comp FROM r JOIN und u ON u.src = r.id
+       |  WHERE r.comp < u.dst),
+       |comps AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id)
+       |SELECT component, COUNT(*) AS size FROM comps
+       |GROUP BY component ORDER BY size DESC, component""".stripMargin
+
   /** `(entity, node)` attachment CTEs for the three projections —
     * verbatim twins of [[authorship]] and the inline attachments above. */
   private val authorshipEndsSql =
@@ -645,17 +668,10 @@ object GraphQueries extends QueryModule {
          |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "g_components" ->
-      s"""WITH RECURSIVE $refEdgesSql,
-         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |r(id, comp) AS (
-         |  SELECT src AS id, src AS comp FROM und
-         |  UNION
-         |  SELECT u.dst AS id, r.comp FROM r JOIN und u ON u.src = r.id
-         |  WHERE r.comp < u.dst),
-         |comps AS (SELECT id, MIN(comp) AS component FROM r GROUP BY id)
-         |SELECT component, COUNT(*) AS size FROM comps
-         |GROUP BY component ORDER BY size DESC, component""".stripMargin,
+    "g_components" -> componentsSizesSql,
+    // algorithm-independent canonical output — the star-contraction
+    // variant verifies against the SAME closure twin
+    "g_components_star" -> componentsSizesSql,
 
     "g_scc" ->
       s"""WITH RECURSIVE $refEdgesSql,

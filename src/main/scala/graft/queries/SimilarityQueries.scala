@@ -259,6 +259,20 @@ object SimilarityQueries extends QueryModule {
     // video); the generic stub fallback remains spec-only
     // (MultimodalSpec exercises decodeFeatures' non-decodable branch).
 
+    // Embedding-space decontamination (r9) — the semantic sibling of
+    // decon_ngram_overlap: quarantine = vec_id < nQueries broadcast;
+    // per-corpus-vector max cosine, flagged at nearThreshold.
+    "decon_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Decontaminate.semanticFlagged(
+          e.filter(col("vec_id") >= nQueries),
+          col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < nQueries),
+          col("vec_id"), col("embedding"),
+          nearThreshold)
+        .orderBy(col("vec_id"))
+    }),
+
     // REAL codec path: PNG encode→javax.imageio decode roundtrip; the
     // decoded integer channel sums hash-check against the oracle's pure
     // SQL arithmetic (pixels are a closed form of doc_id — PNG is
@@ -580,6 +594,18 @@ object SimilarityQueries extends QueryModule {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${cosExpr("a", "b")} >= $nearThreshold
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "decon_semantic" ->
+      s"""WITH $eCte,
+         |dq AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < $nQueries),
+         |dc AS (SELECT vec_id, v FROM e WHERE vec_id >= $nQueries),
+         |sc AS (SELECT dc.vec_id,
+         |         MAX(list_dot_product(dc.v, dq.v)
+         |           / sqrt(list_dot_product(dc.v, dc.v)
+         |                  * list_dot_product(dq.v, dq.v))) AS max_cos
+         |       FROM dc CROSS JOIN dq GROUP BY dc.vec_id)
+         |SELECT vec_id, max_cos, max_cos >= $nearThreshold AS flagged
+         |FROM sc ORDER BY vec_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,

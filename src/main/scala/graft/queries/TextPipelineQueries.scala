@@ -33,6 +33,10 @@ object TextPipelineQueries extends QueryModule {
   // tail tokens fall outside it at every SF (non-degenerate rates)
   private val vocabK = 100
 
+  // BM25 query terms (all in the corpus vocabulary with distinct
+  // document frequencies, so idf actually differentiates)
+  private val bm25Terms = Seq("table", "hash", "merge", "scan")
+
   // containment threshold: a doc half-embedded in another is a wrapper
   // candidate; Jaccard's 0.6 gate misses these when sizes are skewed
   private val containThreshold = 0.5
@@ -438,6 +442,13 @@ object TextPipelineQueries extends QueryModule {
     }),
 
     // Document fingerprinting: content md5 + winnowing-style min-gram hash.
+    // BM25 top-20 (r9): the standalone keyword scorer of the retrieval
+    // family — exact-integer cleared fraction + grid-snapped idf, so
+    // even the float scores hash.
+    "txt_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), col("doc_id"),
+        col("text"), bm25Terms, 20)),
+
     "txt_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
@@ -865,6 +876,9 @@ object TextPipelineQueries extends QueryModule {
       (TextAnalysis.langIdSql("documents") + "\nORDER BY doc_id"),
 
     "txt_fingerprint" ->
-      (TextAnalysis.fingerprintSql("documents") + "\nORDER BY doc_id")
+      (TextAnalysis.fingerprintSql("documents") + "\nORDER BY doc_id"),
+
+    "txt_bm25_topk" ->
+      TextAnalysis.bm25TopKSql("documents", bm25Terms, 20)
   )
 }

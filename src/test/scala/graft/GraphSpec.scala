@@ -36,6 +36,19 @@ class GraphSpec extends AnyFunSuite {
     assert(cc(10L) == 10L && cc(11L) == 10L)
   }
 
+  test("star-contraction CC equals min-label CC (chains, merges, isolates)") {
+    // two chains bridged late + a separate pair: exercises multi-round
+    // contraction and the star-forest readout
+    val g = edges(9L -> 8L, 8L -> 7L, 7L -> 6L, 1L -> 2L, 2L -> 3L,
+      3L -> 6L, 20L -> 21L)
+    val star = Graph.connectedComponentsStar(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = Graph.connectedComponents(g, maxIters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == cc)
+    assert(star(9L) == 1L && star(20L) == 20L && star(21L) == 20L)
+  }
+
   test("SCC splits two cycles joined by a one-way edge (weak-CC merges them)") {
     // 1→2→3→1 and 4→5→6→4 joined by 3→4: ONE weak component, TWO SCCs
     val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L,

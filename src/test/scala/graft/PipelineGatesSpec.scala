@@ -53,6 +53,42 @@ class PipelineGatesSpec extends AnyFunSuite {
       .findFirstIn(plan).isEmpty, s"global window in plan:\n$plan")
   }
 
+  test("bm25TopK matches the closed-form score and ranks tf/idf sanely") {
+    // 5 docs; 'x' rare (df=1), 'y'/'z' df=2 (positive idf at n=5);
+    // doc 1 has the most x's, docs 2/3 differ only in length
+    val docs = Seq(
+      (1L, "x x x y pad pad"),
+      (2L, "z pad pad pad"),
+      (3L, "z pad pad pad pad pad"),
+      (4L, "pad pad pad"),
+      (5L, "y pad")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("x", "y", "z"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // scala reference of the same exact-grid arithmetic
+    val n = 5L; val dltot = 6L + 4L + 6L + 3L + 2L
+    def idfFp(df: Long): Long =
+      math.floor(math.log((2 * n - 2 * df + 1).toDouble /
+        (2 * df + 1).toDouble) * 1e6 + 0.5).toLong
+    def cFp(tf: Long, dl: Long, df: Long): Long =
+      math.floor((idfFp(df).toDouble / 1e6) *
+        ((22L * tf * dltot).toDouble /
+          (10L * tf * dltot + 3L * dltot + 9L * dl * n).toDouble) *
+        1e6 + 0.5).toLong
+    val expected = Map(
+      1L -> (cFp(3, 6, 1) + cFp(1, 6, 2)),
+      2L -> cFp(1, 4, 2),
+      3L -> cFp(1, 6, 2),
+      5L -> cFp(1, 2, 2))
+    assert(out.toMap == expected)
+    // rare high-tf doc on top; doc 4 (no query terms) absent
+    assert(out.head._1 == 1L)
+    assert(!out.exists(_._1 == 4L))
+    // shorter doc outranks longer at equal tf/df (length normalization)
+    val byId = out.toMap
+    assert(byId(2L) > byId(3L))
+  }
+
   test("vocabulary top-k and OOV rate match hand computation") {
     val df = Seq(
       (1L, "a a a b b c"), // freq: a=3 b=2(+1 doc3) c=1(+1 doc3)
