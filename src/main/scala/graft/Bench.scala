@@ -133,7 +133,13 @@ object Bench {
     // eval-set decontamination, and BM25 keyword retrieval
     "g_components_star",
     "decon_semantic",
-    "txt_bm25_topk")
+    "txt_bm25_topk",
+    // r9 wave 4: z-score anomaly flags, Type-2 SCD history, contrastive
+    // hard-negative mining, k-truss community cores
+    "evt_zscore_anomaly",
+    "d7_scd2_history",
+    "g_hard_negatives",
+    "g_ktruss")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC
@@ -213,19 +219,24 @@ object Bench {
         // a GC-timing-dependent 3-4x degradation of exactly those queries.
         // Between timed runs nothing is reused, so sweep them all.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        // Then force a full GC in this UNTIMED gap (r8 driver bench: 15 s of
-        // GC pauses concentrated mid-bench, g_louvain alone 5.5 s / 64 s max
-        // at 0.02% steal). Two accumulation paths need it: (a) broadcast and
-        // shuffle driver state is only released when ContextCleaner's weak
-        // refs are collected (its own periodic GC defaults to 30 min — far
-        // longer than the bench), and (b) the unpersisted block memory above
-        // becomes heap garbage that otherwise bills the NEXT query's timed
-        // run as a multi-second mid-run pause. gc_ms telemetry is scoped to
-        // the materialize window, so these explicit GCs don't pollute it.
-        System.gc()
         (dt, gcDelta, err)
       }
       run() // warm-up, excluded from the stats
+      // Force ONE full GC per query, in the untimed gap after warm-up
+      // (r8 driver bench: 15 s of GC pauses concentrated mid-bench,
+      // g_louvain alone 5.5 s / 64 s max at 0.02% steal). Two accumulation
+      // paths need it: (a) broadcast/shuffle driver state is only released
+      // when ContextCleaner's weak refs are collected (its periodic GC
+      // defaults to 30 min — far longer than the bench), and (b) the
+      // unpersisted block memory above becomes heap garbage that otherwise
+      // bills a LATER query's timed run as a multi-second mid-run pause.
+      // Once per query, not per run: a G1 full GC can unload JIT-compiled
+      // code, and the first post-GC run re-pays compilation — per-run GC
+      // taxed every small query's median ~+0.3 s (first r9 driver run)
+      // while the per-query form still bounds accumulation at one query's
+      // garbage. gc_ms telemetry is scoped to the materialize window, so
+      // this explicit GC doesn't pollute it.
+      System.gc()
       val cpu0 = cpuSnap()
       val runs = (1 to 5).map(_ => run())
       val cpu1 = cpuSnap()

@@ -1919,6 +1919,66 @@ object Graph {
     ((init +: rounds) :+ all).mkString(",\n")
   }
 
+  /** k-truss by bounded support peeling (Cohen 2008): each round counts
+    * every surviving edge's triangle support (|N(a) ∩ N(b)| within the
+    * surviving set, via the oriented u<v<w wedge join — each triangle
+    * materializes once) and drops edges with support < k−2. FIXED round
+    * count on both engines (a no-op once stable), so the unrolled
+    * [[kTrussCtesSql]] twin is hash-identical by construction — the
+    * kCoreFixed discipline, lifted from nodes to edges. The k-truss is
+    * the standard community-core filter one notch stronger than k-core
+    * (every k-truss edge is inside a (k−1)-core).
+    *
+    * Scale: the wedge join is the triangle-counting join (one shuffle on
+    * the shared lower endpoint; hub cost bounded by orientation), support
+    * aggregation keys on edges — no per-node state, rounds fixed. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().pinned
+    for (_ <- 1 to rounds) {
+      val tri = e.select(col("a").as("u"), col("b").as("v"))
+        .join(e.select(col("a").as("u2"), col("b").as("w")),
+          col("u") === col("u2") && col("w") > col("v"))
+        .join(e.select(col("a").as("v2"), col("b").as("w2")),
+          col("v") === col("v2") && col("w") === col("w2"))
+        .select(col("u"), col("v"), col("w"))
+      val support = tri.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(tri.select(col("u").as("a"), col("w").as("b")))
+        .unionAll(tri.select(col("v").as("a"), col("w").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      e = e.join(support, Seq("a", "b"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b")).pinned
+    }
+    e
+  }
+
+  /** DuckDB twin of [[kTruss]] over `edgesCte(src, dst)`: CTE chain
+    * ending in `kt$rounds(a, b)`. */
+  def kTrussCtesSql(edgesCte: String, k: Int, rounds: Int = 8): String = {
+    val init =
+      s"""kt0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b
+         |  FROM $edgesCte WHERE src <> dst)""".stripMargin
+    val rs = (1 to rounds).map { t =>
+      s"""ktt$t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM kt${t - 1} e1
+         |  JOIN kt${t - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN kt${t - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |kts$t AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+         |    SELECT u AS a, v AS b FROM ktt$t
+         |    UNION ALL SELECT u, w FROM ktt$t
+         |    UNION ALL SELECT v, w FROM ktt$t) GROUP BY a, b),
+         |kt$t AS MATERIALIZED (SELECT e.a, e.b FROM kt${t - 1} e
+         |  LEFT JOIN kts$t s ON s.a = e.a AND s.b = e.b
+         |  WHERE COALESCE(s.sup, 0) >= ${k - 2})""".stripMargin
+    }
+    (init +: rs).mkString(",\n")
+  }
+
   /** Walk-window skip-gram co-occurrence counts: ordered (center,
     * context) pairs within ±`window` positions over [[randomWalks]] /
     * [[node2vecWalks]] output `(walk_id, step, node)` — the corpus

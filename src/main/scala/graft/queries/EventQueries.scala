@@ -30,6 +30,56 @@ object EventQueries extends QueryModule {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // Type-2 SCD history build (r9): the warehouse dimension pattern the
+    // reference's Type-1 upsert (D2/D5) cannot express — every status
+    // change opens a validity interval, the next change closes it.
+    // Change stream = each user's event stream with consecutive repeats
+    // collapsed (lag window); valid_to = lead over the collapsed stream;
+    // the open interval is the current row. Two user-keyed windows, no
+    // global state — at scale this is one shuffle on the dimension key.
+    "d7_scd2_history" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_from", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .withColumn("valid_to", lead(expr("unix_micros(CAST(ts AS TIMESTAMP))"), 1).over(byUser))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // Hourly z-score anomaly flags (r9): per event type, each hour's
+    // count against the type's own hourly distribution. Integer-cleared
+    // z = (c·n − Σc)/√(n·Σc² − (Σc)²): numerator BIGINT, denominator one
+    // IEEE sqrt of a BIGINT, one division — hash-exact cross-engine. The
+    // per-type stats frame is |types| rows, broadcast; the only shuffle
+    // is the hourly rollup itself.
+    "evt_zscore_anomaly" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("c"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("sd",
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")))
+        .select(col("window_start"), col("event_type"),
+          col("c").as("n_events"),
+          when(col("sd") === 0.0, lit(null).cast("double"))
+            .otherwise((col("c") * col("n") - col("s1")).cast("double") /
+              col("sd")).as("z"))
+        .withColumn("anomaly", coalesce(abs(col("z")) > lit(2.0), lit(false)))
+        .orderBy(col("event_type"), col("window_start"))
+    }),
+
     // Gap-based sessionization (30-min inactivity): lag + running session
     // counter — the window-frame idiom every funnel pipeline uses.
     "evt_sessionize" -> ((s, dir) => {
@@ -192,6 +242,39 @@ object EventQueries extends QueryModule {
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "d7_scd2_history" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flt AS (SELECT user_id, ts, event_id, event_type FROM ch
+        |        WHERE prev IS NULL OR prev <> event_type),
+        |h AS (SELECT user_id, event_type AS status,
+        |             epoch_us(ts) AS valid_from,
+        |             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS valid_to
+        |      FROM flt)
+        |SELECT user_id, status, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM h ORDER BY user_id, valid_from""".stripMargin,
+
+    "evt_zscore_anomaly" ->
+      """WITH zh AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |                   event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |zs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(c) AS BIGINT) AS s1,
+        |              CAST(SUM(c * c) AS BIGINT) AS s2
+        |       FROM zh GROUP BY event_type),
+        |zz AS (SELECT h.window_start, h.event_type, h.c AS n_events,
+        |              CAST(h.c * s.n - s.s1 AS DOUBLE)
+        |                / NULLIF(sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)), 0) AS z
+        |       FROM zh h JOIN zs s ON s.event_type = h.event_type)
+        |SELECT window_start, event_type, n_events, z,
+        |       COALESCE(abs(z) > 2.0, FALSE) AS anomaly
+        |FROM zz ORDER BY event_type, window_start""".stripMargin,
 
     "evt_sessionize" ->
       """WITH lagged AS (

@@ -320,6 +320,51 @@ object GraphQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // k-truss (r9): the community-core filter one notch above k-core —
+    // 4-truss surviving edges after 8 fixed peeling rounds (stable well
+    // before that on this graph; fixed rounds keep the twin unrollable).
+    "g_ktruss" -> ((s, dir) =>
+      Graph.kTruss(refEdges(s, dir), k = 4)
+        .orderBy(col("a"), col("b"))),
+
+    // Hard-negative mining (r9): per query node, the top-5 CLOSEST
+    // embedding neighbors that are NOT graph neighbors — the pairs a
+    // contrastive trainer needs (positives = edges, hard negatives =
+    // close-but-unlinked). Same exact-BIGINT cosine machinery as
+    // g_fastrp_topk plus one anti-join against the undirected edge set;
+    // the anti-join keys on (query, candidate) — a plain shuffle.
+    "g_hard_negatives" -> ((s, dir) => {
+      val e = refEdges(s, dir)
+      val emb = Graph.fastRpFixed(e, dim = 8, iters = 3, scale = 1000000L)
+      val norms = emb.groupBy(col("id"))
+        .agg(sum(col("emb") * col("emb")).as("n2"))
+        .filter(col("n2") > 0)
+      val q = emb.select(col("id").as("qid"), col("pos"), col("emb").as("qv"))
+        .filter(col("qid") < 20)
+      val und = e.select(col("src").as("qid"), col("dst").as("nid"))
+        .union(e.select(col("dst").as("qid"), col("src").as("nid")))
+        .distinct()
+      val dots = q.join(emb.select(col("id").as("nid"), col("pos"),
+            col("emb").as("nv")), Seq("pos"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qv") * col("nv")).as("dot"))
+        .join(und, Seq("qid", "nid"), "left_anti")
+      dots
+        .join(norms.select(col("id").as("qid"), col("n2").as("qn2")), Seq("qid"))
+        .join(norms.select(col("id").as("nid"), col("n2").as("nn2")), Seq("nid"))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("nn2").cast("double"))))
+        .groupBy(col("qid"))
+        .agg(graft.plans.GraftExtensions.boundedTopK(
+          struct(col("cos"), col("nid")), 5, descFirst = true).as("top"))
+        .select(col("qid").as("query_id"),
+          posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("query_id"), col("t.nid").as("neighbor_id"),
+          (col("p") + 1).as("rnk"), col("t.cos").as("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // G5 — community detection via connected components. Min-label
     // propagation converges to min-node-id-per-component, which a
     // recursive CTE can re-derive → oracle-checked.
@@ -763,6 +808,39 @@ object GraphQueries extends QueryModule {
          |${Graph.node2vecWalksCtesSql("e", 20L, 5)}
          |SELECT walk_id, CAST(step AS INT) AS step, node FROM nvall
          |ORDER BY walk_id, step""".stripMargin,
+
+    "g_ktruss" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.kTrussCtesSql("e", 4)}
+         |SELECT a, b FROM kt8 ORDER BY a, b""".stripMargin,
+
+    "g_hard_negatives" ->
+      s"""WITH $refEdgesSql,
+         |frund AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst FROM e UNION SELECT dst, src FROM e)
+         |  WHERE src <> dst),
+         |${Graph.fastRpCtesSql("frund", 8, 3, scale = 1000000L)},
+         |fnorm AS MATERIALIZED (SELECT id, CAST(SUM(emb * emb) AS BIGINT) AS n2
+         |  FROM fremb GROUP BY id HAVING SUM(emb * emb) > 0),
+         |fq AS (SELECT id AS qid, pos, emb AS qv FROM fremb WHERE id < 20),
+         |fdot AS (SELECT q.qid, n.id AS nid,
+         |    CAST(SUM(q.qv * n.emb) AS BIGINT) AS dot
+         |  FROM fq q JOIN fremb n ON n.pos = q.pos AND n.id <> q.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM e x
+         |    WHERE (x.src = q.qid AND x.dst = n.id)
+         |       OR (x.src = n.id AND x.dst = q.qid))
+         |  GROUP BY q.qid, n.id),
+         |fcos AS (SELECT d.qid, d.nid,
+         |    CAST(d.dot AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |  FROM fdot d JOIN fnorm a ON a.id = d.qid
+         |       JOIN fnorm b ON b.id = d.nid),
+         |franked AS (SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+         |  FROM fcos)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS INT) AS rnk, cos
+         |FROM franked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "g_walk_cooc" ->
       s"""WITH $refEdgesSql,

@@ -36,6 +36,17 @@ class GraphSpec extends AnyFunSuite {
     assert(cc(10L) == 10L && cc(11L) == 10L)
   }
 
+  test("kTruss keeps K4, peels pendant edges and pure triangles at k=4") {
+    // K4 on 1..4 (every edge in 2 triangles — a 4-truss), a pendant edge
+    // 4-9, and a separate triangle 10-11-12 (support 1 < 2 → peeled)
+    val g = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 9L, 10L -> 11L, 10L -> 12L, 11L -> 12L)
+    val kept = Graph.kTruss(g, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+  }
+
   test("star-contraction CC equals min-label CC (chains, merges, isolates)") {
     // two chains bridged late + a separate pair: exercises multi-round
     // contraction and the star-forest readout

@@ -56,4 +56,19 @@ class PlanGuardSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
     }
   }
+
+  test("bm25 top-k plans TakeOrderedAndProject, never a global sort") {
+    val p = plan("txt_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("decon_semantic broadcasts the quarantine side only") {
+    // the corpus × quarantine pairing must be a broadcast nested loop of
+    // the SMALL side — a shuffled cross of the corpus would be the
+    // scale-killer this operator exists to avoid
+    val p = plan("decon_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

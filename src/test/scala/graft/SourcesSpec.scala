@@ -2,11 +2,28 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.Sources
+import graft.sources.{LandedFileTransport, Sources}
+
+/** Landed-file transport that records every fetch group's size (static —
+  * local-mode executors share the JVM), proving the one-request-per-
+  * batch contract at the DSv2 layer. */
+class CountingTransport extends LandedFileTransport {
+  override def fetch(ids: Seq[String]): Seq[(String, String)] = {
+    CountingTransport.groups.add(ids.size)
+    super.fetch(ids)
+  }
+}
+
+object CountingTransport {
+  val groups = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  def reset(): Unit = groups.clear()
+}
 
 /** Round-trips for the source/sink surface with declared schemas,
   * including the reference mocks' edge content: quoted publisher with a
@@ -52,6 +69,31 @@ class SourcesSpec extends AnyFunSuite {
     Sources.appendDeadLetter(df.limit(1), dir)
     Sources.appendDeadLetter(df.limit(2), dir)
     assert(spark.read.schema(schema).json(dir).count() == 3)
+  }
+
+  test("graft-api DataSourceV2: planned partitions, batched fetches, " +
+      "null payload for missing ids") {
+    val dir = Files.createTempDirectory("api").toString
+    (1 to 7).filter(_ != 5).foreach(i =>
+      Files.writeString(java.nio.file.Paths.get(dir, s"w$i.json"),
+        s"""{"id":"w$i","cites":$i}"""))
+    CountingTransport.reset()
+    val got = spark.read.format("graft-api")
+      .option("dir", dir)
+      .option("ids", (1 to 7).map(i => s"w$i").mkString(","))
+      .option("numPartitions", "2")
+      .option("batchSize", "3")
+      .option("transportClass", classOf[CountingTransport].getName)
+      .load()
+    assert(got.rdd.getNumPartitions == 2)
+    val rows = got.collect().map(r => r.getString(0) ->
+      Option(r.getString(1))).toMap
+    assert(rows.size == 7)
+    assert(rows("w5").isEmpty, "missing landed file must yield null payload")
+    assert(rows("w3").get.contains("\"cites\":3"))
+    // one fetch per <=batchSize group per partition: 4 ids + 3 ids at
+    // batch 3 -> groups of 3,1,3
+    assert(CountingTransport.groups.asScala.toSeq.sorted == Seq(1, 3, 3))
   }
 
   test("partitioned parquet write prunes partitions on read") {
