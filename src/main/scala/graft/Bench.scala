@@ -139,7 +139,8 @@ object Bench {
     "evt_zscore_anomaly",
     "d7_scd2_history",
     "g_hard_negatives",
-    "g_ktruss")
+    "g_ktruss",
+    "pipe_corpus_card")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

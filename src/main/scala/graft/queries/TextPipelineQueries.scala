@@ -442,6 +442,22 @@ object TextPipelineQueries extends QueryModule {
     }),
 
     // Document fingerprinting: content md5 + winnowing-style min-gram hash.
+    // Dataset card (r9): the one-row corpus summary every published
+    // training set ships with — doc/token/lang counts, length extremes,
+    // integer mean (DIV — no float drift), empty-doc count. One
+    // map-side-combined aggregate; at 100 TB this is a single pass.
+    "pipe_corpus_card" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextAnalysis.toks(col("text"))).cast("long").as("n"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("n")).as("min_tokens"),
+          max(col("n")).as("max_tokens"),
+          expr("SUM(n) DIV COUNT(*)").as("avg_tokens"),
+          sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_empty"))),
+
     // BM25 top-20 (r9): the standalone keyword scorer of the retrieval
     // family — exact-integer cleared fraction + grid-snapped idf, so
     // even the float scores hash.
@@ -879,6 +895,18 @@ object TextPipelineQueries extends QueryModule {
       (TextAnalysis.fingerprintSql("documents") + "\nORDER BY doc_id"),
 
     "txt_bm25_topk" ->
-      TextAnalysis.bm25TopKSql("documents", bm25Terms, 20)
+      TextAnalysis.bm25TopKSql("documents", bm25Terms, 20),
+
+    "pipe_corpus_card" ->
+      s"""WITH cc AS (SELECT lang, CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n
+         |            FROM documents)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       MIN(n) AS min_tokens,
+         |       MAX(n) AS max_tokens,
+         |       CAST(SUM(n) // COUNT(*) AS BIGINT) AS avg_tokens,
+         |       CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         |FROM cc""".stripMargin
   )
 }

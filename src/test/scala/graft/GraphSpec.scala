@@ -60,6 +60,19 @@ class GraphSpec extends AnyFunSuite {
     assert(star(9L) == 1L && star(20L) == 20L && star(21L) == 20L)
   }
 
+  test("star CC converges on a 300-chain where 30-round min-label cannot") {
+    // the diameter argument, concretely: min-label moves the min ONE hop
+    // per round, so 30 rounds leave far nodes of a 300-chain mislabeled;
+    // star contraction halves depth per round and finishes in ~log n
+    val chain = (0L until 299L).map(i => i -> (i + 1)).toDF("src", "dst")
+    val partial = Graph.connectedComponents(chain, maxIters = 30)
+      .select("component").distinct().count()
+    assert(partial > 1, "30-round min-label should NOT have converged")
+    val star = Graph.connectedComponentsStar(chain)
+      .select("component").distinct().count()
+    assert(star == 1L)
+  }
+
   test("SCC splits two cycles joined by a one-way edge (weak-CC merges them)") {
     // 1→2→3→1 and 4→5→6→4 joined by 3→4: ONE weak component, TWO SCCs
     val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
