@@ -140,7 +140,8 @@ object Bench {
     "d7_scd2_history",
     "g_hard_negatives",
     "g_ktruss",
-    "pipe_corpus_card")
+    "pipe_corpus_card",
+    "lay_zorder")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

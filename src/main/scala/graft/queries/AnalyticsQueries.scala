@@ -61,6 +61,18 @@ object AnalyticsQueries extends QueryModule {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Z-order layout (r9): Morton value of (l_partkey, l_suppkey) per
+    // lineitem — the multi-column data-skipping key OPTIMIZE ZORDER BY
+    // clusters on. Pure BIGINT bit interleave (identical in any engine);
+    // the range-partition WRITE path is Layout.zorderRepartition,
+    // spec-asserted to tighten BOTH columns' per-file min/max.
+    "lay_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.morton2(col("l_partkey"), col("l_suppkey"))
+            .as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))),
+
     // Full CUBE over (year, status) with a money measure — all four
     // grouping sets in one pass (ROLLUP's lattice sibling).
     "agg_cube_orders" -> ((s, dir) => {
@@ -172,6 +184,12 @@ object AnalyticsQueries extends QueryModule {
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "lay_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |       ${graft.operators.Layout.morton2Sql("l_partkey", "l_suppkey")} AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
 
     "agg_cube_orders" ->
       """SELECT year(o_orderdate) AS order_year, o_orderstatus,
