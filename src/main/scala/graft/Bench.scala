@@ -141,7 +141,10 @@ object Bench {
     "g_hard_negatives",
     "g_ktruss",
     "pipe_corpus_card",
-    "lay_zorder")
+    "lay_zorder",
+    "g_eccentricity",
+    "evt_hourly_top_users",
+    "g_pmi_embed2")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -2029,11 +2029,13 @@ object Graph {
     * dense d×d or n×n); each step is one pair-keyed join, one node
     * groupBy, and a 1-row broadcast norm. Completes the walk stack:
     * [[randomWalks]] → [[walkCooccurrence]] → learned embedding. */
-  def pmiEmbed(cooc: DataFrame, iters: Int): DataFrame = {
+  /** The grid-snapped PPMI matrix shared by [[pmiEmbed]] /
+    * [[pmiEmbed2]]: (node_a, node_b, m). */
+  private def ppmiMatrix(cooc: DataFrame): DataFrame = {
     val tot = cooc.agg(sum(col("cnt")).cast("double").as("t"))
     val marg = cooc.groupBy(col("node_a").as("mid"))
       .agg(sum(col("cnt")).cast("double").as("mc"))
-    val m = cooc
+    cooc
       .join(marg.select(col("mid").as("node_a"), col("mc").as("ra")), "node_a")
       .join(marg.select(col("mid").as("node_b"), col("mc").as("rb")), "node_b")
       .crossJoin(broadcast(tot))
@@ -2043,20 +2045,72 @@ object Graph {
             (col("ra") * col("rb"))) * lit(1e6) + lit(0.5)).cast("long"))
           .cast("double") / lit(1e6)).as("m"))
       .pinned
+  }
+
+  /** One snapped mat-vec: u_a = Σ_b snap(m_ab·w_b). */
+  private def pmiMatVec(m: DataFrame, w: DataFrame): DataFrame =
+    m.join(w.select(col("id").as("node_b"), col("w")), "node_b")
+      .groupBy(col("node_a").as("id"))
+      .agg((sum(floor(col("m") * col("w") * lit(1e6) + lit(0.5))
+        .cast("long")).cast("double") / lit(1e6)).as("u"))
+
+  /** Normalize `(id, u)` to unit length under the grid norm. */
+  private def pmiNormalize(u: DataFrame): DataFrame = {
+    val nrm = u.agg(sqrt(
+      sum(floor(col("u") * col("u") * lit(1e6) + lit(0.5)).cast("long"))
+        .cast("double") / lit(1e6)).as("nrm"))
+    u.crossJoin(broadcast(nrm))
+      .select(col("id"), (col("u") / col("nrm")).as("w")).pinned
+  }
+
+  private def pmiPower(m: DataFrame, iters: Int): DataFrame = {
     var w = m.select(col("node_a").as("id")).distinct()
       .withColumn("w", lit(1.0)).pinned
+    for (_ <- 1 to iters) w = pmiNormalize(pmiMatVec(m, w))
+    w
+  }
+
+  def pmiEmbed(cooc: DataFrame, iters: Int): DataFrame =
+    pmiPower(ppmiMatrix(cooc), iters)
+      .select(col("id"), col("w").as("emb"))
+
+  /** 2-D NetMF embedding via DEFLATION: the top eigenvector v₁ as in
+    * [[pmiEmbed]], then the second by power iteration on the implicitly
+    * deflated M − λ₁·v₁v₁ᵀ — the matrix itself is never modified; each
+    * step subtracts the rank-1 correction `λ₁·v₁_a·(v₁ᵀw)` from the
+    * sparse mat-vec. λ₁ = v₁ᵀ(M·v₁) with every product snapped to the
+    * 1e-6 grid, so both engines carry identical rationals end to end
+    * and even the second component hashes. Scale shape unchanged: one
+    * sparse join + a 1-row broadcast per step (the correction adds one
+    * snapped scalar product). */
+  def pmiEmbed2(cooc: DataFrame, iters: Int): DataFrame = {
+    val m = ppmiMatrix(cooc)
+    val v1 = pmiPower(m, iters)
+    // λ1 = Σ_a snap(v1_a · (M·v1)_a)
+    val mv1 = pmiMatVec(m, v1)
+    val lam = v1.join(mv1, "id")
+      .agg((sum(floor(col("w") * col("u") * lit(1e6) + lit(0.5))
+        .cast("long")).cast("double") / lit(1e6)).as("lam"))
+    var w2 = m.select(col("node_a").as("id")).distinct()
+      // all-ones start has a v1 component; deflation removes it anyway
+      .withColumn("w", lit(1.0)).pinned
     for (_ <- 1 to iters) {
-      val u = m.join(w.select(col("id").as("node_b"), col("w")), "node_b")
-        .groupBy(col("node_a").as("id"))
-        .agg((sum(floor(col("m") * col("w") * lit(1e6) + lit(0.5))
-          .cast("long")).cast("double") / lit(1e6)).as("u"))
-      val nrm = u.agg(sqrt(
-        sum(floor(col("u") * col("u") * lit(1e6) + lit(0.5)).cast("long"))
-          .cast("double") / lit(1e6)).as("nrm"))
-      w = u.crossJoin(broadcast(nrm))
-        .select(col("id"), (col("u") / col("nrm")).as("w")).pinned
+      val mw = pmiMatVec(m, w2)
+      // s = snap-sum(v1_a · w_a), 1-row
+      val s = v1.select(col("id").as("sid"), col("w").as("v1w"))
+        .join(w2.select(col("id").as("sid"), col("w").as("ww")), "sid")
+        .agg((sum(floor(col("v1w") * col("ww") * lit(1e6) + lit(0.5))
+          .cast("long")).cast("double") / lit(1e6)).as("s"))
+      val u = mw.join(v1.select(col("id"), col("w").as("v1a")), Seq("id"))
+        .crossJoin(broadcast(lam)).crossJoin(broadcast(s))
+        .select(col("id"),
+          (col("u") -
+            floor(col("lam") * col("v1a") * col("s") * lit(1e6) + lit(0.5))
+              .cast("long").cast("double") / lit(1e6)).as("u"))
+      w2 = pmiNormalize(u)
     }
-    w.select(col("id"), col("w").as("emb"))
+    v1.select(col("id"), col("w").as("emb1"))
+      .join(w2.select(col("id"), col("w").as("emb2")), Seq("id"))
   }
 
   /** SQL twin of [[pmiEmbed]] over `cooc(node_a, node_b, cnt)`: CTE
@@ -2088,6 +2142,44 @@ object Graph {
          |pw$t AS (SELECT id, u / nrm AS w FROM pu$t CROSS JOIN pn$t)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
+  }
+
+  /** SQL twin of [[pmiEmbed2]]: [[pmiEmbedCtesSql]]'s chain (v₁ =
+    * `pw$iters`) extended with λ₁ and the deflated second power loop —
+    * ends in `pq$iters(id, w)`. */
+  def pmiEmbed2CtesSql(iters: Int): String = {
+    val base = pmiEmbedCtesSql(iters)
+    val v1 = s"pw$iters"
+    val lam =
+      s"""pmv AS (SELECT m.node_a AS id,
+         |    CAST(SUM(CAST(FLOOR(m.m * w.w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS u
+         |  FROM pm m JOIN $v1 w ON w.id = m.node_b GROUP BY m.node_a),
+         |plam AS (SELECT
+         |    CAST(SUM(CAST(FLOOR(v.w * mv.u * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS lam
+         |  FROM $v1 v JOIN pmv mv ON mv.id = v.id),
+         |pq0 AS (SELECT DISTINCT node_a AS id, 1.0 AS w FROM pm)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""pqm$t AS (SELECT m.node_a AS id,
+         |    CAST(SUM(CAST(FLOOR(m.m * w.w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS u
+         |  FROM pm m JOIN pq${t - 1} w ON w.id = m.node_b GROUP BY m.node_a),
+         |pqs$t AS (SELECT
+         |    CAST(SUM(CAST(FLOOR(v.w * q.w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS s
+         |  FROM $v1 v JOIN pq${t - 1} q ON q.id = v.id),
+         |pqu$t AS (SELECT mw.id,
+         |    mw.u - CAST(CAST(FLOOR(plam.lam * v.w * pqs$t.s * 1000000.0 + 0.5)
+         |      AS BIGINT) AS DOUBLE) / 1000000.0 AS u
+         |  FROM pqm$t mw JOIN $v1 v ON v.id = mw.id
+         |  CROSS JOIN plam CROSS JOIN pqs$t),
+         |pqn$t AS (SELECT sqrt(
+         |    CAST(SUM(CAST(FLOOR(u * u * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0) AS nrm FROM pqu$t),
+         |pq$t AS (SELECT id, u / nrm AS w FROM pqu$t CROSS JOIN pqn$t)""".stripMargin
+    }
+    (base +: lam +: rounds).mkString(",\n")
   }
 
   /** SQL twin of [[triangles]] over an edge CTE `(src, dst)` — same

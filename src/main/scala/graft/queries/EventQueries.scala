@@ -80,6 +80,24 @@ object EventQueries extends QueryModule {
         .orderBy(col("event_type"), col("window_start"))
     }),
 
+    // Hourly top-k users (r9): the windowed leaderboard, via the native
+    // BoundedTopK aggregate — map-side compaction keeps state at k rows
+    // per window, no rank window over the full hourly fan-out.
+    "evt_hourly_top_users" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("user_id"), col("c"))
+        .groupBy(col("window_start"))
+        .agg(graft.plans.GraftExtensions.boundedTopK(
+          struct(col("c"), col("user_id")), 3, descFirst = true).as("top"))
+        .select(col("window_start"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("window_start"), col("t.user_id").as("user_id"),
+          (col("p") + 1).as("rnk"), col("t.c").as("c"))
+        .orderBy(col("window_start"), col("rnk"))
+    }),
+
     // Gap-based sessionization (30-min inactivity): lag + running session
     // counter — the window-frame idiom every funnel pipeline uses.
     "evt_sessionize" -> ((s, dir) => {
@@ -259,6 +277,17 @@ object EventQueries extends QueryModule {
         |SELECT user_id, status, valid_from, valid_to,
         |       valid_to IS NULL AS is_current
         |FROM h ORDER BY user_id, valid_from""".stripMargin,
+
+    "evt_hourly_top_users" ->
+      """WITH hu AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |                   user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |rk AS (SELECT window_start, user_id, c,
+        |              ROW_NUMBER() OVER (PARTITION BY window_start
+        |                ORDER BY c DESC, user_id) AS rnk
+        |       FROM hu)
+        |SELECT window_start, user_id, CAST(rnk AS INT) AS rnk, c
+        |FROM rk WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
 
     "evt_zscore_anomaly" ->
       """WITH zh AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,

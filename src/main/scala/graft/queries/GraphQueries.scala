@@ -320,6 +320,27 @@ object GraphQueries extends QueryModule {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // 2-D NetMF embedding (r9): second eigenvector via implicit
+    // deflation (M − λ₁v₁v₁ᵀ applied inside the snapped mat-vec — the
+    // matrix is never modified); even λ₁ and the rank-1 correction are
+    // grid-exact, so both components hash.
+    "g_pmi_embed2" -> ((s, dir) =>
+      Graph.pmiEmbed2(Graph.walkCooccurrence(
+        Graph.randomWalks(refEdges(s, dir), startMax = 500L, steps = 5), 2), 5)
+        .orderBy(col("id"))),
+
+    // Eccentricity / approximate diameter (r9): per sampled source, the
+    // max BFS distance and reach count — max over sources lower-bounds
+    // the diameter (the standard sampled estimate). Pure compose of the
+    // batched multi-source BFS; one job per graph level total.
+    "g_eccentricity" -> ((s, dir) =>
+      Graph.bfsDistances(refEdges(s, dir), Seq(0L, 1L, 2L, 3L, 4L),
+          maxDepth = 8)
+        .groupBy(col("source"))
+        .agg(max(col("dist")).as("eccentricity"),
+          count(lit(1)).as("n_reached"))
+        .orderBy(col("source"))),
+
     // k-truss (r9): the community-core filter one notch above k-core —
     // 4-truss surviving edges after 8 fixed peeling rounds (stable well
     // before that on this graph; fixed rounds keep the twin unrollable).
@@ -808,6 +829,23 @@ object GraphQueries extends QueryModule {
          |${Graph.node2vecWalksCtesSql("e", 20L, 5)}
          |SELECT walk_id, CAST(step AS INT) AS step, node FROM nvall
          |ORDER BY walk_id, step""".stripMargin,
+
+    "g_pmi_embed2" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.randomWalksCtesSql("e", 500L, 5)},
+         |${Graph.walkCoocCteSql("rwall", 2)},
+         |${Graph.pmiEmbed2CtesSql(5)}
+         |SELECT v.id, v.w AS emb1, q.w AS emb2
+         |FROM pw5 v JOIN pq5 q ON q.id = v.id ORDER BY v.id""".stripMargin,
+
+    "g_eccentricity" ->
+      s"""WITH $refEdgesSql,
+         |${Graph.harmonicCtesSql("e", Seq(0L, 1L, 2L, 3L, 4L), 8)}
+         |SELECT source, MAX(dist) AS eccentricity,
+         |       CAST(COUNT(*) AS BIGINT) AS n_reached
+         |FROM (${(0 to 8).map(d => s"SELECT source, id, dist FROM hm$d")
+                  .mkString("\n      UNION ALL ")})
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "g_ktruss" ->
       s"""WITH $refEdgesSql,

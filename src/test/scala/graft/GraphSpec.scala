@@ -106,6 +106,23 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(emb(2L) - math.sqrt(0.5)) < 1e-3)
   }
 
+  test("pmiEmbed2 recovers both blocks of a block-diagonal PPMI matrix") {
+    // two disjoint pairs with different association strength: the top
+    // eigenvector lives on the strong block, the deflated second on the
+    // weak one (within power-iteration separation tolerance)
+    val cooc = Seq((1L, 2L, 4L), (2L, 1L, 4L), (3L, 4L, 1L), (4L, 3L, 1L))
+      .toDF("node_a", "node_b", "cnt")
+    val out = Graph.pmiEmbed2(cooc, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val r = math.sqrt(0.5)
+    // lift(3,4) = 10 > lift(1,2) = 2.5 → block {3,4} dominates
+    assert(math.abs(out(3L)._1 - r) < 1e-2 && math.abs(out(4L)._1 - r) < 1e-2)
+    assert(math.abs(out(1L)._1) < 1e-2 && math.abs(out(2L)._1) < 1e-2)
+    assert(math.abs(out(1L)._2 - r) < 1e-2 && math.abs(out(2L)._2 - r) < 1e-2)
+    assert(math.abs(out(3L)._2) < 1e-1 && math.abs(out(4L)._2) < 1e-1)
+  }
+
   test("SCC labels a DAG all-singleton and a chain in one round") {
     // chain 1→2→3→4: every node its own SCC (canonical label = own id)
     val scc = Graph.stronglyConnectedComponents(
