@@ -2129,9 +2129,9 @@ object Graph {
          |  JOIN pmarg ra ON ra.mid = c.node_a
          |  JOIN pmarg rb ON rb.mid = c.node_b
          |  CROSS JOIN ptot),
-         |pw0 AS (SELECT DISTINCT node_a AS id, 1.0 AS w FROM pm)""".stripMargin
+         |pw0 AS MATERIALIZED (SELECT DISTINCT node_a AS id, 1.0 AS w FROM pm)""".stripMargin
     val rounds = (1 to iters).map { t =>
-      s"""pu$t AS (SELECT m.node_a AS id,
+      s"""pu$t AS MATERIALIZED (SELECT m.node_a AS id,
          |    CAST(SUM(CAST(FLOOR(m.m * w.w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 1000000.0 AS u
          |  FROM pm m JOIN pw${t - 1} w ON w.id = m.node_b
@@ -2139,7 +2139,7 @@ object Graph {
          |pn$t AS (SELECT sqrt(
          |    CAST(SUM(CAST(FLOOR(u * u * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 1000000.0) AS nrm FROM pu$t),
-         |pw$t AS (SELECT id, u / nrm AS w FROM pu$t CROSS JOIN pn$t)""".stripMargin
+         |pw$t AS MATERIALIZED (SELECT id, u / nrm AS w FROM pu$t CROSS JOIN pn$t)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
   }
@@ -2151,17 +2151,17 @@ object Graph {
     val base = pmiEmbedCtesSql(iters)
     val v1 = s"pw$iters"
     val lam =
-      s"""pmv AS (SELECT m.node_a AS id,
+      s"""pmv AS MATERIALIZED (SELECT m.node_a AS id,
          |    CAST(SUM(CAST(FLOOR(m.m * w.w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 1000000.0 AS u
          |  FROM pm m JOIN $v1 w ON w.id = m.node_b GROUP BY m.node_a),
-         |plam AS (SELECT
+         |plam AS MATERIALIZED (SELECT
          |    CAST(SUM(CAST(FLOOR(v.w * mv.u * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 1000000.0 AS lam
          |  FROM $v1 v JOIN pmv mv ON mv.id = v.id),
-         |pq0 AS (SELECT DISTINCT node_a AS id, 1.0 AS w FROM pm)""".stripMargin
+         |pq0 AS MATERIALIZED (SELECT DISTINCT node_a AS id, 1.0 AS w FROM pm)""".stripMargin
     val rounds = (1 to iters).map { t =>
-      s"""pqm$t AS (SELECT m.node_a AS id,
+      s"""pqm$t AS MATERIALIZED (SELECT m.node_a AS id,
          |    CAST(SUM(CAST(FLOOR(m.m * w.w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 1000000.0 AS u
          |  FROM pm m JOIN pq${t - 1} w ON w.id = m.node_b GROUP BY m.node_a),
@@ -2169,7 +2169,7 @@ object Graph {
          |    CAST(SUM(CAST(FLOOR(v.w * q.w * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 1000000.0 AS s
          |  FROM $v1 v JOIN pq${t - 1} q ON q.id = v.id),
-         |pqu$t AS (SELECT mw.id,
+         |pqu$t AS MATERIALIZED (SELECT mw.id,
          |    mw.u - CAST(CAST(FLOOR(plam.lam * v.w * pqs$t.s * 1000000.0 + 0.5)
          |      AS BIGINT) AS DOUBLE) / 1000000.0 AS u
          |  FROM pqm$t mw JOIN $v1 v ON v.id = mw.id
@@ -2177,7 +2177,7 @@ object Graph {
          |pqn$t AS (SELECT sqrt(
          |    CAST(SUM(CAST(FLOOR(u * u * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / 1000000.0) AS nrm FROM pqu$t),
-         |pq$t AS (SELECT id, u / nrm AS w FROM pqu$t CROSS JOIN pqn$t)""".stripMargin
+         |pq$t AS MATERIALIZED (SELECT id, u / nrm AS w FROM pqu$t CROSS JOIN pqn$t)""".stripMargin
     }
     (base +: lam +: rounds).mkString(",\n")
   }

@@ -25,7 +25,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("z-order range layout tightens BOTH columns' per-partition spans") {
     val grid: DataFrame = spark.range(4096)
-      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"))
+      .select((col("id") % 64).as("x"), expr("id DIV 64").as("y"))
     def spans(d: DataFrame, c: String): Long = d
       .withColumn("pid", spark_partition_id())
       .groupBy("pid").agg((max(col(c)) - min(col(c))).as("r"))
