@@ -144,7 +144,8 @@ object Bench {
     "lay_zorder",
     "g_eccentricity",
     "evt_hourly_top_users",
-    "g_pmi_embed2")
+    "g_pmi_embed2",
+    "agg_exact_median")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

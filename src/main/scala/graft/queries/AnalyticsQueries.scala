@@ -61,6 +61,29 @@ object AnalyticsQueries extends QueryModule {
           col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Exact per-group median (r9): the value whose cumulative frequency
+    // crosses (n+1) DIV 2, computed over the DISTINCT-value histogram —
+    // the window runs over distinct (status, price) rows, not raw
+    // orders, so the per-group sort stays proportional to value
+    // cardinality at any scale (the approx-quantile sketch remains the
+    // unbounded-cardinality path).
+    "agg_exact_median" -> ((s, dir) => {
+      val hist = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_totalprice"))
+        .agg(count(lit(1)).as("c"))
+      val byStatus = Window.partitionBy(col("o_orderstatus"))
+      val w = byStatus.orderBy(col("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(byStatus))
+        .withColumn("k", expr("(n + 1) DIV 2"))
+        .filter(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"),
+          col("n").as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Z-order layout (r9): Morton value of (l_partkey, l_suppkey) per
     // lineitem — the multi-column data-skipping key OPTIMIZE ZORDER BY
     // clusters on. Pure BIGINT bit interleave (identical in any engine);
@@ -184,6 +207,21 @@ object AnalyticsQueries extends QueryModule {
         |FROM orders
         |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
         |ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_exact_median" ->
+      """WITH h AS (SELECT o_orderstatus, o_totalprice,
+        |                  CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, o_totalprice, c,
+        |             SUM(c) OVER (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+        |      FROM h)
+        |SELECT o_orderstatus, o_totalprice AS median_price,
+        |       CAST(n AS BIGINT) AS n_orders
+        |FROM r WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "lay_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,
