@@ -45,4 +45,23 @@ class StreamingTextPipelineSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "streamed pipeline produced no rows")
     assert(streamed == batch)
   }
+
+  test("re-running the stream over the same checkpoint is a no-op") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 120)
+    val src = tmp("stp2-src")
+    (0 until 2).foreach { i =>
+      docs.filter(col("doc_id") % 2 === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val out = tmp("stp2-out"); val ck = tmp("stp2-ck")
+    val state = tmp("stp2-state")
+    StreamingTextPipeline.run(spark, src, ck, state, out)
+    val first = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    // same checkpoint, no new files: AvailableNow finds nothing to do and
+    // the view must be byte-identical (retry/restart safety)
+    StreamingTextPipeline.run(spark, src, ck, state, out)
+    val second = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty && first == second)
+  }
 }
