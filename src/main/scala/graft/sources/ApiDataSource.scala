@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,7 +57,8 @@ class ApiTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "graft_api"
   override def schema(): StructType = ApiDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ApiScan(props ++ options.asScala)
 }
@@ -85,6 +87,63 @@ class ApiScan(props: Map[String, String])
         props.getOrElse("transportClass",
           classOf[LandedFileTransport].getName)),
       props)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ApiMicroBatchStream(props, numPartitions, batchSize,
+      props.getOrElse("transportclass",
+        props.getOrElse("transportClass",
+          classOf[LandedFileTransport].getName)))
+}
+
+/** Offset = how many files of the append-only landing journal have been
+  * consumed (files sorted by name; producers land monotonically-named
+  * files — the standard landing-zone contract). */
+case class ApiOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch stream over the landed directory: each trigger consumes
+  * the id files that appeared since the last committed offset, planned
+  * through the same partition/transport machinery as the batch scan —
+  * the reference's scheduled API pulls as a Structured Streaming
+  * source. */
+class ApiMicroBatchStream(props: Map[String, String], numPartitions: Int,
+    batchSize: Int, transportClass: String) extends MicroBatchStream {
+  private val dir = props.getOrElse("dir",
+    sys.error("graft-api streaming needs the 'dir' option"))
+
+  private def idsNow(): Array[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Array.empty
+    else {
+      val ds = java.nio.file.Files.list(p)
+      try {
+        ds.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.endsWith(".json"))
+          .map(_.stripSuffix(".json"))
+          .toArray.sorted
+      } finally ds.close()
+    }
+  }
+
+  override def initialOffset(): Offset = ApiOffset(0L)
+  override def latestOffset(): Offset = ApiOffset(idsNow().length.toLong)
+  override def deserializeOffset(json: String): Offset =
+    ApiOffset(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ApiOffset].n.toInt
+    val e = end.asInstanceOf[ApiOffset].n.toInt
+    val slice = idsNow().slice(s, e)
+    if (slice.isEmpty) Array.empty
+    else {
+      val per = math.max(1, (slice.length + numPartitions - 1) / numPartitions)
+      slice.grouped(per).map(g => ApiInputPartition(g): InputPartition).toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ApiReaderFactory(batchSize, transportClass, props)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** The ids one executor task will fetch. */

@@ -96,6 +96,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(CountingTransport.groups.asScala.toSeq.sorted == Seq(1, 3, 3))
   }
 
+  test("graft-api micro-batch stream consumes only newly landed files per run") {
+    val dir = Files.createTempDirectory("apistream").toString
+    def land(ids: Seq[Int]): Unit = ids.foreach(i =>
+      Files.writeString(java.nio.file.Paths.get(dir, f"w$i%03d.json"),
+        s"""{"id":"w$i"}"""))
+    land(1 to 3)
+    val out = Files.createTempDirectory("apistream-out").toString
+    val ck = Files.createTempDirectory("apistream-ck").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-api")
+        .option("dir", dir).option("numPartitions", "2").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(out).collect().map(_.getString(0)).sorted
+    assert(first.toSeq == Seq("w001", "w002", "w003"))
+    land(4 to 5)
+    runOnce()
+    val second = spark.read.parquet(out).collect().map(_.getString(0)).sorted
+    // exactly-once: the first three are NOT re-consumed on resume
+    assert(second.toSeq == Seq("w001", "w002", "w003", "w004", "w005"))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("pq").toString + "/out"
     Sources.writeParquet(df.na.fill("Unknown", Seq("publisher")),
