@@ -706,6 +706,7 @@ object TextAnalysis {
     * keyword leg that [[graft.operators.Hybrid.rrfTopK]] fuses by rank. */
   def bm25TopK(df: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty query term list")
     val toksed = df.select(id.as("doc_id"), toks(text).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
     val stats = toksed.agg(count(lit(1)).as("n"),
@@ -738,6 +739,7 @@ object TextAnalysis {
   /** DuckDB twin of [[bm25TopK]] over `table(doc_id, text)` — same
     * integer clearing, same grid snaps, same op order. */
   def bm25TopKSql(table: String, terms: Seq[String], k: Int): String = {
+    require(terms.nonEmpty, "bm25TopKSql: empty query term list")
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH bd AS (SELECT doc_id, $toksSql AS t FROM $table),
        |bdl AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM bd),
