@@ -205,7 +205,12 @@ object Bench {
     }
     val loadBefore = loadAvg()
     val benchCpu0 = cpuSnap()
-    val results = headline.filter(qs.contains).map { name =>
+    // Local-iteration subset filter (comma-separated names). The driver
+    // never sets it, so the recorded headline is unaffected.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       def run(): (Double, Long, Option[String]) = {
         val g0 = gcMillis()
         val t0 = System.nanoTime()

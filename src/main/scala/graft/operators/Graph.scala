@@ -436,6 +436,72 @@ object Graph {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** G7 variant — overlap coefficient |N(a)∩N(b)| / min(|N(a)|,|N(b)|)
+    * (GDS `nodeSimilarity` with `similarityMetric: OVERLAP`,
+    * dags/graph_queries.cyp's nodeSimilarity family). Same streamed
+    * pair-generation as [[jaccardSimilarity]] — only the denominator
+    * changes — so the identical `maxDegree` hub cap is the 100× knob. */
+  def overlapSimilarity(edges: DataFrame, threshold: Double,
+      maxDegree: Option[Long] = None): DataFrame = {
+    val adj0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+    val degAll = adj0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val (adj, deg) = maxDegree match {
+      case None => (adj0, degAll)
+      case Some(cap) =>
+        val kept = degAll.filter(col("deg") <= cap)
+        (adj0.join(kept.select(col("src")), Seq("src"), "left_semi"), kept)
+    }
+    val inter = adj.as("a")
+      .join(adj.as("b"), col("a.dst") === col("b.dst") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("id_a"), col("b.src").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(deg.as("da"), col("da.src") === col("id_a"))
+      .join(deg.as("db"), col("db.src") === col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") * lit(1.0) /
+          least(col("da.deg"), col("db.deg"))).as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
+  /** G7 variant — weighted Jaccard Σₓ min(wₐ(x), w_b(x)) / Σₓ max(wₐ(x),
+    * w_b(x)) over relationship weights (GDS `nodeSimilarity` with
+    * `relationshipWeightProperty`). Σmax never needs the union
+    * materialized: Σmax = Wₐ + W_b − Σmin with W = per-node weight total,
+    * so the plan is the exact [[jaccardSimilarity]] shape — a streamed
+    * shared-neighbor self-join aggregating min(w) instead of count — and
+    * the same `maxDegree` cap (on neighborhood SIZE, not weight) bounds
+    * pair generation at 100×. Integer weights in, double ratio out: both
+    * engines evaluate the identical `x * 1.0 / y` on exact BIGINTs. */
+  def weightedJaccardSimilarity(edges: DataFrame, threshold: Double,
+      maxDegree: Option[Long] = None): DataFrame = {
+    val adj0 = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val statAll = adj0.groupBy("src")
+      .agg(count(lit(1)).as("deg"), sum(col("w")).as("tot"))
+    val (adj, stat) = maxDegree match {
+      case None => (adj0, statAll)
+      case Some(cap) =>
+        val kept = statAll.filter(col("deg") <= cap)
+        (adj0.join(kept.select(col("src")), Seq("src"), "left_semi"), kept)
+    }
+    val interMin = adj.as("a")
+      .join(adj.as("b"), col("a.dst") === col("b.dst") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("id_a"), col("b.src").as("id_b"))
+      .agg(sum(least(col("a.w"), col("b.w"))).as("smin"))
+    interMin
+      .join(stat.as("sa"), col("sa.src") === col("id_a"))
+      .join(stat.as("sb"), col("sb.src") === col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("smin") * lit(1.0) /
+          (col("sa.tot") + col("sb.tot") - col("smin"))).as("wjaccard"))
+      .filter(col("wjaccard") >= threshold)
+  }
+
   /** The hub nodes a `maxDegree`-capped [[jaccardSimilarity]] excludes
     * from pair generation — (src, deg) with deg > cap. Companion to the
     * capped call so the cut is observable without an eager job inside the
@@ -510,27 +576,44 @@ object Graph {
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     val nodes = und.select(col("src").as("id")).distinct()
+    // Self-loops fold the node's OWN label into the neighborhood min, so
+    // one join+groupBy per round replaces join + left-join-back — the
+    // label frame is referenced exactly ONCE per round, which is what
+    // legalizes the pinEvery=2 unroll below (two-consumer frames must
+    // stay pinned — the r8 fifth-wave regression).
+    val undSelf = und
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .select(col("src"), col("dst").as("id")).cache()
     var labels = nodes.withColumn("component", col("id")).pinned
+    // Convergence probe (VERDICT r9 #2): labels only ever decrease, so
+    // the frame changed iff Σcomponent strictly dropped — one scan of the
+    // just-pinned checkpoint instead of the old self-join + count job.
+    // decimal(38,0) so a 100 TB id space can't overflow the sum.
+    def labSum(l: DataFrame): java.math.BigDecimal = l
+      .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+      .head.getDecimal(0)
+    def prop(l: DataFrame): DataFrame = undSelf
+      .join(l, Seq("id"))
+      .groupBy(col("src")).agg(min(col("component")).as("component"))
+      .select(col("src").as("id"), col("component"))
+    var lsum = labSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = und
-        .join(labels, und("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
-        .pinned
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component")).count()
+      // two propagation rounds per pin+probe (pinEvery=2): the mid frame
+      // is lazy and single-consumer, so the unroll halves the job count
+      // without double-evaluating anything. Propagation is monotone and
+      // idempotent at the fixpoint, so probing only even rounds at worst
+      // re-runs one no-op round.
+      val next = prop(prop(labels)).pinned
+      val s = labSum(next)
       labels = next
-      converged = changed == 0
-      i += 1
+      converged = s.compareTo(lsum) == 0
+      lsum = s
+      i += 2
     }
     und.unpersist()
+    undSelf.unpersist()
     labels
   }
 
@@ -646,26 +729,38 @@ object Graph {
         .filter(col("b_src") === col("b_dst"))
         .select(col("src"), col("dst")).pinned
       // min-label propagation to fixpoint along `adj` (intra-block edges
-      // only, so labels never cross a block boundary)
+      // only, so labels never cross a block boundary). Same restructure
+      // as [[connectedComponents]] (VERDICT r9 #2): self-loops fold the
+      // own-label identity into one join+groupBy per round (label frame
+      // referenced ONCE → pinEvery=2 unroll is legal), and the
+      // convergence probe is a monotone Σlab comparison on the pinned
+      // checkpoint instead of a self-join + count job per inner
+      // iteration — inside outer-round × inner-iteration nesting where
+      // the probe used to double the job count of the latency-bound loop.
       def minProp(adj: DataFrame): DataFrame = {
+        val adjSelf = adj
+          .union(assign.select(col("id").as("src"), col("id").as("dst")))
+          .select(col("src").as("id"), col("dst")).cache()
+        def labSum(l: DataFrame): java.math.BigDecimal = l
+          .agg(sum(col("lab").cast("decimal(38,0)")).as("s"))
+          .head.getDecimal(0)
+        def prop(l: DataFrame): DataFrame = adjSelf
+          .join(l, Seq("id"))
+          .groupBy(col("dst")).agg(min(col("lab")).as("lab"))
+          .select(col("dst").as("id"), col("lab"))
         var labels = assign.select(col("id"), col("id").as("lab")).pinned
+        var lsum = labSum(labels)
         var done = false
         var i = 0
         while (!done && i < maxIters) {
-          val nbr = adj
-            .join(labels.select(col("id").as("src"), col("lab")), "src")
-            .groupBy(col("dst")).agg(min(col("lab")).as("nbr"))
-          val next = labels.join(nbr, labels("id") === nbr("dst"), "left")
-            .select(col("id"),
-              least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
-            .pinned
-          val changed = next.as("n").join(labels.as("o"),
-              col("n.id") === col("o.id"))
-            .filter(col("n.lab") =!= col("o.lab")).count()
+          val next = prop(prop(labels)).pinned
+          val s = labSum(next)
           labels = next
-          done = changed == 0
-          i += 1
+          done = s.compareTo(lsum) == 0
+          lsum = s
+          i += 2
         }
+        adjSelf.unpersist()
         labels
       }
       val f = minProp(eb).select(col("id"), col("lab").as("flabel"))

@@ -175,6 +175,28 @@ object GraphQueries extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // G7 (GDS nodeSimilarity, similarityMetric OVERLAP) — overlap
+    // coefficient |∩| / min(deg) on the same part–order membership as
+    // g_jaccard_parts: only the denominator differs, so pair-generation
+    // cost and the maxDegree 100× knob are shared with the jaccard pair.
+    "g_overlap_parts" -> ((s, dir) => {
+      val membership = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
+      Graph.overlapSimilarity(membership, 0.1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // G7 (GDS nodeSimilarity, relationshipWeightProperty) — weighted
+    // Jaccard Σmin/Σmax with exact integer quantity weights (l_quantity
+    // is integral; CAST to BIGINT keeps both engines on exact sums).
+    "g_wjaccard_parts" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      Graph.weightedJaccardSimilarity(m, 0.05)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // G8 — bounded 2-hop reachability over REFERENCES.
     "g_2hop_reach" -> ((s, dir) => {
       Graph.kHopReach(refEdges(s, dir), 2)
@@ -733,6 +755,35 @@ object GraphQueries extends QueryModule {
          |             JOIN kept db ON db.src = i.id_b
          |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "g_overlap_parts" ->
+      """WITH adj AS (SELECT DISTINCT l_partkey AS src, l_orderkey AS dst FROM lineitem),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+        |inter AS (SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS inter
+        |          FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
+        |          GROUP BY a.src, b.src)
+        |SELECT i.id_a, i.id_b,
+        |       i.inter * 1.0 / LEAST(da.deg, db.deg) AS overlap
+        |FROM inter i JOIN deg da ON da.src = i.id_a
+        |             JOIN deg db ON db.src = i.id_b
+        |WHERE i.inter * 1.0 / LEAST(da.deg, db.deg) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "g_wjaccard_parts" ->
+      """WITH adj AS (SELECT l_partkey AS src, l_orderkey AS dst,
+        |                    SUM(CAST(l_quantity AS BIGINT)) AS w
+        |             FROM lineitem GROUP BY 1, 2),
+        |stat AS (SELECT src, COUNT(*) AS deg, SUM(w) AS tot FROM adj GROUP BY src),
+        |im AS (SELECT a.src AS id_a, b.src AS id_b,
+        |              SUM(LEAST(a.w, b.w)) AS smin
+        |       FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
+        |       GROUP BY a.src, b.src)
+        |SELECT i.id_a, i.id_b,
+        |       i.smin * 1.0 / (sa.tot + sb.tot - i.smin) AS wjaccard
+        |FROM im i JOIN stat sa ON sa.src = i.id_a
+        |          JOIN stat sb ON sb.src = i.id_b
+        |WHERE i.smin * 1.0 / (sa.tot + sb.tot - i.smin) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "g_components" -> componentsSizesSql,
     // algorithm-independent canonical output — the star-contraction

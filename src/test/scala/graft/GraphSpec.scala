@@ -243,6 +243,33 @@ class GraphSpec extends AnyFunSuite {
     assert(!j.contains((1L, 1L)))
   }
 
+  test("overlapSimilarity: subset neighborhood -> 1.0 under min denominator") {
+    // 1 -> {10, 11, 12}; 2 -> {10, 11}; 3 -> {12, 13}.
+    // overlap(1,2) = 2/min(3,2) = 1.0 (2's set ⊂ 1's set);
+    // jaccard(1,2) would be 2/3 — the metrics must disagree here.
+    // overlap(1,3) = 1/min(3,2) = 0.5; overlap(2,3) = 0 (dropped).
+    val o = Graph.overlapSimilarity(
+      edges(1L -> 10L, 1L -> 11L, 1L -> 12L, 2L -> 10L, 2L -> 11L,
+        3L -> 12L, 3L -> 13L), 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(o((1L, 2L)) == 1.0)
+    assert(math.abs(o((1L, 3L)) - 0.5) < 1e-12)
+    assert(!o.contains((2L, 3L)))
+  }
+
+  test("weightedJaccardSimilarity: hand-computed min/max weight sums") {
+    // a=1: {x:3, y:1}; b=2: {x:1, y:1, z:2}.
+    // Σmin = min(3,1)+min(1,1) = 2; Σmax = (4+4)−2 = 6 → 1/3.
+    // Identical weighted neighborhoods (2 vs 3) → exactly 1.0.
+    val e = Seq((1L, 10L, 3L), (1L, 11L, 1L), (2L, 10L, 1L), (2L, 11L, 1L),
+        (2L, 12L, 2L), (3L, 10L, 1L), (3L, 11L, 1L), (3L, 12L, 2L))
+      .toDF("src", "dst", "w")
+    val wj = Graph.weightedJaccardSimilarity(e, 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(wj((1L, 2L)) - 1.0 / 3.0) < 1e-12)
+    assert(wj((2L, 3L)) == 1.0)
+  }
+
   test("labelPropagation separates two triangles joined by a bridge") {
     val lpa = Graph.labelPropagation(
       edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L, 4L -> 6L, 5L -> 6L,
