@@ -436,6 +436,41 @@ object Graph {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over the
+    * undirected edge set — positive = hubs link hubs, negative =
+    * hub-and-spoke. Kept EXACT: with each undirected edge once and
+    * j,k the full endpoint degrees,
+    *   r = [4·M·Σjk − (Σ(j+k))²] / [2·M·Σ(j²+k²) − (Σ(j+k))²]
+    * (Newman's form multiplied through by 4M² so every term is an
+    * integer sum — degree sums up to ~1e16 at sf0.1, far inside BIGINT;
+    * the one division is double-of-exact-integers, identical in both
+    * engines). One groupBy + one join + one global aggregate: a single
+    * pass at any scale. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+    val deg = und.select(col("lo").as("id"))
+      .union(und.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("id").as("lo"), col("deg").as("dj")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("dk")), Seq("hi"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dj") * col("dk")).as("sjk"),
+        sum(col("dj") + col("dk")).as("sj"),
+        sum(col("dj") * col("dj") + col("dk") * col("dk")).as("sq"))
+      .select(col("m"), col("sjk"), col("sj"), col("sq"),
+        ((lit(4L) * col("m") * col("sjk") - col("sj") * col("sj"))
+            .cast("double") /
+          (lit(2L) * col("m") * col("sq") - col("sj") * col("sj"))
+            .cast("double")).as("r"))
+  }
+
   /** G7 variant — overlap coefficient |N(a)∩N(b)| / min(|N(a)|,|N(b)|)
     * (GDS `nodeSimilarity` with `similarityMetric: OVERLAP`,
     * dags/graph_queries.cyp's nodeSimilarity family). Same streamed
@@ -2086,15 +2121,21 @@ object Graph {
     * key — no hub blowup possible), the groupBy on node pairs; both are
     * plain hash shuffles, and the pair space is bounded by
     * |walks|·len·window, independent of graph size. */
-  def walkCooccurrence(walks: DataFrame, window: Int): DataFrame = {
+  def walkCooccurrence(walks: DataFrame, window: Int,
+      minCount: Long = 1L): DataFrame = {
     val a = walks.select(col("walk_id").as("wa"), col("step").as("sa"),
       col("node").as("na"))
     val b = walks.select(col("walk_id").as("wb"), col("step").as("sb"),
       col("node").as("nb"))
-    a.join(b, col("wa") === col("wb") && col("sb") =!= col("sa") &&
+    val cooc = a.join(b, col("wa") === col("wb") && col("sb") =!= col("sa") &&
         col("sb") >= col("sa") - window && col("sb") <= col("sa") + window)
       .groupBy(col("na").as("node_a"), col("nb").as("node_b"))
       .agg(count(lit(1)).as("cnt"))
+    // minCount: the 100× knob (word2vec's min_count) — if the distinct
+    // pair table is the bill at scale, pruning singletons bounds it while
+    // barely moving the PPMI spectrum (singleton pairs carry the least
+    // mass). Default 1 = the oracle's exact formulation.
+    if (minCount <= 1L) cooc else cooc.filter(col("cnt") >= minCount)
   }
 
   /** SQL twin of [[walkCooccurrence]] over `walksCte(walk_id, step,

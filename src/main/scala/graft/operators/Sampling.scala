@@ -201,6 +201,57 @@ object Sampling {
     * unique doc id), so no single-partition window exists at any scale;
     * the corpus count joins back as a one-row crossJoin, not a driver
     * collect. */
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * doc by its rare-transition rate under the corpus's own bigram LM
+    * ([[TextAnalysis.lmSurprise]] — the hash-stable stand-in for mean
+    * log-prob) and split the ranking into head/middle/tail thirds.
+    * Downstream mixes train head-heavy or drop the tail.
+    *
+    * Determinism: the rate is INTEGER fixed point ((n_rare·1e6) DIV
+    * n_bigrams — both engines truncate toward zero), the ranking is the
+    * two-pass global rank on the unique (rate_fp, doc_id) pair (no
+    * unpartitioned window), and the bucket is integer arithmetic on the
+    * rank — the [[curriculum]] discipline applied to a quality signal.
+    * Docs with no bigrams rank past every real rate (sentinel 1e6+1). */
+  def pplBuckets(df: DataFrame, id: Column, text: Column,
+      minP: Double, buckets: Int = 3): DataFrame = {
+    val scored = TextAnalysis.lmSurprise(df, id, text, minP)
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        when(col("n_bigrams") === 0L, lit(1000001L))
+          .otherwise(expr("(n_rare * 1000000) DIV n_bigrams")).as("rate_fp"))
+    val ranked = Ranking.globalDenseRankCols(scored,
+      Seq("rate_fp", "doc_id"), "rank", ascending = true)
+    val n = scored.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        col("rate_fp"), col("rank"),
+        expr(s"((rank - 1) * $buckets) DIV n").as("bucket"))
+      .withColumn("bucket_name",
+        when(col("bucket") === 0L, lit("head"))
+          .when(col("bucket") === lit(buckets - 1), lit("tail"))
+          .otherwise(lit("middle")))
+  }
+
+  /** DuckDB twin of [[pplBuckets]] over `$src(doc_id, text)`. */
+  def pplBucketsSql(src: String, minP: Double, buckets: Int = 3): String =
+    s"""WITH pbase AS (SELECT * FROM (${TextAnalysis.lmSurpriseSql(src, minP)})),
+       |psc AS (SELECT doc_id, n_bigrams, COALESCE(n_rare, 0) AS n_rare,
+       |          CASE WHEN n_bigrams = 0 THEN 1000001
+       |               ELSE (COALESCE(n_rare, 0) * 1000000) // n_bigrams
+       |          END AS rate_fp
+       |        FROM pbase),
+       |pr AS (SELECT doc_id, n_bigrams, n_rare, rate_fp,
+       |         ROW_NUMBER() OVER (ORDER BY rate_fp, doc_id) AS rank
+       |       FROM psc)
+       |SELECT doc_id, n_bigrams, n_rare, rate_fp, rank,
+       |       ((rank - 1) * $buckets) // (SELECT COUNT(*) FROM psc) AS bucket,
+       |       CASE ((rank - 1) * $buckets) // (SELECT COUNT(*) FROM psc)
+       |         WHEN 0 THEN 'head'
+       |         WHEN ${buckets - 1} THEN 'tail'
+       |         ELSE 'middle' END AS bucket_name
+       |FROM pr
+       |ORDER BY doc_id""".stripMargin
+
   def curriculum(df: DataFrame, id: Column, text: Column,
       phases: Int): DataFrame = {
     val scored = df

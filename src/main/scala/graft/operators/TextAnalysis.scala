@@ -704,6 +704,54 @@ object TextAnalysis {
     *
     * The repo's retrieval family: this is the standalone scorer of the
     * keyword leg that [[graft.operators.Hybrid.rrfTopK]] fuses by rank. */
+  /** Per-doc token Shannon entropy (nats) — the information-density
+    * quality signal (low entropy = repetitive/templated text; Gopher-
+    * family pipelines gate on it alongside repetition ratios).
+    *
+    * H = ln n − (Σ c·ln c)/n over per-doc token counts c, carried in
+    * exact fixed point: each ln snaps to the 1e-6 grid, the Σ c·⌊ln c⌋
+    * accumulates as BIGINT micro-nats (no float summation order), and
+    * the one division is integer DIV (truncation identical in both
+    * engines). h_fp = ⌊ln n·1e6+½⌋ − (Σ c·⌊ln c·1e6+½⌋) DIV n.
+    *
+    * Scale shape: explode → (doc, token) groupBy with map-side partial
+    * counts → per-doc rollup; all narrow doc-keyed aggregation. */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val counts = df.select(id.as("doc_id"), explode(toks(text)).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") *
+          floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long")).as("sclnc_fp"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (floor(log(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long") -
+          expr("sclnc_fp DIV n_tokens")).as("h_fp"))
+      .withColumn("entropy", col("h_fp").cast("double") / lit(1e6))
+  }
+
+  /** DuckDB twin of [[tokenEntropy]] — same snap points, same integer
+    * division. Docs with zero tokens are absent from both engines (the
+    * explode drops them). */
+  def tokenEntropySql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM $table),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(t) AS tok FROM t)
+       |       GROUP BY doc_id, tok),
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |          COUNT(*) AS n_distinct,
+       |          CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sclnc_fp
+       |        FROM tc GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |       CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |         - sclnc_fp // n_tokens AS h_fp,
+       |       CAST(CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |         - sclnc_fp // n_tokens AS DOUBLE) / 1000000.0 AS entropy
+       |FROM agg""".stripMargin
+
   def bm25TopK(df: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: empty query term list")
@@ -734,6 +782,95 @@ object TextAnalysis {
       .withColumn("score", col("score_fp").cast("double") / lit(1e6))
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Position discounts 1/log₂(i+1) for [[retrievalEval]], in integer
+    * micro-units — computed ONCE here on the driver and embedded as
+    * literals in BOTH engines, so the DCG sum is a pure BIGINT dot
+    * product with no float summation anywhere. */
+  private[graft] def ndcgWeightsFp(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 * math.log(2.0) / math.log(i + 1.0)))
+
+  /** Ranking-quality evaluation of [[bm25TopK]] — nDCG@k and MRR per
+    * query, the eval loop a retrieval pipeline runs next to
+    * `sim_recall_eval`'s ANN recall. Deterministic end to end:
+    *
+    *  - graded relevance = number of distinct query terms the doc
+    *    contains (0..|terms|) — an exact, engine-independent label;
+    *  - gain 2^rel − 1 (integer), discount from [[ndcgWeightsFp]]
+    *    (integer micro-units) ⇒ DCG@k and ideal DCG@k are BIGINT sums;
+    *  - MRR as micro-units: 1e6 DIV rank-of-first-relevant (both
+    *    engines truncate), 0 when nothing relevant ranked;
+    *  - nDCG = DCG_fp / IDCG_fp, one double division of exact integers.
+    *
+    * The per-position window partitions by query over ≤k rows — bounded,
+    * never a global window. */
+  def retrievalEval(df: DataFrame, id: Column, text: Column,
+      queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    val wfp = ndcgWeightsFp(k)
+    val wAt = element_at(array(wfp.map(lit): _*), col("rnk").cast("int"))
+    val iwAt = element_at(array(wfp.map(lit): _*), col("irnk").cast("int"))
+    val toksed = df.select(id.as("doc_id"), toks(text).as("t"))
+    val graded = queries.map { case (qid, terms) =>
+      bm25TopK(df, id, text, terms, k)
+        .withColumn("qid", lit(qid))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score_fp").desc, col("doc_id"))))
+        .join(toksed, Seq("doc_id"))
+        .withColumn("rel", terms.map(t =>
+          when(array_contains(col("t"), t), 1L).otherwise(0L))
+          .reduce(_ + _))
+        .select(col("qid"), col("rnk"), col("rel"))
+    }.reduce(_ unionByName _)
+    graded
+      .withColumn("irnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rel").desc, col("rnk"))))
+      .withColumn("gain", expr("CAST(shiftleft(1, CAST(rel AS INT)) AS BIGINT) - 1"))
+      .groupBy(col("qid"))
+      .agg(sum(col("gain") * wAt).as("dcg_fp"),
+        sum(col("gain") * iwAt).as("idcg_fp"),
+        min(when(col("rel") >= 1L, col("rnk"))).as("first_rel"))
+      .select(col("qid"), col("dcg_fp"), col("idcg_fp"),
+        when(col("idcg_fp") > 0L,
+          col("dcg_fp").cast("double") / col("idcg_fp").cast("double"))
+          .as("ndcg"),
+        coalesce(expr("1000000 DIV first_rel"), lit(0L)).as("rr_fp"))
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB twin of [[retrievalEval]] — same literals, same integer
+    * sums, same division. */
+  def retrievalEvalSql(table: String, queries: Seq[(Int, Seq[String])],
+      k: Int): String = {
+    val wCase = ndcgWeightsFp(k).zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+    val rels = queries.map { case (qid, terms) =>
+      val relExpr = terms.map(t =>
+        s"CASE WHEN list_contains(t.t, '$t') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT $qid AS qid, q.rnk, CAST($relExpr AS BIGINT) AS rel
+         |FROM (SELECT doc_id, score_fp,
+         |        ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rnk
+         |      FROM (${bm25TopKSql(table, terms, k)})) q
+         |JOIN (SELECT doc_id, $toksSql AS t FROM $table) t USING (doc_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH rgr AS ($rels),
+       |rir AS (SELECT qid, rnk, rel,
+       |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, rnk) AS irnk,
+       |          (CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1 AS gain
+       |        FROM rgr),
+       |ragg AS (SELECT qid,
+       |           CAST(SUM(gain * CASE rnk $wCase END) AS BIGINT) AS dcg_fp,
+       |           CAST(SUM(gain * CASE irnk $wCase END) AS BIGINT) AS idcg_fp,
+       |           MIN(CASE WHEN rel >= 1 THEN rnk END) AS first_rel
+       |         FROM rir GROUP BY qid)
+       |SELECT qid, dcg_fp, idcg_fp,
+       |       CASE WHEN idcg_fp > 0
+       |            THEN CAST(dcg_fp AS DOUBLE) / CAST(idcg_fp AS DOUBLE) END AS ndcg,
+       |       COALESCE(1000000 // first_rel, 0) AS rr_fp
+       |FROM ragg ORDER BY qid""".stripMargin
   }
 
   /** DuckDB twin of [[bm25TopK]] over `table(doc_id, text)` — same

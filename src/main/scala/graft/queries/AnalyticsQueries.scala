@@ -151,6 +151,19 @@ object AnalyticsQueries extends QueryModule {
     // correct sketch legitimately exceeds 1σ for ~⅓ of groups, so a 1·rsd
     // gate would flake at scale while 4σ (~1 in 16k per group) stays a
     // real error detector at every SF.
+    // Deterministic HLL (r10): BOTH engines compute the SAME md5-based
+    // sketch — exact-integer registers and harmonic sum, grid-snapped
+    // linear counting — so the oracle hashes the ESTIMATE itself, the
+    // check sketch_approx_distinct's engine-native HLL++ can only
+    // bound. The sketch property that matters at 100 TB: registers
+    // merge associatively, a billion rows reduce to m=64 longs/group.
+    "sketch_hll_exact" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinct(Tables.events(s, dir),
+          col("event_type"), col("user_id"))
+        .select(col("grp").as("event_type"), col("exact_keys"),
+          col("n_rows"), col("s"), col("v_empty"), col("estimate"))
+        .orderBy(col("event_type"))),
+
     "sketch_approx_distinct" -> ((s, dir) => {
       // ONE rsd constant feeds both the sketch and the 4σ bound — the
       // documented contract breaks silently if they ever drift apart
@@ -168,6 +181,12 @@ object AnalyticsQueries extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_hll_exact" ->
+      s"""SELECT grp AS event_type, exact_keys, n_rows, s, v_empty, estimate
+         |FROM (${graft.operators.Sketches.hllDistinctSql("events",
+              "event_type", "user_id")})
+         |ORDER BY event_type""".stripMargin,
+
     "sketch_approx_distinct" ->
       """SELECT event_type,
         |       COUNT(DISTINCT user_id) AS exact_users,

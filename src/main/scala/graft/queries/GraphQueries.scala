@@ -197,6 +197,12 @@ object GraphQueries extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Degree assortativity of the REFERENCES graph (Newman's r in exact
+    // integer sums; one row) — the standard "do hubs cite hubs" summary
+    // statistic.
+    "g_assortativity" -> ((s, dir) =>
+      Graph.assortativity(refEdges(s, dir))),
+
     // G8 — bounded 2-hop reachability over REFERENCES.
     "g_2hop_reach" -> ((s, dir) => {
       Graph.kHopReach(refEdges(s, dir), 2)
@@ -755,6 +761,26 @@ object GraphQueries extends QueryModule {
          |             JOIN kept db ON db.src = i.id_b
          |WHERE i.inter * 1.0 / (da.deg + db.deg - i.inter) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "g_assortativity" ->
+      s"""WITH $refEdgesSql,
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+         |        FROM e WHERE src <> dst),
+         |deg AS (SELECT id, COUNT(*) AS deg FROM (
+         |          SELECT lo AS id FROM und UNION ALL SELECT hi FROM und)
+         |        GROUP BY id)
+         |SELECT COUNT(*) AS m,
+         |       CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sjk,
+         |       CAST(SUM(dj.deg + dk.deg) AS BIGINT) AS sj,
+         |       CAST(SUM(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT) AS sq,
+         |       CAST(4 * COUNT(*) * CAST(SUM(dj.deg * dk.deg) AS BIGINT)
+         |              - CAST(SUM(dj.deg + dk.deg) AS BIGINT)
+         |                * CAST(SUM(dj.deg + dk.deg) AS BIGINT) AS DOUBLE)
+         |       / CAST(2 * COUNT(*) * CAST(SUM(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT)
+         |              - CAST(SUM(dj.deg + dk.deg) AS BIGINT)
+         |                * CAST(SUM(dj.deg + dk.deg) AS BIGINT) AS DOUBLE) AS r
+         |FROM und JOIN deg dj ON dj.id = und.lo
+         |         JOIN deg dk ON dk.id = und.hi""".stripMargin,
 
     "g_overlap_parts" ->
       """WITH adj AS (SELECT DISTINCT l_partkey AS src, l_orderkey AS dst FROM lineitem),

@@ -82,6 +82,13 @@ object TextPipelineQueries extends QueryModule {
   // bigram types (median P ≈ 0.033) — a real tail, not degenerate
   private val lmMinP = 0.02
 
+  // nDCG eval query set: three graded-relevance keyword queries over the
+  // corpus vocabulary (shared by the Spark op and the SQL twin)
+  private val ndcgQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "hash"),
+    2 -> Seq("merge", "scan", "join"),
+    3 -> Seq("window", "filter"))
+
   // trigram-mixture rarity threshold: the 0.1·P1 unigram floor keeps
   // every in-corpus trigram's p above ~0.1/|vocab|, so the gate needs a
   // threshold above that floor to be non-degenerate
@@ -379,6 +386,30 @@ object TextPipelineQueries extends QueryModule {
       Bpe.encode(Tables.documents(s, dir), col("doc_id"), col("text"),
           merges = bpeMerges)
         .orderBy(col("doc_id"))),
+
+    // Per-doc token Shannon entropy (r10) — the information-density
+    // quality signal, in exact fixed point (ln snapped to the 1e-6 grid,
+    // BIGINT micro-nat sums, integer division).
+    "txt_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))),
+
+    // CCNet-style perplexity bucketing (r10): head/middle/tail thirds of
+    // the corpus by bigram-LM rare-transition rate — integer rates, the
+    // two-pass global rank, integer bucket arithmetic.
+    "mix_ppl_buckets" -> ((s, dir) =>
+      graft.operators.Sampling.pplBuckets(Tables.documents(s, dir), col("doc_id"),
+          col("text"), minP = lmMinP)
+        .orderBy(col("doc_id"))),
+
+    // Retrieval-quality eval (r10): nDCG@10 + MRR of the BM25 ranking
+    // per query against graded term-containment relevance — exact
+    // integer DCG (micro-unit position discounts embedded identically
+    // in both engines).
+    "ret_ndcg_eval" -> ((s, dir) =>
+      TextAnalysis.retrievalEval(Tables.documents(s, dir), col("doc_id"),
+        col("text"), ndcgQueries, 10)),
 
     // LM-based quality gate: rare-transition count/rate per doc under
     // the corpus's own bigram LM (threshold-count shape of perplexity
@@ -860,6 +891,15 @@ object TextPipelineQueries extends QueryModule {
     "lm_surprise" ->
       (TextAnalysis.lmSurpriseSql("documents", minP = lmMinP) +
         "\nORDER BY doc_id"),
+
+    "txt_entropy" ->
+      (TextAnalysis.tokenEntropySql("documents") + "\nORDER BY doc_id"),
+
+    "mix_ppl_buckets" ->
+      graft.operators.Sampling.pplBucketsSql("documents", minP = lmMinP),
+
+    "ret_ndcg_eval" ->
+      TextAnalysis.retrievalEvalSql("documents", ndcgQueries, 10),
 
     "txt_keywords" ->
       (TextAnalysis.keywordsSql("documents", k = 3) + "\nORDER BY doc_id, rnk"),

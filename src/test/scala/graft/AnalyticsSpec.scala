@@ -26,6 +26,28 @@ class AnalyticsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
   }
 
+  test("deterministic HLL: sane estimates, exact column exact, reruns identical") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ("g" + (i % 2), "user" + (i % 300)))
+      .toDF("event_type", "user_id")
+    def run() = graft.operators.Sketches
+      .hllDistinct(df, col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(5)))
+      .sortBy(_._1).toSeq
+    val rows = run()
+    rows.foreach { case (g, exact, est) =>
+      // m=64 rsd ≈ 13%; 3σ envelope
+      assert(math.abs(est - exact) <= exact * 0.4,
+        s"$g: est $est vs exact $exact")
+    }
+    assert(rows == run(), "HLL estimate must be bit-identical across runs")
+    // tiny cardinality lands in linear-counting mode and stays tight
+    val one = graft.operators.Sketches
+      .hllDistinct(Seq(("g", "u1")).toDF("event_type", "user_id"),
+        col("event_type"), col("user_id")).head
+    assert(math.abs(one.getDouble(5) - 1.0) < 0.1)
+  }
+
   test("rollup produces leaf+subtotal+grand-total levels") {
     val rows = AnalyticsQueries.queries("rollup_orders")(spark, dir).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))

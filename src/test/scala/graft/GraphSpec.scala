@@ -243,6 +243,19 @@ class GraphSpec extends AnyFunSuite {
     assert(!j.contains((1L, 1L)))
   }
 
+  test("assortativity: star = -1, path P4 = -0.5 (hand-computed Newman r)") {
+    // perfect star: every edge joins deg-3 hub to deg-1 leaf -> r = -1
+    val star = Graph.assortativity(
+      edges(1L -> 2L, 1L -> 3L, 1L -> 4L)).head
+    assert(math.abs(star.getDouble(4) - (-1.0)) < 1e-12)
+    // path 1-2-3-4: degrees 1,2,2,1; M=3, Σjk=8, Σ(j+k)=10, Σ(j²+k²)=18
+    // -> num = 96-100 = -4, den = 108-100 = 8 -> r = -0.5
+    val path = Graph.assortativity(
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L)).head
+    assert(path.getLong(0) == 3L)
+    assert(math.abs(path.getDouble(4) - (-0.5)) < 1e-12)
+  }
+
   test("overlapSimilarity: subset neighborhood -> 1.0 under min denominator") {
     // 1 -> {10, 11, 12}; 2 -> {10, 11}; 3 -> {12, 13}.
     // overlap(1,2) = 2/min(3,2) = 1.0 (2's set ⊂ 1's set);
