@@ -176,7 +176,9 @@ object Bench {
     "sketch_hll_exact",
     "txt_entropy",
     "mix_ppl_buckets",
-    "ret_ndcg_eval")
+    "ret_ndcg_eval",
+    "agg_exact_p90",
+    "agg_histogram")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose

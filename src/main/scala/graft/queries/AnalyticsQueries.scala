@@ -84,6 +84,41 @@ object AnalyticsQueries extends QueryModule {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Exact per-group p90 (r10): the same distinct-value histogram
+    // crossing as agg_exact_median at k = ⌈0.9·n⌉ = (9n+9) DIV 10 —
+    // the tail-latency percentile every ops dashboard reads, exact
+    // while the per-group sort stays ∝ value cardinality.
+    "agg_exact_p90" -> ((s, dir) => {
+      val hist = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_totalprice"))
+        .agg(count(lit(1)).as("c"))
+      val byStatus = Window.partitionBy(col("o_orderstatus"))
+      val w = byStatus.orderBy(col("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(byStatus))
+        .withColumn("k", expr("(9 * n + 9) DIV 10"))
+        .filter(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+        .select(col("o_orderstatus"), col("o_totalprice").as("p90_price"),
+          col("n").as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Equi-width histogram (r10): per-status price distribution in
+    // 20k-wide buckets — the data-profiling pass a pipeline runs before
+    // choosing filters/splits. bucket = ⌊price/20000.0⌋: one IEEE
+    // divide + floor, identical in both engines; one groupBy at any
+    // scale.
+    "agg_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"),
+          floor(col("o_totalprice") / lit(20000.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderstatus"), col("bucket"))),
+
     // Z-order layout (r9): Morton value of (l_partkey, l_suppkey) per
     // lineitem — the multi-column data-skipping key OPTIMIZE ZORDER BY
     // clusters on. Pure BIGINT bit interleave (identical in any engine);
@@ -241,6 +276,29 @@ object AnalyticsQueries extends QueryModule {
         |       CAST(n AS BIGINT) AS n_orders
         |FROM r WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_exact_p90" ->
+      """WITH h AS (SELECT o_orderstatus, o_totalprice,
+        |                  CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, o_totalprice, c,
+        |             SUM(c) OVER (PARTITION BY o_orderstatus
+        |               ORDER BY o_totalprice
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+        |      FROM h)
+        |SELECT o_orderstatus, o_totalprice AS p90_price,
+        |       CAST(n AS BIGINT) AS n_orders
+        |FROM r WHERE cum - c < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT o_orderstatus,
+        |       CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_orderstatus, bucket""".stripMargin,
 
     "lay_zorder" ->
       s"""SELECT l_orderkey, l_linenumber,

@@ -48,6 +48,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(one.getDouble(5) - 1.0) < 0.1)
   }
 
+  test("exact p90 crossing on a hand-built distribution") {
+    import spark.implicits._
+    // 10 values 1..10 in one group: k = ⌈0.9·10⌉ = 9 → p90 = 9
+    val orders = (1 to 10).map(i => ("G", i.toDouble))
+      .toDF("o_orderstatus", "o_totalprice")
+    val hist = orders.groupBy(col("o_orderstatus"), col("o_totalprice"))
+      .agg(count(lit(1)).as("c"))
+    val byS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+    val w = byS.orderBy(col("o_totalprice"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val p90 = hist.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(byS))
+      .withColumn("k", expr("(9 * n + 9) DIV 10"))
+      .filter(col("cum") - col("c") < col("k") && col("k") <= col("cum"))
+      .select(col("o_totalprice")).head.getDouble(0)
+    assert(p90 == 9.0)
+  }
+
   test("rollup produces leaf+subtotal+grand-total levels") {
     val rows = AnalyticsQueries.queries("rollup_orders")(spark, dir).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
