@@ -37,23 +37,35 @@ object Sketches {
   private def hash54(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
-  /** Distinct-count estimate per `groupCol` over `keyCol`, alongside the
-    * exact count (the oracle checks BOTH — the estimate for determinism,
-    * the pair for the sketch being a real estimator). */
-  def hllDistinct(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+  /** The sketch state: per-(group, bucket) max rho — the m-bounded rows
+    * a 100 TB deployment persists and MERGES (register merge = MAX per
+    * bucket, associative and commutative; AnalyticsSpec proves
+    * merge-then-estimate == estimate-of-union). */
+  def registers(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
     val h = hash54(concat(lit("hll:"), keyCol.cast("string")))
     // bucket/value split via BIT ops, never `/`: Column./ is DOUBLE
     // division, and a 56-bit hash exceeds the 53-bit significand
-    val withReg = df.select(groupCol.as("grp"), keyCol.as("key"),
+    df.select(groupCol.as("grp"), keyCol.as("key"),
         h.bitwiseAND(lit(M.toLong - 1)).as("bucket"),
         shiftright(h, 6).as("v"))
       .withColumn("rho",
         when(col("v") === 0L, lit(RhoMax.toLong))
           .otherwise((lit(RhoMax) - length(bin(col("v")))).cast("long")))
-    val regs = withReg.groupBy(col("grp"), col("bucket"))
+      .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("m_j"))
-    // exact-integer harmonic sum: Σ 2^(RhoMax − M_j) over present
-    // buckets + 2^RhoMax per empty bucket (M_j = 0 ⇒ 2^0 term)
+  }
+
+  /** Merge register sets from disjoint (or overlapping) data slices:
+    * per-bucket MAX. Exactly the operation a partitioned/streaming
+    * deployment runs to combine per-shard sketches. */
+  def mergeRegisters(regSets: Seq[DataFrame]): DataFrame =
+    regSets.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("m_j")).as("m_j"))
+
+  /** Estimate per group from a register set — (grp, s, v_empty,
+    * estimate). */
+  def estimateFromRegisters(regs: DataFrame): DataFrame = {
     val sums = regs.groupBy(col("grp"))
       .agg(sum(expr(
           s"shiftleft(CAST(1 AS BIGINT), CAST($RhoMax - m_j AS INT))"))
@@ -63,18 +75,27 @@ object Sketches {
         (col("s_present") +
           (lit(M.toLong) - col("present")) * lit(1L << RhoMax)).as("s"),
         (lit(M.toLong) - col("present")).as("v_empty"))
-    val exact = df.groupBy(groupCol.as("grp"))
-      .agg(countDistinct(keyCol).as("exact_keys"),
-        count(lit(1)).as("n_rows"))
-    sums.join(exact, Seq("grp"))
+    sums
       .withColumn("e_raw", lit(EstNumer) / col("s").cast("double"))
       .withColumn("estimate",
         when(col("v_empty") > 0L && col("e_raw") <= lit(2.5 * M),
-          // linear counting, ln snapped to the 1e-6 grid
           lit(M.toDouble) *
             (floor(log(lit(M.toDouble) / col("v_empty").cast("double"))
               * lit(1e6) + lit(0.5)).cast("long").cast("double") / lit(1e6)))
           .otherwise(col("e_raw")))
+      .select(col("grp"), col("s"), col("v_empty"), col("estimate"))
+  }
+
+  /** Distinct-count estimate per `groupCol` over `keyCol`, alongside the
+    * exact count (the oracle checks BOTH — the estimate for determinism,
+    * the pair for the sketch being a real estimator). Composition of
+    * [[registers]] → [[estimateFromRegisters]]. */
+  def hllDistinct(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val est = estimateFromRegisters(registers(df, groupCol, keyCol))
+    val exact = df.groupBy(groupCol.as("grp"))
+      .agg(countDistinct(keyCol).as("exact_keys"),
+        count(lit(1)).as("n_rows"))
+    est.join(exact, Seq("grp"))
       .select(col("grp"), col("exact_keys"), col("n_rows"), col("s"),
         col("v_empty"), col("estimate"))
   }

@@ -48,6 +48,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(one.getDouble(5) - 1.0) < 0.1)
   }
 
+  test("HLL registers merge associatively: shard-merge == whole-corpus") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val df = (1 to 600).map(i => ("g" + (i % 2), "user" + (i % 250)))
+      .toDF("event_type", "user_id")
+    // split into 3 overlapping shards (overlap is the hard case — max
+    // absorbs duplicates, a counter-based sketch would double-count)
+    val shards = (0 until 3).map(k => df.filter(col("user_id").isNotNull)
+      .where(expr(s"pmod(crc32(user_id), 4) <= ${k + 1}")))
+    val whole = shards.reduce(_ unionByName _)
+    val direct = Sketches
+      .estimateFromRegisters(Sketches.registers(whole,
+        col("event_type"), col("user_id")))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).sortBy(_._1).toSeq
+    val merged = Sketches
+      .estimateFromRegisters(Sketches.mergeRegisters(shards.map(s =>
+        Sketches.registers(s, col("event_type"), col("user_id")))))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(direct.nonEmpty && direct == merged,
+      "merged shard registers must estimate identically to the union")
+  }
+
   test("exact p90 crossing on a hand-built distribution") {
     import spark.implicits._
     // 10 values 1..10 in one group: k = ⌈0.9·10⌉ = 9 → p90 = 9
