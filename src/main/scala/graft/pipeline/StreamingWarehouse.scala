@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -54,38 +55,79 @@ object StreamingWarehouse {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // version = max existing + 1, NOT batchId: after a restart with a
-        // fresh checkpoint, batch ids restart at 0 and writing v0 would
-        // overwrite the directory the recovered state is lazily reading
-        // (a self-overwrite that fails mid-scan)
-        val next = nextVersion(stateDir)
-        // RDDs persisted before this batch (a recovered state's, a user's
-        // own) are out of scope for the post-commit sweep below
-        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-        state = persistState(
-          Warehouse.loadBatch(spark, state, batch), s"$stateDir/v$next")
-        pruneOldVersions(stateDir, keep = 2)
-        // release the per-batch caches loadBatch pinned — the state now
-        // reads from parquet, so nothing references them anymore
-        spark.catalog.clearCache()
-        // …and the batch's localCheckpoint blocks (the key-minting ranks'
-        // eager boundary pins — Ranking's default mode): the catalog never
-        // knew them, and without this they accumulate one set per
-        // micro-batch until the JVM happens to GC the superseded State
-        // plans — the GC-timing-dependent 3-4x degradation BASELINE.md
-        // documents for Bench, whose between-runs sweep this mirrors.
-        // Safe even though unpersisting a localCheckpoint is irreversible
-        // (lineage is truncated): the committed state re-reads parquet,
-        // so no surviving plan references these blocks.
-        val sc = spark.sparkContext
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!persistedBefore.contains(id)) { rdd.unpersist(false); () }
-        }
+        state = commitBatch(spark, stateDir, state, batch)
         ()
       }
       .start()
     q.awaitTermination()
     state
+  }
+
+  /** The connector → warehouse composition (the VERDICT r9 #4 pattern
+    * applied to the SECOND pipeline): staged papers arrive as JSON
+    * payloads through the `graft-api` micro-batch source — the
+    * reference's scheduled API pull feeding `pop_DWH` as ONE streaming
+    * query — parse against [[stagedSchema]], and flow through the same
+    * [[commitBatch]] protocol. The landing-journal offset plus
+    * `loadBatch`'s anti-join idempotence give exactly-once across
+    * restarts; unservable ids (null payload) are dropped here — the
+    * dead-letter variant lives in the text-pipeline twin. */
+  def runFromConnector(spark: SparkSession, landedDir: String,
+      checkpointDir: String, stateDir: String,
+      numPartitions: Int = 4): Warehouse.State = {
+    @volatile var state = loadLatestState(spark, stateDir)
+      .getOrElse(Warehouse.emptyState(spark))
+    val stream = spark.readStream.format("graft-api")
+      .option("dir", landedDir)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (apiBatch: DataFrame, batchId: Long) =>
+        val staged = apiBatch.filter(col("payload").isNotNull)
+          .select(from_json(col("payload"), stagedSchema).as("p"))
+          .select(col("p.*"))
+        state = commitBatch(spark, stateDir, state, staged)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    state
+  }
+
+  /** One micro-batch's commit (shared by [[run]] and
+    * [[runFromConnector]]). */
+  private def commitBatch(spark: SparkSession, stateDir: String,
+      state: Warehouse.State, batch: DataFrame): Warehouse.State = {
+    // version = max existing + 1, NOT batchId: after a restart with a
+    // fresh checkpoint, batch ids restart at 0 and writing v0 would
+    // overwrite the directory the recovered state is lazily reading
+    // (a self-overwrite that fails mid-scan)
+    val next = nextVersion(stateDir)
+    // RDDs persisted before this batch (a recovered state's, a user's
+    // own) are out of scope for the post-commit sweep below
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val committed = persistState(
+      Warehouse.loadBatch(spark, state, batch), s"$stateDir/v$next")
+    pruneOldVersions(stateDir, keep = 2)
+    // release the per-batch caches loadBatch pinned — the state now
+    // reads from parquet, so nothing references them anymore
+    spark.catalog.clearCache()
+    // …and the batch's localCheckpoint blocks (the key-minting ranks'
+    // eager boundary pins — Ranking's default mode): the catalog never
+    // knew them, and without this they accumulate one set per
+    // micro-batch until the JVM happens to GC the superseded State
+    // plans — the GC-timing-dependent 3-4x degradation BASELINE.md
+    // documents for Bench, whose between-runs sweep this mirrors.
+    // Safe even though unpersisting a localCheckpoint is irreversible
+    // (lineage is truncated): the committed state re-reads parquet,
+    // so no surviving plan references these blocks.
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!persistedBefore.contains(id)) { rdd.unpersist(false); () }
+    }
+    committed
   }
 
   /** Bucket-granular variant of [[run]] (VERDICT r7 #3, reference

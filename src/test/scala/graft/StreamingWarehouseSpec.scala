@@ -50,6 +50,37 @@ class StreamingWarehouseSpec extends AnyFunSuite {
     assert(ranked.length == 3 && ranked.map(_.getInt(0)).min == 1)
   }
 
+  test("graft-api connector -> warehouse equals batch load across a restart") {
+    // the r9-#4 composition on the SECOND pipeline: papers land as JSON
+    // through the connector's landing journal, the warehouse consumes
+    // them exactly-once across a mid-stream restart.
+    val landed = Files.createTempDirectory("wh-api").toString
+    val ck = Files.createTempDirectory("wh-api-ck").toString
+    val stateDir = Files.createTempDirectory("wh-api-state").toString
+    val selectCols = StreamingWarehouse.stagedSchema.fieldNames.map(col)
+    var seq = 0
+    def land(batch: DataFrame): Unit =
+      batch.select(to_json(struct(selectCols: _*)).as("j"))
+        .collect().map(_.getString(0)).foreach { payload =>
+          Files.writeString(Paths.get(landed, f"$seq%06d.json"), payload)
+          seq += 1
+        }
+    land(b1)
+    StreamingWarehouse.runFromConnector(spark, landed, ck, stateDir)
+    // mid-stream restart: second wave, SAME checkpoint — the landing
+    // offset must resume past wave 1 (loadBatch idempotence would mask a
+    // re-read, so also assert the fact count trajectory)
+    land(b2)
+    val streamed = StreamingWarehouse.runFromConnector(spark, landed, ck, stateDir)
+    assert(streamed.fact.count() == 3)
+    val oneShot = Warehouse.loadBatch(spark, Warehouse.emptyState(spark),
+      b1.unionByName(b2))
+    assert(streamed.fact.select("arxiv_ID").collect().map(_.getString(0)).sorted
+      .sameElements(oneShot.fact.select("arxiv_ID").collect().map(_.getString(0)).sorted))
+    val ada = streamed.dimAuthor.filter(col("full_name") === "A Ada").head
+    assert(ada.getAs[Int]("h_index") == 2)
+  }
+
   test("restart recovers persisted state instead of starting empty") {
     val src = Files.createTempDirectory("wh-src2").toString
     val stateDir = Files.createTempDirectory("wh-state2").toString
