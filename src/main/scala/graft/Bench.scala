@@ -178,7 +178,11 @@ object Bench {
     "mix_ppl_buckets",
     "ret_ndcg_eval",
     "agg_exact_p90",
-    "agg_histogram")
+    "agg_histogram",
+    // the closure-family deploy knob, oracle-checked and timed: at
+    // sf0.1 the 1M-pair cap binds after hop 1 — the loud early stop is
+    // exactly the behavior the uncapped family's OOM finding mandates
+    "g_khop_capped")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose

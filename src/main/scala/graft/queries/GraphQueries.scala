@@ -61,6 +61,11 @@ object GraphQueries extends QueryModule {
     * oracle's `WHERE deg <= …` so both engines cut the same hubs. */
   private val JaccardDegreeCap = 40L
 
+  /** Closure-pair cap for `g_khop_capped` — mirrored verbatim in the
+    * twin's hop-selection rule. Binds at sf0.01 (hop 2's 433 k fits,
+    * hop 3's 3.07 M does not). */
+  private val KHopCap = 1000000L
+
   /** Attach `name` from a dimension table keyed by the score table's id —
     * the reference's `RETURN x.name, score` shape. Inner join: every
     * graph id is a foreign key into its dimension. */
@@ -209,6 +214,19 @@ object GraphQueries extends QueryModule {
         .groupBy(col("src")).agg(count(lit(1)).as("n_reach"))
         .orderBy(col("src"))
     }),
+
+    // G8 with the maxPairs deploy knob BINDING (r10): a 4-hop request
+    // under a 1M-pair cap stops after the largest completed hop whose
+    // closure fits (hop 2 at sf0.01: 433 k ≤ 1 M < hop 3's 3.07 M) —
+    // the loud-stop semantics the closure-family measurement
+    // (BASELINE.md r10) says a 100× deployment MUST run with. The twin
+    // unrolls the per-hop closures and picks by the same monotone
+    // cumulative-count rule, so both engines agree on exactly which
+    // hop survives.
+    "g_khop_capped" -> ((s, dir) =>
+      Graph.kHopReach(refEdges(s, dir), 4, maxPairs = Some(KHopCap))
+        .groupBy(col("src")).agg(count(lit(1)).as("n_reach"))
+        .orderBy(col("src"))),
 
     // G9 — full-pattern scan (Institution)-(Author)-(Piece)-(Venue).
     "g_pattern_scan" -> ((s, dir) => {
@@ -837,6 +855,31 @@ object GraphQueries extends QueryModule {
          |          UNION
          |          SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src)
          |SELECT src, COUNT(*) AS n_reach FROM reach GROUP BY src
+         |ORDER BY src""".stripMargin,
+
+    "g_khop_capped" ->
+      s"""WITH $refEdgesSql,
+         |kr1 AS MATERIALIZED (SELECT src, dst FROM e),
+         |kr2 AS MATERIALIZED (SELECT src, dst FROM kr1
+         |        UNION SELECT r.src, e2.dst FROM kr1 r JOIN e e2 ON r.dst = e2.src),
+         |kr3 AS MATERIALIZED (SELECT src, dst FROM kr2
+         |        UNION SELECT r.src, e2.dst FROM kr2 r JOIN e e2 ON r.dst = e2.src),
+         |kr4 AS MATERIALIZED (SELECT src, dst FROM kr3
+         |        UNION SELECT r.src, e2.dst FROM kr3 r JOIN e e2 ON r.dst = e2.src),
+         |kc AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM kr2) AS c2,
+         |                           (SELECT COUNT(*) FROM kr3) AS c3,
+         |                           (SELECT COUNT(*) FROM kr4) AS c4),
+         |pick AS (
+         |  SELECT src, dst FROM kr4 WHERE (SELECT c4 FROM kc) <= $KHopCap
+         |  UNION ALL
+         |  SELECT src, dst FROM kr3 WHERE (SELECT c4 FROM kc) > $KHopCap
+         |                            AND (SELECT c3 FROM kc) <= $KHopCap
+         |  UNION ALL
+         |  SELECT src, dst FROM kr2 WHERE (SELECT c3 FROM kc) > $KHopCap
+         |                            AND (SELECT c2 FROM kc) <= $KHopCap
+         |  UNION ALL
+         |  SELECT src, dst FROM kr1 WHERE (SELECT c2 FROM kc) > $KHopCap)
+         |SELECT src, COUNT(*) AS n_reach FROM pick GROUP BY src
          |ORDER BY src""".stripMargin,
 
     "g_pattern_scan" ->
