@@ -249,10 +249,23 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Pre-bench quiesce (VERDICT r10 #7): the driver's r10 run started at
+    // loadavg 4.6 — a prior JVM still draining — and wore a uniform ~15%
+    // tax. Wait (bounded) for the 1-minute loadavg to fall below 2 before
+    // the first timed query; the wait itself is recorded in the env block
+    // so a still-high load_before is explained, not silent.
+    val quiesceTarget = 2.0
+    val quiesceMax = 180 // seconds
+    var quiesced = 0
+    while (loadAvg() > quiesceTarget && quiesced < quiesceMax) {
+      Thread.sleep(5000); quiesced += 5
+    }
     val loadBefore = loadAvg()
     val benchCpu0 = cpuSnap()
     // Local-iteration subset filter (comma-separated names). The driver
-    // never sets it, so the recorded headline is unaffected.
+    // never sets it — and if it IS set, the emitted JSON carries a
+    // top-level "subset" marker so a narrowed run can never masquerade
+    // as a full 0-failed headline (ADVICE r10).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = headline.filter(qs.contains)
@@ -336,10 +349,14 @@ object Bench {
       yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
     val envJson =
       s"""{"load_before":${r3(loadBefore)},"load_after":${r3(loadAvg())},""" +
-      s""""steal_pct":${benchSteal.fold("null")(r3)},"cpus":"$cpus"}"""
+      s""""steal_pct":${benchSteal.fold("null")(r3)},"cpus":"$cpus",""" +
+      s""""quiesce_s":$quiesced}"""
     val total = results.flatMap(_._2).sum
+    val subsetJson = only.fold("")(names =>
+      ",\"subset\":" + names.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]"))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","failed":$failed,"telemetry":$telJson,"env":$envJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","failed":$failed$subsetJson,"telemetry":$telJson,"env":$envJson}"""
     // stdout goes through sbt, which prefixes "[info]" and breaks the
     // driver's parser (BENCH_r01 "parsed": null) — also write the line to a
     // file and to stderr so a clean copy always survives.

@@ -442,11 +442,14 @@ object Graph {
     * hub-and-spoke. Kept EXACT: with each undirected edge once and
     * j,k the full endpoint degrees,
     *   r = [4·M·Σjk − (Σ(j+k))²] / [2·M·Σ(j²+k²) − (Σ(j+k))²]
-    * (Newman's form multiplied through by 4M² so every term is an
-    * integer sum — degree sums up to ~1e16 at sf0.1, far inside BIGINT;
-    * the one division is double-of-exact-integers, identical in both
-    * engines). One groupBy + one join + one global aggregate: a single
-    * pass at any scale. */
+    * (Newman's form multiplied through by 4M² so the ACCUMULATED sums
+    * are exact integer sums). The final products are formed in DOUBLE:
+    * the squared term (Σ(j+k))² overflows BIGINT once Σ(j+k) exceeds
+    * ~3.0e9 — reachable well below 100× — so each exact sum is cast to
+    * double first and the products use IEEE arithmetic, which is
+    * bit-identical in both engines (basic ops are correctly rounded).
+    * One groupBy + one join + one global aggregate: a single pass at
+    * any scale. */
   def assortativity(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -465,10 +468,10 @@ object Graph {
         sum(col("dj") + col("dk")).as("sj"),
         sum(col("dj") * col("dj") + col("dk") * col("dk")).as("sq"))
       .select(col("m"), col("sjk"), col("sj"), col("sq"),
-        ((lit(4L) * col("m") * col("sjk") - col("sj") * col("sj"))
-            .cast("double") /
-          (lit(2L) * col("m") * col("sq") - col("sj") * col("sj"))
-            .cast("double")).as("r"))
+        ((lit(4.0d) * col("m").cast("double") * col("sjk").cast("double") -
+            col("sj").cast("double") * col("sj").cast("double")) /
+          (lit(2.0d) * col("m").cast("double") * col("sq").cast("double") -
+            col("sj").cast("double") * col("sj").cast("double"))).as("r"))
   }
 
   /** G7 variant — overlap coefficient |N(a)∩N(b)| / min(|N(a)|,|N(b)|)

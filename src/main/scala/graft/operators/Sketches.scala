@@ -44,8 +44,12 @@ object Sketches {
   def registers(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
     val h = hash54(concat(lit("hll:"), keyCol.cast("string")))
     // bucket/value split via BIT ops, never `/`: Column./ is DOUBLE
-    // division, and a 56-bit hash exceeds the 53-bit significand
-    df.select(groupCol.as("grp"), keyCol.as("key"),
+    // division, and a 56-bit hash exceeds the 53-bit significand.
+    // NULL keys are dropped first (countDistinct semantics): a NULL key
+    // hashes to a NULL bucket whose register row would inflate
+    // `present` without contributing to the harmonic sum.
+    df.filter(keyCol.isNotNull)
+      .select(groupCol.as("grp"), keyCol.as("key"),
         h.bitwiseAND(lit(M.toLong - 1)).as("bucket"),
         shiftright(h, 6).as("v"))
       .withColumn("rho",
@@ -106,7 +110,7 @@ object Sketches {
   def hllDistinctSql(table: String, groupCol: String, keyCol: String): String =
     s"""WITH hh AS (SELECT $groupCol AS grp, $keyCol AS key,
        |              CAST(('0x' || substr(md5('hll:' || CAST($keyCol AS VARCHAR)), 1, 14)) AS BIGINT) AS h
-       |            FROM $table),
+       |            FROM $table WHERE $keyCol IS NOT NULL),
        |hr AS (SELECT grp, h & ${M - 1} AS bucket, h >> 6 AS v FROM hh),
        |hrho AS (SELECT grp, bucket,
        |           CASE WHEN v = 0 THEN $RhoMax

@@ -70,8 +70,10 @@ object StreamingWarehouse {
     * query — parse against [[stagedSchema]], and flow through the same
     * [[commitBatch]] protocol. The landing-journal offset plus
     * `loadBatch`'s anti-join idempotence give exactly-once across
-    * restarts; unservable ids (null payload) are dropped here — the
-    * dead-letter variant lives in the text-pipeline twin. */
+    * restarts; unservable ids (null payload) dead-letter to
+    * `stateDir/dead/` keyed by batch id — the same idempotent-overwrite
+    * pattern as the text-pipeline twin — so ingestion loss on the
+    * warehouse path stays auditable (ADVICE r10). */
   def runFromConnector(spark: SparkSession, landedDir: String,
       checkpointDir: String, stateDir: String,
       numPartitions: Int = 4): Warehouse.State = {
@@ -85,6 +87,9 @@ object StreamingWarehouse {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (apiBatch: DataFrame, batchId: Long) =>
+        apiBatch.filter(col("payload").isNull).select(col("id"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/dead/batch_id=$batchId")
         val staged = apiBatch.filter(col("payload").isNotNull)
           .select(from_json(col("payload"), stagedSchema).as("p"))
           .select(col("p.*"))

@@ -791,12 +791,12 @@ object GraphQueries extends QueryModule {
          |       CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS sjk,
          |       CAST(SUM(dj.deg + dk.deg) AS BIGINT) AS sj,
          |       CAST(SUM(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT) AS sq,
-         |       CAST(4 * COUNT(*) * CAST(SUM(dj.deg * dk.deg) AS BIGINT)
-         |              - CAST(SUM(dj.deg + dk.deg) AS BIGINT)
-         |                * CAST(SUM(dj.deg + dk.deg) AS BIGINT) AS DOUBLE)
-         |       / CAST(2 * COUNT(*) * CAST(SUM(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT)
-         |              - CAST(SUM(dj.deg + dk.deg) AS BIGINT)
-         |                * CAST(SUM(dj.deg + dk.deg) AS BIGINT) AS DOUBLE) AS r
+         |       (4e0 * CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dj.deg * dk.deg) AS DOUBLE)
+         |              - CAST(SUM(dj.deg + dk.deg) AS DOUBLE)
+         |                * CAST(SUM(dj.deg + dk.deg) AS DOUBLE))
+         |       / (2e0 * CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dj.deg * dj.deg + dk.deg * dk.deg) AS DOUBLE)
+         |              - CAST(SUM(dj.deg + dk.deg) AS DOUBLE)
+         |                * CAST(SUM(dj.deg + dk.deg) AS DOUBLE)) AS r
          |FROM und JOIN deg dj ON dj.id = und.lo
          |         JOIN deg dk ON dk.id = und.hi""".stripMargin,
 
