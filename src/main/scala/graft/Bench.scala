@@ -182,7 +182,38 @@ object Bench {
     // the closure-family deploy knob, oracle-checked and timed: at
     // sf0.1 the 1M-pair cap binds after hop 1 — the loud early stop is
     // exactly the behavior the uncapped family's OOM finding mandates
-    "g_khop_capped")
+    "g_khop_capped",
+    // r11 completeness promotion (VERDICT r10 #2): every remaining
+    // oracle entry enters the timed headline — mostly sub-second
+    // variants of already-benched plans — so the timed set equals the
+    // FULL oracle surface minus the four measured closure exclusions
+    // (g_articlerank_customers/_venues/_gdsnorm, g_pagerank_institutions
+    // — the uncapped *1..10 projections that cannot fit the 20 GB
+    // driver at sf0.1; see the r10 comment above).
+    "d1_dedup_keep_first", "d2_upsert_dim", "d3_surrogate_keys",
+    "dd_ngram_jaccard", "dd_simhash", "emb_pca_component",
+    "evt_json_extract", "evt_session_window", "f_scalar_gauntlet",
+    "g_2hop_reach", "g_components", "g_edges_build", "g_jaccard_capped",
+    "g_modularity", "j11_semi_join_big_spenders",
+    "j3_anti_join_parts_never_ordered", "lm_surprise", "m_euclidean",
+    "mix_stratified_sample", "mix_temp_rates", "mm_decode_image",
+    "mm_media_table", "p1_filter_regex", "p3_null_filter",
+    "p4_length_filter", "q03_rank_customers_by_hindex",
+    "q04_rank_customers_by_gindex", "q06_rank_nations_by_order_count",
+    "q07_rank_nations_by_orders_period", "q09_rank_nations_by_avg_order",
+    "q10_rank_suppliers_by_item_count", "q12_rank_suppliers_by_avg_price",
+    "q13_rank_suppliers_promo_parts", "q14_years_by_order_count",
+    "q15_promo_orders_histogram", "qc_distill_weights",
+    "quantiles_by_lang", "rollup_orders", "sim_exact_near_pairs",
+    "sim_ivf_assign", "sim_ivf_probe2", "sim_kmeans_centroids",
+    "sim_lsh_near_pairs", "sim_pq_codes", "sim_quantized_topk",
+    "sketch_approx_distinct", "skew_salted_join_agg", "skew_salted_sum",
+    "sql_entry_rank_orders", "stats_by_lang", "topk_orders",
+    "txt_bpe_tokens", "txt_inverted_index", "txt_keywords",
+    "txt_oov_rate", "txt_repetition", "txt_token_stats",
+    "u1_union_all_names", "win_analytics",
+    // r11-new mergeable sketches (count–min, q-digest)
+    "sketch_cm_exact", "sketch_qdigest")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose
@@ -222,6 +253,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
+    // Experiment hook (local iteration only, like SPARK_GRAFT_BENCH_ONLY):
+    // override any SQL conf, e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     val qs = SparkEntry.queries
     // Materialize through the noop sink, not count(): count() lets Catalyst
     // drop final sorts/projections (a global ORDER BY costs nothing under
@@ -362,7 +399,11 @@ object Bench {
     // file and to stderr so a clean copy always survives.
     println(line)
     System.err.println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // A subset run must never clobber the committed full headline: default
+    // its file to BENCH_subset.json (the "subset" marker still travels in
+    // the JSON for whoever reads the line).
+    val defaultOut = if (only.isDefined) "BENCH_subset.json" else "BENCH.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()

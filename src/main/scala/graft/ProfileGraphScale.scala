@@ -41,11 +41,15 @@ object ProfileGraphScale {
             graft.operators.Graph.kCoreFixed(e, 12, pinEvery = p).count())
         }
         sweep()
-        t(s"hits x$m p$p") {
-          println("rows: " +
-            graft.operators.Graph.hitsFixed(e, 10, pinEvery = p).count())
+        // hitsFixed pins both score frames every round since the r11
+        // total-reassociation restructure; no pin-cadence knob to sweep
+        if (p == 1) {
+          t(s"hits x$m") {
+            println("rows: " +
+              graft.operators.Graph.hitsFixed(e, 10).count())
+          }
+          sweep()
         }
-        sweep()
         t(s"pagerank x$m p$p") {
           println("rows: " +
             graft.operators.Graph.pageRankFixed(e, 10, pinEvery = p).count())

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic HyperLogLog (Flajolet et al. 2007) with a FULL hash
@@ -102,6 +103,324 @@ object Sketches {
     est.join(exact, Seq("grp"))
       .select(col("grp"), col("exact_keys"), col("n_rows"), col("s"),
         col("v_empty"), col("estimate"))
+  }
+
+  // ------------------------------------------------------------------
+  // Count–min sketch (Cormode & Muthukrishnan, "An improved data stream
+  // summary: the count-min sketch and its applications", J. Algorithms
+  // 2005). Same register discipline as the HLL above: deterministic
+  // md5-derived hashing, exact-integer cells, and a mergeable
+  // registers → merge → estimate triple. Register rows are
+  // (grp, r, c, cnt) — d·w bounded per group — and MERGE BY SUM, which
+  // is associative and commutative, so per-shard sketches from a 100 TB
+  // scan roll up exactly (CM merge-then-estimate == estimate-of-union,
+  // cell for cell — stronger than HLL's, whose registers merge by max;
+  // AnalyticsSpec proves the equality). Point estimate = min over the
+  // d cells, an upper bound on the true count (one-sided error ≤
+  // 2n/w with probability 1 − 2^−d).
+  // ------------------------------------------------------------------
+
+  /** Hash rows d and row width w (w a power of two so the bucket is a
+    * bit-mask, never a modulo over doubles). */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  private def cmBucket(r: Column, key: Column): Column =
+    hash54(concat(lit("cm"), r.cast("string"), lit(":"), key))
+      .bitwiseAND(lit(CmWidth.toLong - 1))
+
+  /** CM register rows (grp, r, c, cnt): each input key increments one
+    * cell per hash row. NULL keys are dropped (the count of NULL is not
+    * a frequency query either engine answers). */
+  def cmRegisters(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame =
+    df.filter(keyCol.isNotNull)
+      .select(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .withColumn("r", explode(lit((0 until CmDepth).toArray)))
+      .select(col("grp"), col("r").cast("long").as("r"),
+        cmBucket(col("r"), col("key")).as("c"))
+      .groupBy(col("grp"), col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge register sets from data slices: per-cell SUM — the exact
+    * counterpart of [[mergeRegisters]]' per-bucket max. */
+  def cmMerge(regSets: Seq[DataFrame]): DataFrame =
+    regSets.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for `probes(grp, key)`: min over the d
+    * cells each probe key hashes to. A missing cell means no key of the
+    * group hashed there — count 0. */
+  def cmEstimate(regs: DataFrame, probes: DataFrame): DataFrame =
+    probes
+      .withColumn("r", explode(lit((0 until CmDepth).toArray)))
+      .select(col("grp"), col("key"), col("r").cast("long").as("r"),
+        cmBucket(col("r").cast("long"), col("key")).as("c"))
+      .join(regs, Seq("grp", "r", "c"), "left")
+      .groupBy(col("grp"), col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
+
+  /** Frequency estimate + exact count for a deterministic probe set:
+    * every key with `key % probeMod == 0`, so the oracle hashes the
+    * estimates themselves (same md5 cells in both engines). */
+  def cmFrequency(df: DataFrame, groupCol: Column, keyCol: Column,
+      probeMod: Long): DataFrame = {
+    val regs = cmRegisters(df, groupCol, keyCol)
+    val probes = df.filter(keyCol.isNotNull && keyCol % probeMod === 0)
+      .select(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .distinct()
+    val exact = df.filter(keyCol.isNotNull)
+      .groupBy(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    cmEstimate(regs, probes)
+      .join(exact, Seq("grp", "key"))
+      .select(col("grp"), col("key"), col("exact_cnt"), col("cm_estimate"))
+  }
+
+  /** DuckDB twin of [[cmFrequency]] — same hashes, same cells. */
+  def cmFrequencySql(table: String, groupCol: String, keyCol: String,
+      probeMod: Long): String =
+    s"""WITH cmk AS (SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key
+       |             FROM $table WHERE $keyCol IS NOT NULL),
+       |cmr AS (SELECT grp, t.r,
+       |          CAST(('0x' || substr(md5('cm' || CAST(t.r AS VARCHAR) || ':' || key), 1, 14)) AS BIGINT)
+       |            & ${CmWidth - 1} AS c
+       |        FROM cmk, (SELECT UNNEST(range(${CmDepth})) AS r) t),
+       |cmregs AS (SELECT grp, r, c, COUNT(*) AS cnt FROM cmr GROUP BY grp, r, c),
+       |cmprobe AS (SELECT DISTINCT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key
+       |            FROM $table WHERE $keyCol IS NOT NULL AND $keyCol % $probeMod = 0),
+       |cmpc AS (SELECT p.grp, p.key, t.r,
+       |           CAST(('0x' || substr(md5('cm' || CAST(t.r AS VARCHAR) || ':' || p.key), 1, 14)) AS BIGINT)
+       |             & ${CmWidth - 1} AS c
+       |         FROM cmprobe p, (SELECT UNNEST(range(${CmDepth})) AS r) t),
+       |cmest AS (SELECT pc.grp, pc.key,
+       |            MIN(COALESCE(g.cnt, 0)) AS cm_estimate
+       |          FROM cmpc pc LEFT JOIN cmregs g
+       |            ON g.grp = pc.grp AND g.r = pc.r AND g.c = pc.c
+       |          GROUP BY pc.grp, pc.key),
+       |cmexact AS (SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key,
+       |              COUNT(*) AS exact_cnt
+       |            FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1, 2)
+       |SELECT e.grp, e.key, x.exact_cnt, e.cm_estimate
+       |FROM cmest e JOIN cmexact x ON x.grp = e.grp AND x.key = e.key""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Q-digest (Shrivastava, Buragohain, Agrawal & Suri, "Medians and
+  // beyond: new aggregation techniques for sensor networks", SenSys
+  // 2004) — the deterministic MERGEABLE quantile sketch. Values live in
+  // the integer domain [0, 2^QdL); the digest is a set of binary-tree
+  // nodes (grp, lvl, id, cnt) where node (lvl, id) covers values
+  // [id·2^lvl, (id+1)·2^lvl). Build compresses bottom-up: a sibling
+  // family whose total ≤ n/k collapses into its parent, so heavy values
+  // keep exact leaf counts while sparse regions aggregate — ≤ 3k nodes,
+  // rank error ≤ (QdL/k)·n. Everything is integer groupBy/join — no
+  // floats — so the node set, and hence every quantile answer, is
+  // bit-identical cross-engine. MERGE = per-node count SUM + one
+  // recompress under the combined threshold (counts sum associatively;
+  // unlike the CM sketch the recompressed node SET need not equal the
+  // built-from-union one, so the merge contract is the published rank
+  // bound, which AnalyticsSpec asserts).
+  // ------------------------------------------------------------------
+
+  /** Domain bits (values clamped to [0, 2^QdL)) and compression factor
+    * k (threshold = max(1, n DIV k)). */
+  val QdL = 17
+  val QdK = 64
+
+  import graft.plans.Pins.PinnedOps
+
+  /** Per-group value counts clamped to the domain — the level-0 leaves
+    * (grp, id, cnt). `valueCol` must already be integral; clamp keeps
+    * out-of-domain values at the edges rather than dropping mass. */
+  def qdLeaves(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    df.filter(valueCol.isNotNull)
+      .select(groupCol.as("grp"),
+        least(greatest(valueCol.cast("long"), lit(0L)),
+          lit((1L << QdL) - 1)).as("id"))
+      .groupBy(col("grp"), col("id"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Bottom-up q-digest compression of `nodes(grp, lvl, id, cnt)` under
+    * per-group totals `tot(grp, n)`. Each round l collapses sibling
+    * families at level l (absorbing any pre-existing parent count, which
+    * the MERGE path produces) when the family total ≤ max(1, n DIV k);
+    * uncollapsed rows settle. QdL bounded rounds, each one shuffle keyed
+    * by (grp, parent id). */
+  def qdCompress(nodes: DataFrame, tot: DataFrame): DataFrame = {
+    val thresh = tot.select(col("grp"),
+      greatest(col("n") / lit(QdK.toLong), lit(1L)).as("t")).pinned
+    val src = nodes.pinned
+    var settled: Option[DataFrame] = None
+    // active rows at the current level (this round's children); original
+    // higher-level rows enter as `par` at their own round and flow in
+    var active = src.filter(col("lvl") === 0)
+      .select(col("grp"), col("id"), col("cnt")).pinned
+    for (l <- 0 until QdL) {
+      val fam = active
+        .groupBy(col("grp"), shiftright(col("id"), 1).as("pid"))
+        .agg(sum(col("cnt")).as("ccnt"))
+      // pre-existing parent rows (merge path; empty during a leaf build)
+      val par = src.filter(col("lvl") === l + 1)
+        .select(col("grp"), col("id").as("pid"), col("cnt").as("pcnt"))
+      val famT = fam.join(par, Seq("grp", "pid"), "full")
+        .join(thresh, Seq("grp"))
+        .select(col("grp"), col("pid"), col("pcnt"),
+          (coalesce(col("ccnt"), lit(0L)) + coalesce(col("pcnt"), lit(0L)))
+            .as("fsum"),
+          col("t"))
+        .pinned
+      // uncollapsed children settle at level l …
+      val keep = famT.filter(col("fsum") > col("t"))
+        .select(col("grp").as("k_grp"), col("pid").as("k_pid"))
+      val settledNow = active
+        .join(keep, active("grp") === col("k_grp") &&
+          shiftright(active("id"), 1) === col("k_pid"), "left_semi")
+        .select(col("grp"), lit(l).cast("int").as("lvl"), col("id"), col("cnt"))
+      settled = Some(settled.fold(settledNow)(_ unionByName settledNow))
+      // … collapsed families move up with their absorbed total; an
+      // uncollapsed pre-existing parent row stays active at l+1 unchanged
+      active = famT.filter(col("fsum") <= col("t"))
+        .select(col("grp"), col("pid").as("id"), col("fsum").as("cnt"))
+        .unionByName(famT
+          .filter(col("fsum") > col("t") && col("pcnt").isNotNull)
+          .select(col("grp"), col("pid").as("id"), col("pcnt").as("cnt")))
+        .pinned
+    }
+    val top = active
+      .select(col("grp"), lit(QdL).cast("int").as("lvl"), col("id"), col("cnt"))
+    settled.fold(top)(_ unionByName top)
+  }
+
+  /** Merge digests: per-node count SUM, then one recompress under the
+    * combined totals. `tots` must be the same slices' (grp, n) frames. */
+  def qdMerge(digests: Seq[DataFrame], tots: Seq[DataFrame]): DataFrame = {
+    val nodes = digests.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("lvl"), col("id"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val tot = tots.reduce(_ unionByName _)
+      .groupBy(col("grp")).agg(sum(col("n")).as("n"))
+    qdCompress(nodes, tot)
+  }
+
+  /** φ-quantile estimates from a digest: nodes ordered by (right
+    * endpoint, level), running count; the φ answer is the first right
+    * endpoint whose running count reaches rank ⌈φ·n⌉. φ is the exact
+    * rational num/den so the rank is an integer both engines compute
+    * identically. Output (grp, q, est). */
+  def qdQuantiles(digest: DataFrame, tot: DataFrame,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val rend = digest.select(col("grp"), col("lvl"), col("cnt"),
+      expr(s"(id + 1) * shiftleft(CAST(1 AS BIGINT), lvl) - 1").as("rend"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("rend"), col("lvl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = rend.withColumn("cum", sum(col("cnt")).over(w)).pinned
+    qs.map { case (num, den) =>
+      val rank = tot.select(col("grp"),
+        expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)").as("rank"))
+      cum.join(rank, Seq("grp"))
+        .filter(col("cum") >= col("rank"))
+        .groupBy(col("grp"))
+        .agg(min(col("rend")).as("est"))
+        .select(col("grp"), lit(s"$num/$den").as("q"), col("est"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** End-to-end: build the digest over `valueCol` (clamped integral) per
+    * `groupCol`, answer `qs`, and pair each estimate with the EXACT
+    * rank-r value and the digest's node count — (grp, q, rank, est,
+    * exact_disc, digest_nodes), all integers, hash-identical
+    * cross-engine ([[qdigestQuantilesSql]]). */
+  def qdigestQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val vals = df.filter(valueCol.isNotNull)
+      .select(groupCol.as("grp"),
+        least(greatest(valueCol.cast("long"), lit(0L)),
+          lit((1L << QdL) - 1)).as("v"))
+    val tot = vals.groupBy(col("grp")).agg(count(lit(1)).as("n")).pinned
+    val leaves = vals.groupBy(col("grp"), col("v").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("grp"), lit(0).cast("int").as("lvl"), col("id"), col("cnt"))
+    val digest = qdCompress(leaves, tot).pinned
+    val nNodes = digest.groupBy(col("grp"))
+      .agg(count(lit(1)).as("digest_nodes"))
+    val est = qdQuantiles(digest, tot, qs)
+    val wv = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val sorted = vals.withColumn("rn", row_number().over(wv))
+    val exact = qs.map { case (num, den) =>
+      sorted.join(tot.select(col("grp"),
+          expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)").as("rank")),
+          Seq("grp"))
+        .filter(col("rn") === col("rank"))
+        .select(col("grp"), lit(s"$num/$den").as("q"), col("rank"),
+          col("v").as("exact_disc"))
+    }.reduce(_ unionByName _)
+    est.join(exact, Seq("grp", "q"))
+      .join(nNodes, Seq("grp"))
+      .select(col("grp"), col("q"), col("rank"), col("est"),
+        col("exact_disc"), col("digest_nodes"))
+  }
+
+  /** DuckDB twin of [[qdigestQuantiles]]: the same clamp, the QdL
+    * unrolled compression rounds (no pre-existing parents on the build
+    * path, so each round is one GROUP BY + threshold split), the same
+    * (rend, lvl) running-count rank pick. `valueExpr` must be an
+    * integral SQL expression. */
+  def qdigestQuantilesSql(table: String, groupCol: String, valueExpr: String,
+      qs: Seq[(Int, Int)]): String = {
+    val top = (1L << QdL) - 1
+    val init =
+      s"""qd_src AS MATERIALIZED (SELECT $groupCol AS grp,
+         |    LEAST(GREATEST($valueExpr, 0), $top) AS v
+         |  FROM $table WHERE $valueExpr IS NOT NULL),
+         |qd_tot AS MATERIALIZED (SELECT grp, COUNT(*) AS n FROM qd_src GROUP BY grp),
+         |qd_th AS MATERIALIZED (SELECT grp, GREATEST(n // $QdK, 1) AS t FROM qd_tot),
+         |qa0 AS MATERIALIZED (SELECT grp, v AS id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM qd_src GROUP BY grp, v)""".stripMargin
+    val rounds = (0 until QdL).map { l =>
+      s"""qf$l AS (SELECT grp, id >> 1 AS pid, CAST(SUM(cnt) AS BIGINT) AS fsum
+         |  FROM qa$l GROUP BY grp, id >> 1),
+         |qs$l AS (SELECT a.grp, $l AS lvl, a.id, a.cnt
+         |  FROM qa$l a JOIN qf$l f ON f.grp = a.grp AND f.pid = (a.id >> 1)
+         |       JOIN qd_th th ON th.grp = a.grp
+         |  WHERE f.fsum > th.t),
+         |qa${l + 1} AS MATERIALIZED (SELECT f.grp, f.pid AS id, f.fsum AS cnt
+         |  FROM qf$l f JOIN qd_th th ON th.grp = f.grp WHERE f.fsum <= th.t)""".stripMargin
+    }
+    val unionNodes = ((0 until QdL)
+      .map(l => s"SELECT grp, lvl, id, cnt FROM qs$l") :+
+      s"SELECT grp, $QdL AS lvl, id, cnt FROM qa$QdL").mkString("\n  UNION ALL ")
+    val estLegs = qs.map { case (num, den) =>
+      s"""SELECT c.grp, '$num/$den' AS q,
+         |    CAST((t.n * $num + ${den - 1}) // $den AS BIGINT) AS rank,
+         |    MIN(c.rend) AS est
+         |  FROM qcum c JOIN qd_tot t ON t.grp = c.grp
+         |  WHERE c.cum >= (t.n * $num + ${den - 1}) // $den
+         |  GROUP BY c.grp, t.n""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val exactLegs = qs.map { case (num, den) =>
+      s"""SELECT s.grp, '$num/$den' AS q, s.v AS exact_disc
+         |  FROM qd_sorted s JOIN qd_tot t ON t.grp = s.grp
+         |  WHERE s.rn = (t.n * $num + ${den - 1}) // $den""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $init,
+       |${rounds.mkString(",\n")},
+       |qnodes AS MATERIALIZED (
+       |  ${unionNodes}),
+       |qcum AS (SELECT grp, lvl, cnt,
+       |    (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS rend,
+       |    SUM(cnt) OVER (PARTITION BY grp
+       |      ORDER BY (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1, lvl
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM qnodes),
+       |qd_sorted AS (SELECT grp, v,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn
+       |  FROM qd_src),
+       |qnn AS (SELECT grp, COUNT(*) AS digest_nodes FROM qnodes GROUP BY grp),
+       |qest AS ($estLegs),
+       |qexact AS ($exactLegs)
+       |SELECT e.grp, e.q, e.rank, e.est, x.exact_disc, nn.digest_nodes
+       |FROM qest e JOIN qexact x ON x.grp = e.grp AND x.q = e.q
+       |     JOIN qnn nn ON nn.grp = e.grp""".stripMargin
   }
 
   /** DuckDB twin of [[hllDistinct]] over `table` — same hash, same

@@ -161,23 +161,72 @@ object StreamingWarehouse {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val next = nextVersion(stateDir)
-        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-        state = persistStateBucketed(
-          Warehouse.loadBatch(spark, state, batch), s"$stateDir/v$next",
-          next, authors)
-        pruneOldVersions(stateDir, keep = 2)
-        authors.vacuum(keep = 2)
-        spark.catalog.clearCache()
-        val sc = spark.sparkContext
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!persistedBefore.contains(id)) { rdd.unpersist(false); () }
-        }
+        state = commitBatchBucketed(spark, stateDir, authors, state, batch)
         ()
       }
       .start()
     q.awaitTermination()
     state
+  }
+
+  /** The connector → BUCKETED warehouse composition (VERDICT r10 #5 —
+    * the last reference semantics not yet driven from the `graft-api`
+    * stream): staged papers arrive as JSON payloads through the
+    * micro-batch connector exactly as in [[runFromConnector]], but the
+    * touched-author table — the incremental h/g/Euclidean metric MERGE
+    * of `dags/pop_DWH.py:272–302` — commits through the
+    * [[AcidBucketTable]] bucket-granular protocol of [[runBucketed]].
+    * Same exactly-once story: landing-journal offsets + anti-join
+    * idempotence + the author MERGE committing under the state version
+    * (a replayed batch supersedes its buckets verbatim). Unservable ids
+    * dead-letter to `stateDir/dead/` keyed by batch id. */
+  def runBucketedFromConnector(spark: SparkSession, landedDir: String,
+      checkpointDir: String, stateDir: String, nBuckets: Int = 16,
+      numPartitions: Int = 4): Warehouse.State = {
+    val authors = authorTable(spark, stateDir, nBuckets)
+    @volatile var state = loadLatestStateBucketed(spark, stateDir, nBuckets)
+      .getOrElse(Warehouse.emptyState(spark))
+    val stream = spark.readStream.format("graft-api")
+      .option("dir", landedDir)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (apiBatch: DataFrame, batchId: Long) =>
+        apiBatch.filter(col("payload").isNull).select(col("id"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/dead/batch_id=$batchId")
+        val staged = apiBatch.filter(col("payload").isNotNull)
+          .select(from_json(col("payload"), stagedSchema).as("p"))
+          .select(col("p.*"))
+        state = commitBatchBucketed(spark, stateDir, authors, state, staged)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    state
+  }
+
+  /** One micro-batch's bucketed commit (shared by [[runBucketed]] and
+    * [[runBucketedFromConnector]]) — [[commitBatch]] with the author
+    * table going through the MERGE path. */
+  private def commitBatchBucketed(spark: SparkSession, stateDir: String,
+      authors: AcidBucketTable, state: Warehouse.State,
+      batch: DataFrame): Warehouse.State = {
+    val next = nextVersion(stateDir)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val committed = persistStateBucketed(
+      Warehouse.loadBatch(spark, state, batch), s"$stateDir/v$next",
+      next, authors)
+    pruneOldVersions(stateDir, keep = 2)
+    authors.vacuum(keep = 2)
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!persistedBefore.contains(id)) { rdd.unpersist(false); () }
+    }
+    committed
   }
 
   /** The bucketed `dim_author` MERGE table (keyed by `full_name`). */

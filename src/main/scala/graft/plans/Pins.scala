@@ -25,4 +25,12 @@ object Pins {
     /** `df.localCheckpoint(true)` with origin stats dropped. */
     def pinned: DataFrame = pin(df)
   }
+
 }
+// Note (round-11 negative result, BASELINE.md): disabling AQE for the
+// scope of the iterative pin loops was measured BOTH ways at sf0.1 —
+// g_hits min −21% (its round has two independent branches AQE
+// serializes), but g_scc 4.8→16.4 s and g_louvain2 19→47 s. With pins
+// stats-dropped, AQE's runtime broadcast-join conversion is what keeps
+// the loop joins hash-broadcast; statically planned they fall back to
+// 32-partition sort-merge joins. AQE stays ON everywhere.

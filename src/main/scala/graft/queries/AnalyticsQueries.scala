@@ -199,6 +199,31 @@ object AnalyticsQueries extends QueryModule {
           col("n_rows"), col("s"), col("v_empty"), col("estimate"))
         .orderBy(col("event_type"))),
 
+    // Count–min sketch (r11): per-key frequency estimates for the
+    // deterministic probe set user_id % 10 == 0, beside the exact
+    // counts. Same md5 cell hashing in both engines, so the oracle
+    // hashes the ESTIMATES; registers merge by per-cell SUM
+    // (AnalyticsSpec proves merge == build-on-union exactly).
+    "sketch_cm_exact" -> ((s, dir) =>
+      graft.operators.Sketches.cmFrequency(Tables.events(s, dir),
+          col("event_type"), col("user_id"), probeMod = 10L)
+        .select(col("grp").as("event_type"), col("key").as("user_key"),
+          col("exact_cnt"), col("cm_estimate"))
+        .orderBy(col("event_type"), col("user_key"))),
+
+    // Q-digest quantile sketch (r11): deterministic mergeable quantiles
+    // over FLOOR(l_extendedprice) per return flag. The digest's node
+    // set is integer-deterministic, so the estimates AND the node count
+    // hash cross-engine; exact rank-r values ride along as the accuracy
+    // witness.
+    "sketch_qdigest" -> ((s, dir) =>
+      graft.operators.Sketches.qdigestQuantiles(Tables.lineitem(s, dir),
+          col("l_returnflag"), floor(col("l_extendedprice")).cast("long"),
+          Seq((1, 4), (1, 2), (9, 10)))
+        .select(col("grp").as("l_returnflag"), col("q"), col("rank"),
+          col("est"), col("exact_disc"), col("digest_nodes"))
+        .orderBy(col("l_returnflag"), col("q"))),
+
     "sketch_approx_distinct" -> ((s, dir) => {
       // ONE rsd constant feeds both the sketch and the 4σ bound — the
       // documented contract breaks silently if they ever drift apart
@@ -221,6 +246,19 @@ object AnalyticsQueries extends QueryModule {
          |FROM (${graft.operators.Sketches.hllDistinctSql("events",
               "event_type", "user_id")})
          |ORDER BY event_type""".stripMargin,
+
+    "sketch_cm_exact" ->
+      s"""SELECT grp AS event_type, key AS user_key, exact_cnt, cm_estimate
+         |FROM (${graft.operators.Sketches.cmFrequencySql("events",
+              "event_type", "user_id", 10L)})
+         |ORDER BY event_type, user_key""".stripMargin,
+
+    "sketch_qdigest" ->
+      s"""SELECT grp AS l_returnflag, q, rank, est, exact_disc, digest_nodes
+         |FROM (${graft.operators.Sketches.qdigestQuantilesSql("lineitem",
+              "l_returnflag", "CAST(FLOOR(l_extendedprice) AS BIGINT)",
+              Seq((1, 4), (1, 2), (9, 10)))})
+         |ORDER BY l_returnflag, q""".stripMargin,
 
     "sketch_approx_distinct" ->
       """SELECT event_type,

@@ -123,4 +123,53 @@ class AcidBucketSpec extends AnyFunSuite {
       .select("full_name", "gender", "h_index", "g_index")
       .orderBy("full_name").collect().map(_.toString).toSeq == want)
   }
+
+  test("connector -> bucketed warehouse: streamed h/g-index == batch recompute across a restart") {
+    // VERDICT r10 #5 — the touched-author incremental metric MERGE
+    // (dags/pop_DWH.py:272-302) driven end-to-end from the graft-api
+    // stream, with a mid-stream restart between the two waves.
+    val landed = tmp("bwc-api"); val ck = tmp("bwc-ck")
+    val state = tmp("bwc-state")
+    val selectCols = StreamingWarehouse.stagedSchema.fieldNames.map(col)
+    var seq = 0
+    def land(batch: org.apache.spark.sql.DataFrame): Unit =
+      batch.select(to_json(struct(selectCols: _*)).as("j"))
+        .collect().map(_.getString(0)).foreach { payload =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(landed, f"$seq%06d.json"), payload)
+          seq += 1
+        }
+    land(b1)
+    StreamingWarehouse.runBucketedFromConnector(spark, landed, ck, state)
+    // restart: wave 2 lands, SAME checkpoint — the landing offset resumes
+    // past wave 1, and Ada's h-index must incrementally update 1 -> 2
+    // through the bucket MERGE, not a full rewrite
+    land(b2)
+    val streamed = StreamingWarehouse
+      .runBucketedFromConnector(spark, landed, ck, state)
+    assert(streamed.fact.count() == 3)
+    val oneShot = Warehouse.loadBatch(spark, Warehouse.emptyState(spark),
+      b1.unionByName(b2))
+    val got = streamed.dimAuthor
+      .select("full_name", "gender", "h_index", "g_index")
+      .orderBy("full_name").collect().map(_.toString).toSeq
+    val want = oneShot.dimAuthor
+      .select("full_name", "gender", "h_index", "g_index")
+      .orderBy("full_name").collect().map(_.toString).toSeq
+    assert(got == want,
+      "connector-streamed incremental metrics must equal the batch recompute")
+    // the second wave's commit merged only its touched-author buckets
+    val authors = StreamingWarehouse.authorTable(spark, state)
+    val commits = authors.commits().toMap
+    assert(commits.keySet == Set(0L, 1L))
+    assert(commits(1L).size <= 2,
+      s"update batch rewrote buckets ${commits(1L)}")
+    // replay everything against the same state (fresh checkpoint): no-op
+    val replayed = StreamingWarehouse
+      .runBucketedFromConnector(spark, landed, tmp("bwc-ck2"), state)
+    assert(replayed.fact.count() == 3)
+    assert(replayed.dimAuthor
+      .select("full_name", "gender", "h_index", "g_index")
+      .orderBy("full_name").collect().map(_.toString).toSeq == want)
+  }
 }

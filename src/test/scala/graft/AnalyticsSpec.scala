@@ -70,6 +70,96 @@ class AnalyticsSpec extends AnyFunSuite {
       "merged shard registers must estimate identically to the union")
   }
 
+  test("count-min merge is exact: shard-merged cells == whole-corpus cells") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val df = (1 to 600).map(i => ("g" + (i % 2), (i % 97).toLong))
+      .toDF("event_type", "user_id")
+    // DISJOINT shards: counters sum, so merge == build-on-union exactly
+    val shards = (0 until 3).map(k => df.where(expr(s"user_id % 3 = $k")))
+    val whole = shards.reduce(_ unionByName _)
+    def cells(regs: org.apache.spark.sql.DataFrame) = regs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val direct = cells(Sketches.cmRegisters(whole,
+      col("event_type"), col("user_id")))
+    val merged = cells(Sketches.cmMerge(shards.map(s =>
+      Sketches.cmRegisters(s, col("event_type"), col("user_id")))))
+    assert(direct.nonEmpty && direct == merged,
+      "CM cell counts must merge to exactly the union's cells")
+  }
+
+  test("count-min estimates are one-sided: estimate >= exact, bounded overcount") {
+    val rows = AnalyticsQueries.queries("sketch_cm_exact")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, dir).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CM must never undercount: $r")
+      // ε = e/w per the CM bound; 2n/w is a generous deterministic check
+      assert(est - exact <= 2 * n / graft.operators.Sketches.CmWidth,
+        s"CM overcount implausibly large: $r (n=$n)")
+    }
+  }
+
+  test("q-digest: one-sided estimates within the published rank bound, merge holds it too") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // skewed integer distribution with a heavy value and a long tail
+    val vals = ((1 to 3000).map(_ => 5000L) ++
+      (1 to 3000).map(i => (i * 37 % 100000).toLong))
+      .zipWithIndex.map { case (v, i) => ("g" + (i % 2), v) }
+    val df = vals.toDF("grp_in", "v_in")
+    val qs = Seq((1, 4), (1, 2), (9, 10))
+    val est = Sketches.qdigestQuantiles(df, col("grp_in"), col("v_in"), qs)
+      .collect()
+    assert(est.length == qs.size * 2)
+    val byGrp = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def trueRankUpTo(g: String, x: Long) = byGrp(g).count(_ <= x).toLong
+    // duplicates at the answer value all share its rank interval, so the
+    // overshoot bound is on the STRICTLY-below count: some rank position
+    // in [rank, rank+εn] must hold the answer value
+    def trueRankBelow(g: String, x: Long) = byGrp(g).count(_ < x).toLong
+    est.foreach { r =>
+      val (g, rank, e, exact) =
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      val n = byGrp(g).size.toLong
+      assert(e >= exact, s"q-digest answer must not undershoot the rank: $r")
+      // the value's rank interval starts within εn of the target rank
+      assert(trueRankBelow(g, e) - (rank - 1) <=
+        Sketches.QdL.toLong * n / Sketches.QdK + 1,
+        s"rank error beyond the q-digest bound: $r")
+    }
+    // merge two disjoint halves: counts sum, recompress under combined n,
+    // and the merged digest must satisfy the same bound on the union
+    val halves = (0 until 2).map(k => df.where(expr(s"v_in % 2 = $k")))
+    def leavesAndTot(h: org.apache.spark.sql.DataFrame) = {
+      val v = h.select(col("grp_in").as("grp"), col("v_in").as("id"))
+      (v.groupBy(col("grp"), col("id")).agg(count(lit(1)).as("cnt"))
+        .select(col("grp"), lit(0).cast("int").as("lvl"), col("id"), col("cnt")),
+        v.groupBy(col("grp")).agg(count(lit(1)).as("n")))
+    }
+    val parts = halves.map(leavesAndTot)
+    val mergedDigest = Sketches.qdMerge(parts.map(p =>
+      Sketches.qdCompress(p._1, p._2)), parts.map(_._2))
+    val totAll = df.groupBy(col("grp_in").as("grp"))
+      .agg(count(lit(1)).as("n"))
+    val mergedEst = Sketches.qdQuantiles(mergedDigest, totAll, qs).collect()
+    assert(mergedEst.length == qs.size * 2)
+    mergedEst.foreach { r =>
+      val (g, q, e) = (r.getString(0), r.getString(1), r.getLong(2))
+      val n = byGrp(g).size.toLong
+      val Array(num, den) = q.split("/").map(_.toLong)
+      val rank = (n * num + den - 1) / den
+      assert(trueRankUpTo(g, e) >= rank,
+        s"merged q-digest undershoots rank $rank: grp=$g q=$q est=$e")
+      assert(trueRankBelow(g, e) - (rank - 1) <=
+        2 * Sketches.QdL.toLong * n / Sketches.QdK + 2,
+        s"merged q-digest beyond the 2-merge rank bound: grp=$g q=$q est=$e")
+    }
+  }
+
   test("exact p90 crossing on a hand-built distribution") {
     import spark.implicits._
     // 10 values 1..10 in one group: k = ⌈0.9·10⌉ = 9 → p90 = 9
