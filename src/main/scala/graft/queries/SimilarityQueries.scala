@@ -291,6 +291,14 @@ object SimilarityQueries extends QueryModule {
     // 4×4 thumbnail; floor sampling keeps every pixel SQL-recomputable.
     "mm_resize" -> ((s, dir) =>
       Multimodal.imageResize(s, Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // REAL lossy JPEG roundtrip (r11): encode→decode through the
+    // javax.imageio JPEG codec; lossy, so the oracle hashes the EXACT
+    // part (dims, non-empty bitstream) plus the DC-preservation bound
+    // on the channel means — the sketch_approx_distinct contract shape.
+    "mm_decode_jpeg" -> ((s, dir) =>
+      Multimodal.jpegRoundtrip(s, Tables.documents(s, dir))
         .orderBy(col("doc_id")))
   )
 
@@ -668,6 +676,14 @@ object SimilarityQueries extends QueryModule {
         |       CAST(SUM((doc_id * 23 + x * 5 + y * 19) % 256) AS BIGINT) AS t_sum_b
         |FROM px GROUP BY doc_id, w, h
         |ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_jpeg" ->
+      """SELECT doc_id,
+        |       CAST(8 + doc_id % 9 AS INT) AS width,
+        |       CAST(6 + doc_id % 5 AS INT) AS height,
+        |       TRUE AS jpeg_bytes_gt_zero,
+        |       TRUE AS jpeg_mean_within_tol
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_media_table" ->
       """SELECT doc_id,

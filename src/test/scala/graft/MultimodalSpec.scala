@@ -43,6 +43,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpegRoundtrip: real lossy codec path — dims exact, means within tolerance, deterministic") {
+    def run() = Multimodal.jpegRoundtrip(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    val stats = run()
+    assert(stats.size == 3)
+    stats.foreach { case (id, w, h, nonEmpty, meansOk) =>
+      assert(w == Multimodal.gridW(id) && h == Multimodal.gridH(id),
+        s"doc $id: JPEG decode changed dimensions")
+      assert(nonEmpty, s"doc $id: empty JPEG bitstream")
+      assert(meansOk, s"doc $id: channel means drifted beyond the DC bound")
+    }
+    // the same JVM's encoder is deterministic — reruns identical
+    assert(stats == run())
+  }
+
   test("decodeOne: real ImageIO path for decodable images, stub otherwise") {
     // a genuine 3x2 PNG payload routed through media_type=image
     val img = new java.awt.image.BufferedImage(3, 2,
