@@ -1336,37 +1336,36 @@ object Graph {
     * weight. Level 1 passes w=1 (sum(w) ≡ the old count). */
   private def moveRounds(ew: DataFrame, deg: DataFrame, m2: Long,
       rounds: Int): DataFrame = {
-    var labels = deg.select(col("id"), col("id").as("label"))
+    // r11 (the LPA self-loop fold applied here): weight-0 self-loop rows
+    // replace the per-round stay-candidate union — the kvc join now
+    // emits the (cand = own) row by itself, with k = the node's true
+    // intra-community weight when it has one (the old formulation kept a
+    // DUPLICATE k=0 own-row that the argmax had to outscore) and k = 0
+    // when it doesn't. One lab scan and |V| union rows per round gone;
+    // vote/score set otherwise identical, so [[louvainCtesSql]] needs no
+    // change. `deg` also rides INSIDE the label frame (it is
+    // loop-invariant per id), deleting the per-round lab ⋈ deg join.
+    val ewl = ew.unionByName(
+      deg.select(col("id").as("src"), col("id").as("dst"),
+        lit(0L).as("w")))
+    var labels = deg.select(col("id"), col("id").as("label"), col("deg"))
       .pinned
     for (_ <- 1 to rounds) {
       val lab = labels
-      // (id, own, deg) in ONE join — sigma, the stay-candidate union and
-      // the scored lookup all need per-id label+degree; joining deg once
-      // here removes one ~|V| exchange per round vs joining own and deg
-      // separately into `scored`
-      val labDeg = lab.join(deg, "id")
       // Σ_tot and size per community, under the previous round's labels
-      val sigma = labDeg
+      val sigma = lab
         .groupBy(col("label")).agg(sum(col("deg")).as("st"),
           count(lit(1)).as("sz"))
-      // k_{v,C}: edge weight from v into community C
-      val kvc = ew
+      // k_{v,C}: edge weight from v into community C (self-loops emit
+      // the stay candidate)
+      val kvc = ewl
         .join(lab.select(col("id").as("dst"), col("label").as("cand")), "dst")
         .groupBy(col("src").as("id"), col("cand"))
         .agg(sum(col("w")).as("k"))
-      // stay-candidate row must exist even when v has no intra-community
-      // edge (k=0). Unioned WITHOUT deduplication: when v does have an
-      // intra-community edge, the duplicate (cand=own, k=0) row scores
-      // strictly below the true k>0 row (the score is affine-increasing
-      // in k, slope m2 > 0 whenever any edge exists), so the argmax
-      // below never picks it — a per-round (id, cand) dedup shuffle
-      // bought nothing.
-      val cand = kvc.unionByName(
-        lab.select(col("id"), col("label").as("cand"), lit(0L).as("k")))
-      val own = labDeg.select(col("id"), col("label").as("own"), col("deg"))
-      val scored = cand.join(own, "id")
+      val own = lab.select(col("id"), col("label").as("own"), col("deg"))
+      val scored = kvc.join(own, "id")
         .join(sigma.withColumnRenamed("label", "cand"), "cand")
-        .select(col("id"), col("own"), col("cand"),
+        .select(col("id"), col("own"), col("deg"), col("cand"),
           col("sz").as("cand_sz"),
           (lit(m2) * col("k") - col("deg") *
             (col("st") - when(col("cand") === col("own"), col("deg"))
@@ -1375,23 +1374,24 @@ object Graph {
       // combine, not a sort window: max over the struct (score, -cand)
       // is lexicographic, i.e. exactly `score DESC, cand ASC` — the
       // twin's ROW_NUMBER ordering ([[louvainCtesSql]]) — over ≤ deg+1
-      // candidate rows per node. (own is constant per id: a grouping
-      // key, so it rides along without an aggregate.)
+      // candidate rows per node. (own/deg are constant per id: grouping
+      // keys, so they ride along without an aggregate.)
       val best = scored
-        .groupBy(col("id"), col("own"))
+        .groupBy(col("id"), col("own"), col("deg"))
         .agg(max(struct(col("score"), (-col("cand")).as("nc"),
           col("cand_sz"))).as("b"))
-        .select(col("id"), col("own"), (-col("b.nc")).as("cand"),
+        .select(col("id"), col("own"), col("deg"), (-col("b.nc")).as("cand"),
           col("b.cand_sz").as("cand_sz"))
       val ownSz = sigma.select(col("label").as("own"), col("sz").as("own_sz"))
       labels = best.join(ownSz, "own")
         .select(col("id"),
           when(col("cand") =!= col("own") && col("own_sz") === 1 &&
               col("cand_sz") === 1 && col("cand") > col("own"), col("own"))
-            .otherwise(col("cand")).as("label"))
+            .otherwise(col("cand")).as("label"),
+          col("deg"))
         .pinned
     }
-    labels
+    labels.select(col("id"), col("label"))
   }
 
   /** DuckDB twin of [[louvain]] over a CTE `undCte(src,dst)` that must

@@ -245,8 +245,11 @@ object Sketches {
     * families at level l (absorbing any pre-existing parent count, which
     * the MERGE path produces) when the family total ≤ max(1, n DIV k);
     * uncollapsed rows settle. QdL bounded rounds, each one shuffle keyed
-    * by (grp, parent id). */
-  def qdCompress(nodes: DataFrame, tot: DataFrame): DataFrame = {
+    * by (grp, parent id). `leavesOnly = true` (the build path — input is
+    * level-0 rows only, so no round can meet a pre-existing parent)
+    * skips the per-round parent join entirely. */
+  def qdCompress(nodes: DataFrame, tot: DataFrame,
+      leavesOnly: Boolean = false): DataFrame = {
     val thresh = tot.select(col("grp"),
       greatest(col("n") / lit(QdK.toLong), lit(1L)).as("t")).pinned
     val src = nodes.pinned
@@ -259,16 +262,19 @@ object Sketches {
       val fam = active
         .groupBy(col("grp"), shiftright(col("id"), 1).as("pid"))
         .agg(sum(col("cnt")).as("ccnt"))
-      // pre-existing parent rows (merge path; empty during a leaf build)
-      val par = src.filter(col("lvl") === l + 1)
-        .select(col("grp"), col("id").as("pid"), col("cnt").as("pcnt"))
-      val famT = fam.join(par, Seq("grp", "pid"), "full")
-        .join(thresh, Seq("grp"))
-        .select(col("grp"), col("pid"), col("pcnt"),
-          (coalesce(col("ccnt"), lit(0L)) + coalesce(col("pcnt"), lit(0L)))
-            .as("fsum"),
-          col("t"))
-        .pinned
+      val withPar = if (leavesOnly) {
+        fam.select(col("grp"), col("pid"), lit(null).cast("long").as("pcnt"),
+          col("ccnt").as("fsum"))
+      } else {
+        // pre-existing parent rows (merge path; empty during a leaf build)
+        val par = src.filter(col("lvl") === l + 1)
+          .select(col("grp"), col("id").as("pid"), col("cnt").as("pcnt"))
+        fam.join(par, Seq("grp", "pid"), "full")
+          .select(col("grp"), col("pid"), col("pcnt"),
+            (coalesce(col("ccnt"), lit(0L)) + coalesce(col("pcnt"), lit(0L)))
+              .as("fsum"))
+      }
+      val famT = withPar.join(thresh, Seq("grp")).pinned
       // uncollapsed children settle at level l …
       val keep = famT.filter(col("fsum") > col("t"))
         .select(col("grp").as("k_grp"), col("pid").as("k_pid"))
@@ -340,7 +346,7 @@ object Sketches {
     val leaves = vals.groupBy(col("grp"), col("v").as("id"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("grp"), lit(0).cast("int").as("lvl"), col("id"), col("cnt"))
-    val digest = qdCompress(leaves, tot).pinned
+    val digest = qdCompress(leaves, tot, leavesOnly = true).pinned
     val nNodes = digest.groupBy(col("grp"))
       .agg(count(lit(1)).as("digest_nodes"))
     val est = qdQuantiles(digest, tot, qs)
