@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.Sketches
+
+/** Mergeable sketches maintained BY a stream — the deployment shape the
+  * r11 sketch family exists for: a 100 TB corpus arrives incrementally,
+  * each micro-batch reduces to a bounded register set (64 HLL buckets,
+  * d·w count–min cells per group), and the corpus-wide estimate is a
+  * register MERGE, never a rescan.
+  *
+  * Exactly-once without relying on sink transactions: each micro-batch
+  * writes its OWN register set to `stateDir/<sketch>/batch_id=<id>` with
+  * idempotent overwrite — a replayed batch (restart before the
+  * checkpoint commit) re-derives the identical registers and supersedes
+  * its directory verbatim, so the SUM-merged count–min cells never
+  * double-count (the same pattern the warehouse dead-letter path uses;
+  * HLL's max-merge is idempotent even without it, CM's sum-merge is the
+  * one that needs the batch keying). This holds under the SAME
+  * checkpoint — the contract of a restart; discarding the checkpoint
+  * means reprocessing from scratch and pairs with a fresh `stateDir`,
+  * exactly as it does for any non-transactional sink. The live estimate is
+  * [[cmEstimateNow]]/[[hllEstimateNow]] over the union of batch
+  * directories — register sets are d·w-bounded per batch, so reading
+  * them all back is O(batches · d·w), not O(corpus). */
+object StreamingSketches {
+
+  /** Input schema: one (grp, key) observation per line of the staged
+    * JSON/parquet batches. */
+  val obsSchema: StructType = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("key", LongType)))
+
+  /** Fold a parquet observation stream into per-batch HLL + CM register
+    * sets under `stateDir`, AvailableNow semantics. Restart-safe: the
+    * checkpoint skips committed batches; a replayed batch overwrites its
+    * own register directories. */
+  def run(spark: SparkSession, srcDir: String, checkpointDir: String,
+      stateDir: String): Unit = {
+    val stream = spark.readStream.schema(obsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketches.registers(batch, col("grp"), col("key"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/hll/batch_id=$batchId")
+        Sketches.cmRegisters(batch, col("grp"), col("key"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/cm/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  private def batchDirs(stateDir: String, sketch: String): Seq[String] = {
+    val d = new java.io.File(s"$stateDir/$sketch")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getPath).toSeq
+  }
+
+  /** Corpus-wide HLL distinct estimates from the accumulated per-batch
+    * registers: per-bucket MAX merge, then the standard estimator. */
+  def hllEstimateNow(spark: SparkSession, stateDir: String): DataFrame =
+    Sketches.estimateFromRegisters(Sketches.mergeRegisters(
+      batchDirs(stateDir, "hll").map(spark.read.parquet(_))))
+
+  /** Corpus-wide CM frequency estimates for `probes(grp, key)` from the
+    * accumulated per-batch registers: per-cell SUM merge, then min-of-d. */
+  def cmEstimateNow(spark: SparkSession, stateDir: String,
+      probes: DataFrame): DataFrame =
+    Sketches.cmEstimate(Sketches.cmMerge(
+      batchDirs(stateDir, "cm").map(spark.read.parquet(_))), probes)
+}
