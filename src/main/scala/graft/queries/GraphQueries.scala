@@ -109,7 +109,7 @@ object GraphQueries extends QueryModule {
     // GDS degree centrality (gds.degree) over REFERENCES: out/in/total
     // per part — two narrow aggregations + a full outer merge.
     "g_degree" -> ((s, dir) => {
-      val e = refEdges(s, dir)
+      val e = graft.plans.Pins.pin(refEdges(s, dir)) // two consumers: one fact self-join, not two
       val outd = e.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("out_deg"))
       val ind = e.groupBy(col("dst").as("id"))
@@ -486,7 +486,7 @@ object GraphQueries extends QueryModule {
     // gds.louvain optimizes, graph_queries.cyp:19-30), as one exact
     // BIGINT rational q_num/q_den plus its double quotient.
     "g_modularity" -> ((s, dir) => {
-      val e = refEdges(s, dir)
+      val e = graft.plans.Pins.pin(refEdges(s, dir)) // two consumers: one fact self-join, not two
       Graph.modularity(e, Graph.labelPropagation(e, iters = 10))
     }),
 
@@ -519,7 +519,7 @@ object GraphQueries extends QueryModule {
     // inter-operator schema drift between the louvain and pagerank
     // families the isolated entries can't.
     "g_pipe_communities" -> ((s, dir) => {
-      val e = refEdges(s, dir)
+      val e = graft.plans.Pins.pin(refEdges(s, dir)) // two consumers: one fact self-join, not two
       Graph.louvain(e, rounds = 6)
         .join(Graph.pageRankFixed(e, iters = 10), Seq("id"))
         .groupBy(col("label").as("community"))
