@@ -212,9 +212,10 @@ object Bench {
     "txt_bpe_tokens", "txt_inverted_index", "txt_keywords",
     "txt_oov_rate", "txt_repetition", "txt_token_stats",
     "u1_union_all_names", "win_analytics",
-    // r11-new mergeable sketches (count–min, q-digest) + the lossy
-    // JPEG codec roundtrip
-    "sketch_cm_exact", "sketch_qdigest", "mm_decode_jpeg")
+    // r11-new mergeable sketches (count–min, q-digest, KMV set-ops) +
+    // the lossy JPEG codec roundtrip
+    "sketch_cm_exact", "sketch_qdigest", "mm_decode_jpeg",
+    "sketch_kmv", "sketch_kmv_jaccard")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose

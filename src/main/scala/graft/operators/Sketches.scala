@@ -205,6 +205,181 @@ object Sketches {
        |FROM cmest e JOIN cmexact x ON x.grp = e.grp AND x.key = e.key""".stripMargin
 
   // ------------------------------------------------------------------
+  // KMV — k-minimum-values sketch (Bar-Yossef et al., RANDOM 2002;
+  // Beyer et al., "On synopses for distinct-value estimation under
+  // multiset operations", SIGMOD 2007). Registers = the k smallest
+  // DISTINCT md5 hashes per group: a bounded, ORDER-FREE summary whose
+  // merge (k smallest of the union) is an exact semilattice operation —
+  // merge-then-estimate == estimate-of-union bit for bit, like the HLL's
+  // max. What it adds over the HLL is SET OPERATIONS: the k minima of
+  // A ∪ B are a uniform sample of A ∪ B, so |{h ∈ minima(A∪B) : h ∈ A
+  // ∧ h ∈ B}| / k estimates Jaccard(A, B) (Broder's minwise argument) —
+  // the sketch a dedup pipeline uses to compare corpus slices without a
+  // rescan. Distinct estimate: exact |regs| while |regs| < k, else
+  // (k−1)·2^56 / h_k — one IEEE division of exact integers, identical
+  // in both engines.
+  // ------------------------------------------------------------------
+
+  /** Register budget. (k−1)·2^56 = 63·2^56 — exactly representable in a
+    * double (6-bit mantissa), emitted as ONE literal into both engines
+    * like [[EstNumer]]. */
+  val KmvK = 64
+  private val KmvNumer: Double = (KmvK - 1).toDouble * math.pow(2.0, 56)
+
+  /** The sketch state: the k smallest distinct hashes per group. */
+  def kmvRegisters(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val h = hash54(concat(lit("kmv:"), keyCol.cast("string")))
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    df.filter(keyCol.isNotNull)
+      .select(groupCol.as("grp"), h.as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Merge register sets: k smallest distinct hashes of the union —
+    * associative, commutative, idempotent (a semilattice), so shard
+    * sketches roll up exactly. */
+  def kmvMerge(regSets: Seq[DataFrame]): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    regSets.reduce(_ unionByName _).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Distinct estimate per group: exact register count while the sketch
+    * is unsaturated, else (k−1)·2^56 / h_k. */
+  def kmvEstimateDistinct(regs: DataFrame): DataFrame =
+    regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("regs"), max(col("h")).as("kth_hash"))
+      .select(col("grp"), col("regs"), col("kth_hash"),
+        when(col("regs") < KmvK, col("regs").cast("double"))
+          .otherwise(lit(KmvNumer) / col("kth_hash").cast("double"))
+          .as("estimate"))
+
+  /** Distinct estimate beside the exact count (the oracle checks both). */
+  def kmvDistinct(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val est = kmvEstimateDistinct(kmvRegisters(df, groupCol, keyCol))
+    val exact = df.filter(keyCol.isNotNull).groupBy(groupCol.as("grp"))
+      .agg(countDistinct(keyCol).as("exact_keys"))
+    est.join(exact, Seq("grp"))
+      .select(col("grp"), col("exact_keys"), col("regs"), col("kth_hash"),
+        col("estimate"))
+  }
+
+  /** Pairwise Jaccard estimates BETWEEN groups, from registers alone:
+    * for each unordered group pair, take the k smallest hashes of the
+    * two register sets' union and count how many live in both — that
+    * count over k estimates J. Output (ga, gb, kmin, matches, j_est)
+    * with the exact Jaccard joined in by [[kmvJaccard]]. */
+  def kmvJaccardFromRegisters(regs: DataFrame): DataFrame = {
+    val groups = regs.select(col("grp")).distinct()
+    val pairs = groups.select(col("grp").as("ga"))
+      .crossJoin(groups.select(col("grp").as("gb")))
+      .filter(col("ga") < col("gb"))
+    val ra = regs.select(col("grp").as("ga"), col("h"))
+    val rb = regs.select(col("grp").as("gb"), col("h"))
+    // hashes present in either side's register set, per pair
+    val u = pairs.join(ra, Seq("ga")).select(col("ga"), col("gb"), col("h"))
+      .unionByName(pairs.join(rb, Seq("gb"))
+        .select(col("ga"), col("gb"), col("h")))
+      .distinct()
+    val w = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val kmin = u.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+    val flagged = kmin
+      .join(ra.withColumn("in_a", lit(1L)), Seq("ga", "h"), "left")
+      .join(rb.withColumn("in_b", lit(1L)), Seq("gb", "h"), "left")
+    flagged.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("kmin"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("matches"))
+      .select(col("ga"), col("gb"), col("kmin"), col("matches"),
+        (col("matches").cast("double") / col("kmin").cast("double"))
+          .as("j_est"))
+  }
+
+  /** End-to-end pairwise Jaccard: sketch estimate beside the exact
+    * intersection/union counts — all integers plus two lone IEEE
+    * divisions, so the oracle hashes everything. */
+  def kmvJaccard(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val est = kmvJaccardFromRegisters(kmvRegisters(df, groupCol, keyCol))
+    val sets = df.filter(keyCol.isNotNull)
+      .select(groupCol.as("grp"), keyCol.as("key")).distinct()
+    val sa = sets.select(col("grp").as("ga"), col("key"))
+    val sb = sets.select(col("grp").as("gb"), col("key"))
+    val inter = sa.join(sb, Seq("key")).filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("inter_exact"))
+    val sizes = sets.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    est.join(inter, Seq("ga", "gb"), "left")
+      .join(sizes.select(col("grp").as("ga"), col("n").as("na")), Seq("ga"))
+      .join(sizes.select(col("grp").as("gb"), col("n").as("nb")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("kmin"), col("matches"),
+        col("j_est"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+        (col("na") + col("nb") - coalesce(col("inter_exact"), lit(0L)))
+          .as("union_exact"))
+      .withColumn("j_exact",
+        col("inter_exact").cast("double") / col("union_exact").cast("double"))
+  }
+
+  /** DuckDB twin of [[kmvDistinct]]. */
+  def kmvDistinctSql(table: String, groupCol: String, keyCol: String): String =
+    s"""WITH kh AS (SELECT DISTINCT $groupCol AS grp,
+       |    CAST(('0x' || substr(md5('kmv:' || CAST($keyCol AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+       |  FROM $table WHERE $keyCol IS NOT NULL),
+       |kregs AS (SELECT grp, h FROM (
+       |    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |    FROM kh) WHERE rn <= $KmvK),
+       |kest AS (SELECT grp, COUNT(*) AS regs, MAX(h) AS kth_hash FROM kregs GROUP BY grp),
+       |kex AS (SELECT $groupCol AS grp, COUNT(DISTINCT $keyCol) AS exact_keys
+       |  FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1)
+       |SELECT e.grp, x.exact_keys, e.regs, e.kth_hash,
+       |  CASE WHEN e.regs < $KmvK THEN CAST(e.regs AS DOUBLE)
+       |       ELSE $KmvNumer / CAST(e.kth_hash AS DOUBLE) END AS estimate
+       |FROM kest e JOIN kex x ON x.grp = e.grp""".stripMargin
+
+  /** DuckDB twin of [[kmvJaccard]]. */
+  def kmvJaccardSql(table: String, groupCol: String, keyCol: String): String =
+    s"""WITH kh AS (SELECT DISTINCT $groupCol AS grp,
+       |    CAST(('0x' || substr(md5('kmv:' || CAST($keyCol AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+       |  FROM $table WHERE $keyCol IS NOT NULL),
+       |kregs AS (SELECT grp, h FROM (
+       |    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |    FROM kh) WHERE rn <= $KmvK),
+       |kp AS (SELECT a.grp AS ga, b.grp AS gb
+       |  FROM (SELECT DISTINCT grp FROM kregs) a,
+       |       (SELECT DISTINCT grp FROM kregs) b WHERE a.grp < b.grp),
+       |ku AS (SELECT DISTINCT ga, gb, h FROM (
+       |    SELECT p.ga, p.gb, r.h FROM kp p JOIN kregs r ON r.grp = p.ga
+       |    UNION ALL SELECT p.ga, p.gb, r.h FROM kp p JOIN kregs r ON r.grp = p.gb)),
+       |kmin AS (SELECT ga, gb, h FROM (
+       |    SELECT ga, gb, h, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+       |    FROM ku) WHERE rn <= $KmvK),
+       |kj AS (SELECT m.ga, m.gb, COUNT(*) AS kmin,
+       |    CAST(SUM(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS matches
+       |  FROM kmin m
+       |  LEFT JOIN kregs ia ON ia.grp = m.ga AND ia.h = m.h
+       |  LEFT JOIN kregs ib ON ib.grp = m.gb AND ib.h = m.h
+       |  GROUP BY m.ga, m.gb),
+       |ksets AS (SELECT DISTINCT $groupCol AS grp, $keyCol AS key
+       |  FROM $table WHERE $keyCol IS NOT NULL),
+       |kin AS (SELECT a.grp AS ga, b.grp AS gb, COUNT(*) AS inter_exact
+       |  FROM ksets a JOIN ksets b ON b.key = a.key AND a.grp < b.grp
+       |  GROUP BY a.grp, b.grp),
+       |ksz AS (SELECT grp, COUNT(*) AS n FROM ksets GROUP BY grp)
+       |SELECT j.ga, j.gb, j.kmin, j.matches,
+       |  CAST(j.matches AS DOUBLE) / CAST(j.kmin AS DOUBLE) AS j_est,
+       |  COALESCE(i.inter_exact, 0) AS inter_exact,
+       |  sa.n + sb.n - COALESCE(i.inter_exact, 0) AS union_exact,
+       |  CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+       |    / CAST(sa.n + sb.n - COALESCE(i.inter_exact, 0) AS DOUBLE) AS j_exact
+       |FROM kj j LEFT JOIN kin i ON i.ga = j.ga AND i.gb = j.gb
+       |     JOIN ksz sa ON sa.grp = j.ga JOIN ksz sb ON sb.grp = j.gb""".stripMargin
+
+  // ------------------------------------------------------------------
   // Q-digest (Shrivastava, Buragohain, Agrawal & Suri, "Medians and
   // beyond: new aggregation techniques for sensor networks", SenSys
   // 2004) — the deterministic MERGEABLE quantile sketch. Values live in

@@ -224,6 +224,22 @@ object AnalyticsQueries extends QueryModule {
           col("est"), col("exact_disc"), col("digest_nodes"))
         .orderBy(col("l_returnflag"), col("q"))),
 
+    // KMV sketch (r11): k-minimum-values registers — distinct estimate
+    // plus PAIRWISE Jaccard between groups from registers alone (the
+    // set-operation the HLL can't do). Same md5 hashes both engines, so
+    // the oracle hashes estimates and register stats directly.
+    "sketch_kmv" -> ((s, dir) =>
+      graft.operators.Sketches.kmvDistinct(Tables.events(s, dir),
+          col("event_type"), col("user_id"))
+        .select(col("grp").as("event_type"), col("exact_keys"),
+          col("regs"), col("kth_hash"), col("estimate"))
+        .orderBy(col("event_type"))),
+
+    "sketch_kmv_jaccard" -> ((s, dir) =>
+      graft.operators.Sketches.kmvJaccard(Tables.events(s, dir),
+          col("event_type"), col("user_id"))
+        .orderBy(col("ga"), col("gb"))),
+
     "sketch_approx_distinct" -> ((s, dir) => {
       // ONE rsd constant feeds both the sketch and the 4σ bound — the
       // documented contract breaks silently if they ever drift apart
@@ -259,6 +275,18 @@ object AnalyticsQueries extends QueryModule {
               "l_returnflag", "CAST(FLOOR(l_extendedprice) AS BIGINT)",
               Seq((1, 4), (1, 2), (9, 10)))})
          |ORDER BY l_returnflag, q""".stripMargin,
+
+    "sketch_kmv" ->
+      s"""SELECT grp AS event_type, exact_keys, regs, kth_hash, estimate
+         |FROM (${graft.operators.Sketches.kmvDistinctSql("events",
+              "event_type", "user_id")})
+         |ORDER BY event_type""".stripMargin,
+
+    "sketch_kmv_jaccard" ->
+      s"""SELECT ga, gb, kmin, matches, j_est, inter_exact, union_exact, j_exact
+         |FROM (${graft.operators.Sketches.kmvJaccardSql("events",
+              "event_type", "user_id")})
+         |ORDER BY ga, gb""".stripMargin,
 
     "sketch_approx_distinct" ->
       """SELECT event_type,

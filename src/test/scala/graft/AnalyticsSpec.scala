@@ -103,6 +103,43 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV: merge is a semilattice (shard-merge == whole-corpus), Jaccard estimator sane") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val df = (1 to 900).map(i => ("g" + (i % 3), ((i * 13) % 400).toLong))
+      .toDF("event_type", "user_id")
+    // OVERLAPPING shards — the hard case for a merge (k-smallest-of-union
+    // must absorb duplicates, a counter merge would not)
+    val shards = (0 until 3).map(k =>
+      df.where(expr(s"pmod(crc32(CAST(user_id AS STRING)), 4) <= ${k + 1}")))
+    val whole = shards.reduce(_ unionByName _)
+    def regSet(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    val direct = regSet(Sketches.kmvRegisters(whole,
+      col("event_type"), col("user_id")))
+    val merged = regSet(Sketches.kmvMerge(shards.map(s =>
+      Sketches.kmvRegisters(s, col("event_type"), col("user_id")))))
+    assert(direct.nonEmpty && direct == merged,
+      "k smallest of merged shards must equal the whole corpus's registers")
+    // distinct estimate within the KMV rsd envelope (~1/sqrt(k-2) ≈ 13%)
+    Sketches.kmvDistinct(whole, col("event_type"), col("user_id"))
+      .collect().foreach { r =>
+        val (exact, est) = (r.getLong(1), r.getDouble(4))
+        assert(math.abs(est - exact) <= exact * 0.5,
+          s"KMV distinct estimate implausible: $r")
+      }
+    // Jaccard estimate within a generous minwise-sampling envelope, and
+    // the exact columns really exact
+    Sketches.kmvJaccard(whole, col("event_type"), col("user_id"))
+      .collect().foreach { r =>
+        val (jEst, jExact) = (r.getDouble(4), r.getDouble(7))
+        assert(math.abs(jEst - jExact) <= 0.35,
+          s"KMV Jaccard estimate implausible: $r")
+        assert(r.getLong(5) <= r.getLong(6),
+          s"intersection exceeds union: $r")
+      }
+  }
+
   test("q-digest: one-sided estimates within the published rank bound, merge holds it too") {
     import spark.implicits._
     import graft.operators.Sketches
