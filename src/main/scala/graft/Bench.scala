@@ -258,8 +258,11 @@ object Bench {
     // Experiment hook (local iteration only, like SPARK_GRAFT_BENCH_ONLY):
     // override any SQL conf, e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case Array("") | Array() => // empty segment from a trailing ';'
+        case _ => sys.error(s"bad SPARK_GRAFT_CONF entry (want key=value): '$kv'")
+      }
     })
     val qs = SparkEntry.queries
     // Materialize through the noop sink, not count(): count() lets Catalyst

@@ -1,13 +1,18 @@
 package graft
 import org.apache.spark.sql.functions._
 
-/** Scale-stress for the round-8 bounded-iteration graph family (k-core
-  * H-operator, HITS, harmonic BFS, FastRP) on the sf0.1 REFERENCES graph
-  * replicated ×1/×3/×10 by id-offset copies (disjoint components — the
-  * per-round shuffle volume grows linearly while round COUNT stays
-  * fixed, so the claim under test is wall ∝ edges, not edges²; any
-  * superlinear growth would indicate a hidden cross-component join).
-  * Results recorded in BASELINE.md. */
+/** Scale-stress for the bounded-iteration graph family on the sf0.1
+  * REFERENCES graph replicated ×1/×10 by id-offset copies (disjoint
+  * components — the per-round shuffle volume grows linearly while round
+  * COUNT stays fixed, so the claim under test is wall ∝ edges, not
+  * edges²; any superlinear growth would indicate a hidden
+  * cross-component join). Results recorded in BASELINE.md.
+  *
+  * Op set selected by SPARK_GRAFT_GS_OPS (comma list). Default is the
+  * round-11 RESTRUCTURED trio — lpa (self-loop fold + hash argmax),
+  * hits (reassociated totals), louvain2 (canonical-pair matching) —
+  * whose per-round plans postdate the r9 kcore/hits/pagerank sweep
+  * this profiler originally certified (VERDICT r11 #1). */
 object ProfileGraphScale {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
@@ -30,31 +35,49 @@ object ProfileGraphScale {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => protectedIds.contains(id) }
         .values.foreach(_.unpersist(true))
+    val ops = sys.env.getOrElse("SPARK_GRAFT_GS_OPS", "lpa,hits,louvain2")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     for (m <- Seq(1, 10)) {
       val e = (0 until m).map(i =>
           edges.select((col("src") + lit(i * 10000000L)).as("src"),
             (col("dst") + lit(i * 10000000L)).as("dst")))
         .reduce(_ unionByName _)
-      for (p <- Seq(1, 2)) {
-        t(s"kcore x$m p$p") {
+      if (ops("lpa")) {
+        t(s"lpa x$m") {
           println("rows: " +
-            graft.operators.Graph.kCoreFixed(e, 12, pinEvery = p).count())
+            graft.operators.Graph.labelPropagation(e, 10).count())
         }
         sweep()
-        // hitsFixed pins both score frames every round since the r11
-        // total-reassociation restructure; no pin-cadence knob to sweep
-        if (p == 1) {
-          t(s"hits x$m") {
+      }
+      if (ops("hits")) {
+        t(s"hits x$m") {
+          println("rows: " +
+            graft.operators.Graph.hitsFixed(e, 10).count())
+        }
+        sweep()
+      }
+      if (ops("louvain2")) {
+        t(s"louvain2 x$m") {
+          println("rows: " +
+            graft.operators.Graph.louvain2(e, 6, 6).count())
+        }
+        sweep()
+      }
+      if (ops("kcore") || ops("pagerank")) for (p <- Seq(1, 2)) {
+        if (ops("kcore")) {
+          t(s"kcore x$m p$p") {
             println("rows: " +
-              graft.operators.Graph.hitsFixed(e, 10).count())
+              graft.operators.Graph.kCoreFixed(e, 12, pinEvery = p).count())
           }
           sweep()
         }
-        t(s"pagerank x$m p$p") {
-          println("rows: " +
-            graft.operators.Graph.pageRankFixed(e, 10, pinEvery = p).count())
+        if (ops("pagerank")) {
+          t(s"pagerank x$m p$p") {
+            println("rows: " +
+              graft.operators.Graph.pageRankFixed(e, 10, pinEvery = p).count())
+          }
+          sweep()
         }
-        sweep()
       }
     }
     spark.stop()

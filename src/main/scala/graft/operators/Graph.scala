@@ -583,6 +583,10 @@ object Graph {
       .pinned
     var reach = base
     var frontier = base
+    // accepted hop caches — freed after the final pin below (ADVICE r11:
+    // a returned plan that READS the caches can never release them, so a
+    // long shared session kept k hop frames in executor storage)
+    val hopCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var total = if (maxPairs.isDefined) base.count() else 0L
     var hop = 2
     var done = k < 2
@@ -606,13 +610,23 @@ object Graph {
         done = true
       } else {
         // frontier is disjoint from reach by construction — plain union
+        hopCaches += frontier
         reach = reach.union(frontier)
         total += fCount
         hop += 1
         if (hop > k) done = true
       }
     }
-    reach
+    // One final pin of the full reach set (still O(|reach|) materialized
+    // bytes total — the loop wrote each pair once, this writes it once
+    // more), then release the per-hop caches so the operator leaves no
+    // executor storage behind in a shared session.
+    if (hopCaches.isEmpty) reach
+    else {
+      val out = reach.pinned
+      hopCaches.foreach(_.unpersist(false))
+      out
+    }
   }
 
   /** G5 — community detection via connected components (min-label

@@ -241,9 +241,12 @@ object Multimodal {
             sys.error(s"JPEG roundtrip failed for doc $id"))
           val n = (w * h).toLong
           val tol = 8L
-          val meansOk = math.abs(sr / n - er / n) <= tol &&
-            math.abs(sg / n - eg / n) <= tol &&
-            math.abs(sb / n - eb / n) <= tol
+          // compare SUMS against tol·n — exact integer arithmetic; the
+          // per-side mean truncation (sr/n vs er/n) would widen the
+          // effective tolerance to ±(tol+1)
+          val meansOk = math.abs(sr - er) <= tol * n &&
+            math.abs(sg - eg) <= tol * n &&
+            math.abs(sb - eb) <= tol * n
           JpegStats(id, dw, dh, jpeg.nonEmpty, meansOk)
         }
       }

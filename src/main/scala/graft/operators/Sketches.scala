@@ -425,8 +425,11 @@ object Sketches {
     * skips the per-round parent join entirely. */
   def qdCompress(nodes: DataFrame, tot: DataFrame,
       leavesOnly: Boolean = false): DataFrame = {
+    // INTEGER division (`div`), matching the twin's `//`: Column./ is
+    // DOUBLE division and only agrees here because QdK is a power of two
+    // (binary-exact) — `div` keeps the contract if QdK ever changes.
     val thresh = tot.select(col("grp"),
-      greatest(col("n") / lit(QdK.toLong), lit(1L)).as("t")).pinned
+      greatest(expr(s"n div ${QdK}L"), lit(1L)).as("t")).pinned
     val src = nodes.pinned
     var settled: Option[DataFrame] = None
     // active rows at the current level (this round's children); original
