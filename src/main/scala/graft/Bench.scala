@@ -215,7 +215,9 @@ object Bench {
     // r11-new mergeable sketches (count–min, q-digest, KMV set-ops) +
     // the lossy JPEG codec roundtrip
     "sketch_cm_exact", "sketch_qdigest", "mm_decode_jpeg",
-    "sketch_kmv", "sketch_kmv_jaccard")
+    "sketch_kmv", "sketch_kmv_jaccard",
+    // r12: mergeable Bloom filter + the runtime semi-join prune
+    "sketch_bloom", "sketch_bloom_prune")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose

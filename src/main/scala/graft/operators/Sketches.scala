@@ -638,4 +638,148 @@ object Sketches {
        |            ELSE $EstNumer / CAST(s.s AS DOUBLE)
        |       END AS estimate
        |FROM sums s JOIN ex ON ex.grp = s.grp""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bloom filter (Bloom, "Space/time trade-offs in hash coding with
+  // allowable errors", CACM 1970) — the mergeable MEMBERSHIP sketch
+  // that completes the family: HLL answers distinct, CM frequency,
+  // q-digest quantiles, KMV set overlap; the Bloom filter answers "is
+  // this key on the other side?" without shipping the other side.
+  // Registers are the SET of set bit positions (grp, b) — at most BfM
+  // rows per group, the relational form of the bit array — and MERGE =
+  // DISTINCT UNION (bitwise OR): idempotent, associative, commutative,
+  // so merge-then-test == test-of-union EXACTLY, cell for cell, like
+  // the CM sum (AnalyticsSpec asserts the set equality). No false
+  // negatives by construction; FP rate ≈ (1 − e^{−kn/m})^k. Same
+  // md5-derived bits in both engines, so the oracle hashes the
+  // membership verdicts themselves.
+  //
+  // The 100 TB use is the RUNTIME SEMI-JOIN PRUNE ([[bloomSemiJoin]]):
+  // the build side's key bloom — ≤ m bits regardless of build size —
+  // broadcasts to the probe-side scan and drops non-joining probe rows
+  // BEFORE the shuffle, generalizing J3/J11's anti/semi joins the way
+  // the KMV generalized D1's dedup: the exact join still runs, but
+  // over the tiny bloom-surviving slice.
+  // ------------------------------------------------------------------
+
+  /** Bits m (power of two — the bit index is a mask of the md5 hash,
+    * like CmWidth) and hash-function count k. */
+  val BfM = 65536
+  val BfK = 4
+
+  private def bfBit(i: Column, key: Column): Column =
+    hash54(concat(lit("bf"), i.cast("string"), lit(":"), key))
+      .bitwiseAND(lit(BfM.toLong - 1))
+
+  /** The sketch state: distinct set bit positions (grp, b). Each key
+    * sets k = BfK positions; map-side partial dedup makes the shuffle
+    * min(k·n, m)-bounded per group. */
+  def bfRegisters(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame =
+    df.filter(keyCol.isNotNull)
+      .select(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .withColumn("i", explode(lit((0 until BfK).toArray)))
+      .select(col("grp"), bfBit(col("i").cast("long"), col("key")).as("b"))
+      .distinct()
+
+  /** Merge register sets from data slices: distinct union — the
+    * relational bitwise OR. */
+  def bfMerge(regSets: Seq[DataFrame]): DataFrame =
+    regSets.reduce(_ unionByName _).distinct()
+
+  /** Membership verdicts for `probes(grp, key)`: a key MIGHT be in the
+    * set iff all k of its positions are set. The exploded probe bits
+    * join the registers (distinct on (grp, b), so at most one hit per
+    * probe row) and the verdict is hits == k. */
+  def bfMightContain(regs: DataFrame, probes: DataFrame): DataFrame =
+    probes
+      .withColumn("i", explode(lit((0 until BfK).toArray)))
+      .select(col("grp"), col("key"),
+        bfBit(col("i").cast("long"), col("key")).as("b"))
+      .join(regs.withColumn("hit", lit(1L)), Seq("grp", "b"), "left")
+      .groupBy(col("grp"), col("key"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) === lit(BfK.toLong))
+        .as("might_contain"))
+
+  /** Membership verdict + exact membership for the deterministic probe
+    * set `key % probeMod == 0` (drawn ACROSS groups, so keys of other
+    * groups are natural non-members exercising the false-positive
+    * path): (grp, key, might_contain, is_member). The oracle hashes
+    * both; might_contain ≥ is_member (no false negatives) is part of
+    * the hashed data. */
+  def bfMembership(df: DataFrame, groupCol: Column, keyCol: Column,
+      probeMod: Long): DataFrame = {
+    val regs = bfRegisters(df, groupCol, keyCol)
+    val keys = df.filter(keyCol.isNotNull && keyCol % probeMod === 0)
+      .select(keyCol.cast("string").as("key")).distinct()
+    // broadcast the bounded group dim: a plain crossJoin of two
+    // unhinted frames would plan the CartesianProduct PlanGuardSpec bans
+    val probes = keys.crossJoin(
+      broadcast(df.select(groupCol.as("grp")).distinct()))
+    val exact = df.filter(keyCol.isNotNull)
+      .select(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .distinct().withColumn("m", lit(true))
+    bfMightContain(regs, probes)
+      .join(exact, Seq("grp", "key"), "left")
+      .select(col("grp"), col("key"), col("might_contain"),
+        coalesce(col("m"), lit(false)).as("is_member"))
+  }
+
+  /** DuckDB twin of [[bfMembership]] — same bits, same verdicts. */
+  def bfMembershipSql(table: String, groupCol: String, keyCol: String,
+      probeMod: Long): String =
+    s"""WITH bfk AS (SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key
+       |             FROM $table WHERE $keyCol IS NOT NULL),
+       |bfr AS (SELECT DISTINCT grp,
+       |          CAST(('0x' || substr(md5('bf' || CAST(t.i AS VARCHAR) || ':' || key), 1, 14)) AS BIGINT)
+       |            & ${BfM - 1} AS b
+       |        FROM bfk, (SELECT UNNEST(range(${BfK})) AS i) t),
+       |bfprobe AS (SELECT g.grp, k.key
+       |            FROM (SELECT DISTINCT CAST($keyCol AS VARCHAR) AS key
+       |                  FROM $table
+       |                  WHERE $keyCol IS NOT NULL AND $keyCol % $probeMod = 0) k,
+       |                 (SELECT DISTINCT $groupCol AS grp FROM $table) g),
+       |bfpb AS (SELECT p.grp, p.key, t.i,
+       |           CAST(('0x' || substr(md5('bf' || CAST(t.i AS VARCHAR) || ':' || p.key), 1, 14)) AS BIGINT)
+       |             & ${BfM - 1} AS b
+       |         FROM bfprobe p, (SELECT UNNEST(range(${BfK})) AS i) t),
+       |bfmc AS (SELECT pb.grp, pb.key,
+       |           SUM(CASE WHEN r.b IS NOT NULL THEN 1 ELSE 0 END) = ${BfK}
+       |             AS might_contain
+       |         FROM bfpb pb LEFT JOIN bfr r
+       |           ON r.grp = pb.grp AND r.b = pb.b
+       |         GROUP BY pb.grp, pb.key),
+       |bfex AS (SELECT DISTINCT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key
+       |         FROM $table WHERE $keyCol IS NOT NULL)
+       |SELECT mc.grp, mc.key, mc.might_contain,
+       |       x.key IS NOT NULL AS is_member
+       |FROM bfmc mc LEFT JOIN bfex x
+       |  ON x.grp = mc.grp AND x.key = mc.key""".stripMargin
+
+  /** Runtime semi-join prune: `probe` rows whose `probeKey` joins some
+    * `build` row's `buildKey` — same rows as a plain left_semi, but the
+    * probe side first streams through BfK broadcast-hash semi-joins
+    * against the build bloom's registers (≤ BfM longs each, whatever
+    * the build row count), so non-joining probe rows drop BEFORE the
+    * exact join's shuffle. The exact left_semi at the end removes the
+    * bloom's false positives — the prune is semantically transparent,
+    * which is exactly what the oracle checks. */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String): DataFrame = {
+    val regs = bfRegisters(build, lit(0L), col(buildKey)).select(col("b"))
+    val pruned = bloomPrune(probe, probeKey, regs)
+    pruned.join(build.select(col(buildKey).as("__bf_bk")).distinct(),
+      col(probeKey) === col("__bf_bk"), "left_semi")
+  }
+
+  /** The prune alone (exposed for the A/B that measures rows dropped):
+    * keep probe rows all of whose BfK bit positions are set in `regs`
+    * — one broadcast-hash left_semi per hash function, no shuffle on
+    * the probe side. */
+  def bloomPrune(probe: DataFrame, probeKey: String,
+      regs: DataFrame): DataFrame =
+    (0 until BfK).foldLeft(probe) { (df, i) =>
+      df.join(broadcast(regs.select(col("b").as(s"__bf_r$i"))),
+        bfBit(lit(i.toLong), col(probeKey).cast("string"))
+          === col(s"__bf_r$i"), "left_semi")
+    }
 }

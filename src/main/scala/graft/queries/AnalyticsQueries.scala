@@ -240,6 +240,35 @@ object AnalyticsQueries extends QueryModule {
           col("event_type"), col("user_id"))
         .orderBy(col("ga"), col("gb"))),
 
+    // Bloom filter (r12): membership verdicts for the deterministic
+    // probe set user_id % 10 == 0, probed against EVERY event type's
+    // bloom — users of other types exercise the false-positive path,
+    // is_member rides along as the exactness witness. Same md5 bits in
+    // both engines, so the oracle hashes the verdicts themselves;
+    // registers merge by distinct union (AnalyticsSpec proves
+    // merge == build-on-union exactly).
+    "sketch_bloom" -> ((s, dir) =>
+      graft.operators.Sketches.bfMembership(Tables.events(s, dir),
+          col("event_type"), col("user_id"), probeMod = 10L)
+        .select(col("grp").as("event_type"), col("key").as("user_key"),
+          col("might_contain"), col("is_member"))
+        .orderBy(col("event_type"), col("user_key"))),
+
+    // Runtime semi-join prune (r12): the j11 shape — orders of
+    // high-balance customers — but the probe (fact) side streams
+    // through the build side's broadcast bloom BEFORE the exact join's
+    // shuffle. The result is identical to the plain semi-join (the
+    // exact join removes the bloom's false positives), which is
+    // precisely what the oracle checks; AnalyticsSpec measures the
+    // probe rows the bloom drops.
+    "sketch_bloom_prune" -> ((s, dir) =>
+      graft.operators.Sketches.bloomSemiJoin(
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir).filter(col("c_acctbal") > 9000),
+          "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
     "sketch_approx_distinct" -> ((s, dir) => {
       // ONE rsd constant feeds both the sketch and the 4σ bound — the
       // documented contract breaks silently if they ever drift apart
@@ -287,6 +316,19 @@ object AnalyticsQueries extends QueryModule {
          |FROM (${graft.operators.Sketches.kmvJaccardSql("events",
               "event_type", "user_id")})
          |ORDER BY ga, gb""".stripMargin,
+
+    "sketch_bloom" ->
+      s"""SELECT grp AS event_type, key AS user_key, might_contain, is_member
+         |FROM (${graft.operators.Sketches.bfMembershipSql("events",
+              "event_type", "user_id", 10L)})
+         |ORDER BY event_type, user_key""".stripMargin,
+
+    "sketch_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "sketch_approx_distinct" ->
       """SELECT event_type,

@@ -103,6 +103,57 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom: merge == build-on-union exactly; no false negatives") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val df = (1 to 600).map(i => ("g" + (i % 2), ((i * 7) % 350).toLong))
+      .toDF("event_type", "user_id")
+    // overlapping shards (the hard case for a counter sketch; the bloom's
+    // distinct-union merge is idempotent so overlap must be a no-op)
+    val shards = (0 until 3).map(k =>
+      df.where(expr(s"pmod(crc32(CAST(user_id AS STRING)), 4) <= ${k + 1}")))
+    val whole = shards.reduce(_ unionByName _)
+    def bits(regs: org.apache.spark.sql.DataFrame) = regs.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = bits(Sketches.bfRegisters(whole,
+      col("event_type"), col("user_id")))
+    val merged = bits(Sketches.bfMerge(shards.map(s =>
+      Sketches.bfRegisters(s, col("event_type"), col("user_id")))))
+    assert(direct.nonEmpty && direct == merged,
+      "bloom bit sets must merge to exactly the union's bits")
+    // no false negatives on the oracle query's own output
+    val rows = AnalyticsQueries.queries("sketch_bloom")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mc, member) = (r.getBoolean(2), r.getBoolean(3))
+      assert(mc || !member, s"bloom false negative: $r")
+    }
+  }
+
+  test("Bloom semi-join prune: transparent result, probe rows actually dropped") {
+    import graft.operators.Sketches
+    val probe = Tables.orders(spark, dir)
+    val build = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+    val exact = probe.join(
+        build.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val viaBloom = Sketches
+      .bloomSemiJoin(probe, "o_custkey", build, "c_custkey")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact, "bloom prune must be semantically transparent")
+    // the A/B the prune exists for: the bloom alone keeps a superset of
+    // the true matches but drops a real share of the probe side
+    val regs = Sketches.bfRegisters(build, lit(0L), col("c_custkey"))
+      .select(col("b"))
+    val total = probe.count()
+    val surviving = Sketches.bloomPrune(probe, "o_custkey", regs).count()
+    assert(surviving >= exact.size.toLong,
+      "prune may never drop a true match")
+    assert(surviving < total,
+      s"bloom prune dropped nothing ($surviving of $total probe rows kept)")
+  }
+
   test("KMV: merge is a semilattice (shard-merge == whole-corpus), Jaccard estimator sane") {
     import spark.implicits._
     import graft.operators.Sketches
