@@ -1680,6 +1680,27 @@ object Graph {
     * unpinned). */
   def hitsFixed(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
+    // Scoped AQE-off (r12, VERDICT r11 #6): HITS is the ONE loop that
+    // runs faster without AQE — each round has two independent branches
+    // (the auth grand total and the auth edge votes; then the hub pair)
+    // that AQE's stage-by-stage execution serializes, while statically
+    // planned they run concurrently. Measured −11% median (16.96 →
+    // 15.03 s, 3/3 reps, quiet sf0.1 A/B, BASELINE.md r12); every OTHER
+    // pin loop is 2.5–3× WORSE without AQE (the r11 negative result in
+    // plans/Pins.scala) — do not generalize this wrap. The conf is
+    // session-global: the wrap toggles it only for the loop's own pin
+    // jobs and restores in finally (callers running concurrent queries
+    // on the same session would briefly plan without AQE).
+    val session = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = session.conf.get(aqeKey, "true")
+    session.conf.set(aqeKey, "false")
+    try hitsFixedBody(edges, iters, scale)
+    finally session.conf.set(aqeKey, aqePrev)
+  }
+
+  private def hitsFixedBody(edges: DataFrame, iters: Int,
+      scale: Long): DataFrame = {
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct().cache()

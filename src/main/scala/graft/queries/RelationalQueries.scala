@@ -203,14 +203,21 @@ object RelationalQueries extends QueryModule {
     // lineitem, keyed by name, vs a dim seeded from the first 50 suppliers.
     "d2_upsert_dim" -> ((s, dir) => {
       val sup = Tables.supplier(s, dir)
-      val dim = sup.filter(col("s_suppkey") < 50)
-        .select(col("s_name").as("name"))
-        .withColumn("skey", row_number().over(Window.orderBy(col("name"))))
+      // key mint through the production two-pass rank (Warehouse
+      // appendMinted's mechanism) rather than a raw single-partition
+      // row_number window: names are distinct, so dense rank ≡
+      // row_number and the values are identical — but an initial bulk
+      // load minting millions of keys never lands on one partition,
+      // and PlanGuardSpec's window gate holds on this query too.
+      val dim = graft.operators.Ranking.globalDenseRankCols(
+          sup.filter(col("s_suppkey") < 50).select(col("s_name").as("name")),
+          Seq("name"), "skey", ascending = true)
       val incoming = Tables.lineitem(s, dir)
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_name").as("name")).distinct()
-      val fresh = incoming.join(dim, Seq("name"), "left_anti")
-        .withColumn("rk", row_number().over(Window.orderBy(col("name"))))
+      val fresh = graft.operators.Ranking.globalDenseRankCols(
+          incoming.join(dim, Seq("name"), "left_anti"),
+          Seq("name"), "rk", ascending = true)
       // |dim| upper bound by construction; a real upsert reads max(skey).
       val maxKey = lit(50)
       dim.select(col("name"), col("skey"))

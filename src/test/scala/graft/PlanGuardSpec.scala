@@ -62,6 +62,82 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  // ------------------------------------------------------------------
+  // The standing gate (VERDICT r11 #2): EVERY SparkEntry query's plan,
+  // not a hand-picked sample, walked for the two invariants that decide
+  // whether the plan survives a 100× scale-up. A refactor that silently
+  // reintroduces a single-partition window or an unbounded cartesian
+  // now fails `sbt test`, not the 100 TB run.
+  // ------------------------------------------------------------------
+
+  /** CartesianProduct allowlist. Two kinds of legitimate appearances:
+    * the LABELED exact baselines (quadratic by declared semantics, each
+    * with a documented banded/bucketed scale path), and bounded-side
+    * pairings (group×group or constant-row frames whose static stats
+    * Catalyst can't see — AQE converts them to broadcast at runtime,
+    * and the side is structurally bounded: event types, sketch
+    * registers, probe constants). Every name here must carry a reason.
+    */
+  private val cartesianAllowed: Map[String, String] = Map(
+    "dd_containment" -> "labeled exact Σdf² baseline (COVERAGE.md)",
+    "sim_bruteforce_topk" -> "labeled exact brute-force baseline",
+    "sketch_kmv_jaccard" -> "event-type pairs: bounded dim × bounded dim",
+    "dd_ngram_jaccard" -> "labeled exact inverted-index baseline (Σdf²)",
+    "sim_exact_near_pairs" -> "labeled exact all-pairs witness for the LSH twin"
+  )
+
+  /** Mirrors GlobalRankRewrite's `throughCheap` gate: descend through
+    * no-op wrappers; an Aggregate (GROUP BY / DISTINCT collapse to it in
+    * the optimized plan) or a row-bounded Limit means the window input's
+    * cardinality is bounded, so a single-partition window is the cheaper
+    * plan, not a scale bug. A Join OF bounded inputs stays bounded. */
+  private def boundedInput(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case proj: Project => boundedInput(proj.child)
+      case f: Filter => boundedInput(f.child)
+      case s: SubqueryAlias => boundedInput(s.child)
+      case w: Window => boundedInput(w.child)
+      case srt: Sort => boundedInput(srt.child)
+      case j: Join => boundedInput(j.left) && boundedInput(j.right)
+      case _ => false
+    }
+  }
+
+  test("ALL queries: no unallowed CartesianProduct, no unpartitioned Window") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // physical (AQE initial) plan: unbounded cartesians are banned —
+      // the string check sees the STATIC plan, so bounded-side pairs
+      // AQE would convert at runtime must be allowlisted with a reason
+      val phys = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      if (phys.contains("CartesianProduct") &&
+          !cartesianAllowed.contains(name))
+        violations += s"$name: CartesianProduct in physical plan"
+      // optimized logical plan: a Window with an empty partition spec
+      // executes on ONE partition whatever the cluster size — the
+      // anti-pattern GlobalRankRewrite exists to eliminate. Same gate
+      // as the rule itself (GlobalRankRewrite scaladoc): an
+      // unpartitioned window over an AGGREGATED input is fine — its
+      // cardinality is dimension-bounded (25 nations ranked on one
+      // partition is the cheaper plan); the scale-killer is an
+      // unpartitioned window over an unbounded (fact-shaped) input.
+      val badWin = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty && !boundedInput(w.child) => w
+      }
+      if (badWin.nonEmpty)
+        violations += s"$name: unpartitioned Window over unbounded input"
+    }
+    assert(violations.isEmpty,
+      s"plan-invariant violations:\n${violations.mkString("\n")}")
+  }
+
   test("decon_semantic broadcasts the quarantine side only") {
     // the corpus × quarantine pairing must be a broadcast nested loop of
     // the SMALL side — a shuffled cross of the corpus would be the
