@@ -475,6 +475,23 @@ object Sketches {
     settled.fold(top)(_ unionByName top)
   }
 
+  /** Build a compressed digest + its totals for shard/streaming use —
+    * the (digest, tot) pair [[qdMerge]] combines. Same clamp and
+    * leaves-only fast path as [[qdigestQuantiles]], without the
+    * quantile answering. */
+  def qdBuild(df: DataFrame, groupCol: Column,
+      valueCol: Column): (DataFrame, DataFrame) = {
+    val vals = df.filter(valueCol.isNotNull)
+      .select(groupCol.as("grp"),
+        least(greatest(valueCol.cast("long"), lit(0L)),
+          lit((1L << QdL) - 1)).as("v"))
+    val tot = vals.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val leaves = vals.groupBy(col("grp"), col("v").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("grp"), lit(0).cast("int").as("lvl"), col("id"), col("cnt"))
+    (qdCompress(leaves, tot, leavesOnly = true), tot)
+  }
+
   /** Merge digests: per-node count SUM, then one recompress under the
     * combined totals. `tots` must be the same slices' (grp, n) frames. */
   def qdMerge(digests: Seq[DataFrame], tots: Seq[DataFrame]): DataFrame = {

@@ -8,10 +8,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 import graft.operators.Sketches
 
 /** Mergeable sketches maintained BY a stream — the deployment shape the
-  * r11 sketch family exists for: a 100 TB corpus arrives incrementally,
-  * each micro-batch reduces to a bounded register set (64 HLL buckets,
-  * d·w count–min cells per group), and the corpus-wide estimate is a
-  * register MERGE, never a rescan.
+  * r11–r12 sketch family exists for: a 100 TB corpus arrives
+  * incrementally, each micro-batch reduces to a bounded register set
+  * (64 HLL buckets, d·w count–min cells, ≤3k q-digest nodes, ≤m bloom
+  * bits per group), and the corpus-wide estimate is a register MERGE
+  * (max / sum / sum+recompress / or), never a rescan.
   *
   * Exactly-once without relying on sink transactions: each micro-batch
   * writes its OWN register set to `stateDir/<sketch>/batch_id=<id>` with
@@ -54,6 +55,19 @@ object StreamingSketches {
         Sketches.cmRegisters(batch, col("grp"), col("key"))
           .write.mode("overwrite")
           .parquet(s"$stateDir/cm/batch_id=$batchId")
+        // r12: the quantile and membership sketches stream the same way
+        // — q-digest nodes merge by SUM + one recompress at read time
+        // (the one merge that needs the totals alongside), bloom bits by
+        // distinct union (idempotent, so batch keying is belt-and-braces
+        // the way it is for HLL)
+        val (qd, qdTot) = Sketches.qdBuild(batch, col("grp"), col("key"))
+        qd.write.mode("overwrite")
+          .parquet(s"$stateDir/qd/batch_id=$batchId")
+        qdTot.write.mode("overwrite")
+          .parquet(s"$stateDir/qdtot/batch_id=$batchId")
+        Sketches.bfRegisters(batch, col("grp"), col("key"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/bloom/batch_id=$batchId")
         ()
       }
       .start()
@@ -79,4 +93,26 @@ object StreamingSketches {
       probes: DataFrame): DataFrame =
     Sketches.cmEstimate(Sketches.cmMerge(
       batchDirs(stateDir, "cm").map(spark.read.parquet(_))), probes)
+
+  /** Corpus-wide φ-quantile estimates from the accumulated per-batch
+    * digests: per-node SUM merge + one recompress under the combined
+    * totals, then the standard rank pick — the published one-sided rank
+    * bound holds through the merge (AnalyticsSpec). */
+  def qdQuantilesNow(spark: SparkSession, stateDir: String,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val tots = batchDirs(stateDir, "qdtot").map(spark.read.parquet(_))
+    val merged = Sketches.qdMerge(
+      batchDirs(stateDir, "qd").map(spark.read.parquet(_)), tots)
+    val tot = tots.reduce(_ unionByName _)
+      .groupBy(col("grp")).agg(sum(col("n")).as("n"))
+    Sketches.qdQuantiles(merged, tot, qs)
+  }
+
+  /** Corpus-wide membership verdicts for `probes(grp, key)` from the
+    * accumulated per-batch bloom registers: distinct-union merge, then
+    * the all-k-bits test — merge-then-test == test-of-union exactly. */
+  def bloomMightContainNow(spark: SparkSession, stateDir: String,
+      probes: DataFrame): DataFrame =
+    Sketches.bfMightContain(Sketches.bfMerge(
+      batchDirs(stateDir, "bloom").map(spark.read.parquet(_))), probes)
 }

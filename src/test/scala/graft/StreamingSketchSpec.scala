@@ -56,6 +56,33 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(streamedHll.nonEmpty && streamedHll == batchHll,
       "streamed HLL estimates must equal the batch-at-once sketch")
 
+    // q-digest (r12): the streamed per-batch digests, merged, must equal
+    // the SAME merge built in batch over the two waves — node for node,
+    // estimate for estimate (the merge is deterministic; the rank-bound
+    // contract vs exact is AnalyticsSpec's job)
+    val qs = Seq((1, 4), (1, 2), (9, 10))
+    val streamedQd = StreamingSketches.qdQuantilesNow(spark, state, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val (d1, t1) = Sketches.qdBuild(w1, col("grp"), col("key"))
+    val (d2, t2) = Sketches.qdBuild(w2, col("grp"), col("key"))
+    val tot = t1.unionByName(t2).groupBy(col("grp")).agg(sum(col("n")).as("n"))
+    val batchQd = Sketches.qdQuantiles(
+        Sketches.qdMerge(Seq(d1, d2), Seq(t1, t2)), tot, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamedQd.nonEmpty && streamedQd == batchQd,
+      "streamed q-digest quantiles must equal the batch-built merge")
+
+    // bloom (r12): distinct-union-merged streamed bits == batch-at-once
+    // bits EXACTLY (idempotent merge), so verdicts match too
+    val streamedBf = StreamingSketches
+      .bloomMightContainNow(spark, state, probes)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val batchBf = Sketches.bfMightContain(
+        Sketches.bfRegisters(whole, col("grp"), col("key")), probes)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(streamedBf.nonEmpty && streamedBf == batchBf,
+      "streamed bloom verdicts must equal the batch-at-once sketch")
+
     // state really is per-batch register sets, each d·w-bounded
     val cmBatches = new java.io.File(s"$state/cm").listFiles()
       .filter(_.getName.startsWith("batch_id=")).toSeq
