@@ -394,6 +394,99 @@ object Multimodal {
     }.toDF()
   }
 
+  case class GifStats(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL ANIMATED-GIF roundtrip (r12): per doc, the closed-form video
+    * frames ([[vidR]]/[[vidG]]/[[vidB]], [[vidFrames]] of them) are
+    * encoded into ONE genuine multi-frame GIF89a through
+    * `javax.imageio`'s sequence writer, then ALL frames are decoded back
+    * through a fresh reader and reduced to exact integer channel sums.
+    *
+    * GIF is palette-based; each frame here has ≤ w·h ≤ 160 distinct
+    * colors < 256, so building the frame as a `TYPE_BYTE_INDEXED` image
+    * over its own EXACT palette makes the encode LOSSLESS — no
+    * quantizer runs, the decoded sums equal the closed form with no
+    * tolerance, and the DuckDB twin recomputes them with SQL
+    * arithmetic (the same contract as the PNG paths, unlike the
+    * DC-bounded JPEG one). Partition-batched; nothing on the driver. */
+  def gifRoundtrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap { batch =>
+        batch.iterator.flatMap { id =>
+          val (w, h) = (gridW(id), gridH(id))
+          val nf = vidFrames(id)
+          val frames = (0 until nf).map { f =>
+            // exact per-frame palette (insertion-ordered, ≤ 160 entries)
+            val colors = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+            val idxPix = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = (vidR(id, f, x, y) << 16) |
+                  (vidG(id, f, x, y) << 8) | vidB(id, f, x, y)
+                val pi = colors.getOrElseUpdate(rgb, colors.size)
+                idxPix(y * w + x) = pi.toByte
+                x += 1
+              }
+              y += 1
+            }
+            val cmap = new Array[Int](colors.size)
+            colors.foreach { case (rgb, i) => cmap(i) = rgb }
+            val icm = new java.awt.image.IndexColorModel(8, cmap.length,
+              cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            img.getRaster.setDataElements(0, 0, w, h, idxPix)
+            img
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersBySuffix("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          frames.foreach { img =>
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null,
+              writer.getDefaultImageMetadata(
+                new javax.imageio.ImageTypeSpecifier(img),
+                writer.getDefaultWriteParam)),
+              writer.getDefaultWriteParam)
+          }
+          writer.endWriteSequence(); writer.dispose(); ios.close()
+          val gif = bos.toByteArray // real animated-GIF bytes
+          val reader = javax.imageio.ImageIO
+            .getImageReadersBySuffix("gif").next()
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(gif)))
+          val n = reader.getNumImages(true)
+          val out = (0 until n).map { f =>
+            val img = reader.read(f)
+            val (dw, dh) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            GifStats(id, f, dw, dh, sr, sg, sb)
+          }
+          reader.dispose()
+          out.iterator
+        }
+      }
+    }.toDF()
+  }
+
   // ---- real audio codec path ------------------------------------------
 
   case class AudioStats(doc_id: Long, sample_rate: Int, n_samples: Long,

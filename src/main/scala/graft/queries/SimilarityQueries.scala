@@ -299,7 +299,17 @@ object SimilarityQueries extends QueryModule {
     // on the channel means — the sketch_approx_distinct contract shape.
     "mm_decode_jpeg" -> ((s, dir) =>
       Multimodal.jpegRoundtrip(s, Tables.documents(s, dir))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // REAL ANIMATED-GIF roundtrip (r12): the closed-form video frames
+    // encoded into ONE genuine multi-frame GIF89a and all frames decoded
+    // back. Each frame is indexed over its own exact palette (≤160
+    // colors), so the GIF encode is LOSSLESS and the sums hash exactly —
+    // the multi-frame analog of mm_decode_image, with the container
+    // owned by the codec instead of the length-prefix demux.
+    "mm_decode_gif" -> ((s, dir) =>
+      Multimodal.gifRoundtrip(s, Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   private val eCte =
@@ -622,6 +632,25 @@ object SimilarityQueries extends QueryModule {
         |fr AS (SELECT doc_id, w, h, f.i AS frame_idx
         |       FROM g CROSS JOIN generate_series(0, 4) f(i)
         |       WHERE f.i < nf AND f.i % 2 = 0),
+        |px AS (SELECT doc_id, w, h, frame_idx, x.i AS x, y.i AS y
+        |       FROM fr CROSS JOIN generate_series(0, 15) x(i)
+        |              CROSS JOIN generate_series(0, 9) y(i)
+        |       WHERE x.i < w AND y.i < h)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(SUM((doc_id * 31 + frame_idx * 41 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((doc_id * 17 + frame_idx * 29 + x * 11 + y * 3) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((doc_id * 23 + frame_idx * 37 + x * 5 + y * 19) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, frame_idx, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_decode_gif" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+        |                  2 + doc_id % 4 AS nf
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, f.i AS frame_idx
+        |       FROM g CROSS JOIN generate_series(0, 4) f(i)
+        |       WHERE f.i < nf),
         |px AS (SELECT doc_id, w, h, frame_idx, x.i AS x, y.i AS y
         |       FROM fr CROSS JOIN generate_series(0, 15) x(i)
         |              CROSS JOIN generate_series(0, 9) y(i)

@@ -136,6 +136,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("gifRoundtrip: animated GIF frames decode to exact closed-form sums") {
+    val docs = Seq(0L, 3L, 11L).toDF("doc_id")
+    val out = Multimodal.gifRoundtrip(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    for (id <- Seq(0L, 3L, 11L)) {
+      val (w, h) = (Multimodal.gridW(id), Multimodal.gridH(id))
+      // EVERY frame of the animation comes back, in order
+      assert(out.keys.count(_._1 == id) == Multimodal.vidFrames(id))
+      for (f <- 0 until Multimodal.vidFrames(id)) {
+        val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+        val (er, eg, eb) = (
+          px.map { case (x, y) => Multimodal.vidR(id, f, x, y).toLong }.sum,
+          px.map { case (x, y) => Multimodal.vidG(id, f, x, y).toLong }.sum,
+          px.map { case (x, y) => Multimodal.vidB(id, f, x, y).toLong }.sum)
+        // palette-exact encode ⇒ NO tolerance — lossless through the
+        // real GIF codec
+        assert(out((id, f)) == ((w, h, er, eg, eb)))
+      }
+    }
+  }
+
   test("audioRoundtrip: real WAV encode/decode preserves exact sample stats") {
     val docs = Seq(0L, 5L, 123L).toDF("doc_id")
     val out = Multimodal.audioRoundtrip(spark, docs)
