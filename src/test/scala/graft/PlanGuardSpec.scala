@@ -133,6 +133,16 @@ class PlanGuardSpec extends AnyFunSuite {
       }
       if (badWin.nonEmpty)
         violations += s"$name: unpartitioned Window over unbounded input"
+      // the repo's zero-UDF claim as a standing gate: every scalar stays
+      // a codegen'd Catalyst expression — a ScalaUDF anywhere in an
+      // optimized plan breaks whole-stage codegen on that hot path
+      val udfs = df.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        })
+      }.flatten
+      if (udfs.nonEmpty)
+        violations += s"$name: ScalaUDF in optimized plan"
     }
     assert(violations.isEmpty,
       s"plan-invariant violations:\n${violations.mkString("\n")}")
