@@ -216,9 +216,10 @@ object Bench {
     // the lossy JPEG codec roundtrip
     "sketch_cm_exact", "sketch_qdigest", "mm_decode_jpeg",
     "sketch_kmv", "sketch_kmv_jaccard",
-    // r12: mergeable Bloom filter + the runtime semi-join prune, and
-    // the lossless animated-GIF multi-frame roundtrip
-    "sketch_bloom", "sketch_bloom_prune", "mm_decode_gif")
+    // r12: mergeable Bloom filter + the runtime semi-join prune, the
+    // lossless animated-GIF multi-frame roundtrip, and Misra–Gries
+    // heavy hitters
+    "sketch_bloom", "sketch_bloom_prune", "mm_decode_gif", "sketch_mg")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose

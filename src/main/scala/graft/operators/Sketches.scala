@@ -657,6 +657,100 @@ object Sketches {
        |FROM sums s JOIN ex ON ex.grp = s.grp""".stripMargin
 
   // ------------------------------------------------------------------
+  // Misra–Gries heavy-hitters summary (Misra & Gries, "Finding repeated
+  // elements", Sci. Comput. Program. 1982; merge per Agarwal, Cormode,
+  // Huang, Phillips, Wei & Yi, "Mergeable summaries", PODS 2012) — the
+  // sketch that ENUMERATES the frequent keys with bounded state, where
+  // the count–min can only answer point queries about keys you already
+  // hold. Registers are ≤ k (grp, key, cnt) rows. This is the CANONICAL
+  // batch form — order-free, so both engines compute the identical
+  // summary: λ = the (k+1)-th largest frequency in the group (0 if ≤ k
+  // keys) and the summary keeps cnt = f − λ for every key with f > λ
+  // (at most k keys can beat the (k+1)-th largest, ties included).
+  // MERGE = per-key counter SUM + one re-trim under the combined
+  // (k+1)-th largest — deterministic, but like the q-digest the merged
+  // register SET need not equal the built-from-union one, so the merge
+  // contract is the published bound (est ∈ [f − Σnᵢ/(k+1), f]), which
+  // AnalyticsSpec asserts. Any key with f > n/(k+1) is GUARANTEED
+  // present: λ ≤ n/(k+1) because (k+1)·λ can't exceed the total.
+  // ------------------------------------------------------------------
+
+  /** Register budget: at most k heavy-hitter counters per group. */
+  val MgK = 16
+
+  /** One trim pass: λ = (k+1)-th largest cnt per group, keep cnt − λ
+    * where cnt > λ. Used by both build (from exact per-key counts) and
+    * merge (from summed counters). The row_number tie-break (key asc)
+    * only orders EQUAL counts — λ is the (k+1)-th largest VALUE, so the
+    * output is tie-order-independent. */
+  private def mgTrim(cnts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cnt").desc, col("key").asc)
+    val lam = cnts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === MgK + 1)
+      .select(col("grp"), col("cnt").as("lam"))
+    cnts.join(lam, Seq("grp"), "left")
+      .withColumn("lam", coalesce(col("lam"), lit(0L)))
+      .filter(col("cnt") > col("lam"))
+      .select(col("grp"), col("key"), (col("cnt") - col("lam")).as("cnt"))
+  }
+
+  /** The summary: ≤ k counters per group from the exact shard counts —
+    * one groupBy (map-side partial) + one k-bounded trim. */
+  def mgSummary(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame =
+    mgTrim(df.filter(keyCol.isNotNull)
+      .groupBy(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).cast("long").as("cnt")))
+
+  /** Merge summaries from data slices: per-key counter SUM, one
+    * re-trim. */
+  def mgMerge(summaries: Seq[DataFrame]): DataFrame =
+    mgTrim(summaries.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("key"))
+      .agg(sum(col("cnt")).as("cnt")))
+
+  /** Heavy hitters beside the exact counts and the guarantee witness:
+    * (grp, key, exact_cnt, mg_est, n_rows, guaranteed) where
+    * `guaranteed` marks keys with f > n/(k+1), which the summary can
+    * never drop. All integers — the oracle hashes everything. */
+  def mgHeavyHitters(df: DataFrame, groupCol: Column,
+      keyCol: Column): DataFrame = {
+    val summary = mgSummary(df, groupCol, keyCol)
+    val exact = df.filter(keyCol.isNotNull)
+      .groupBy(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .agg(count(lit(1)).cast("long").as("exact_cnt"))
+    val tot = df.filter(keyCol.isNotNull).groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    summary.join(exact, Seq("grp", "key"))
+      .join(tot, Seq("grp"))
+      .select(col("grp"), col("key"), col("exact_cnt"),
+        col("cnt").as("mg_est"), col("n_rows"),
+        (col("exact_cnt") * lit((MgK + 1).toLong) > col("n_rows"))
+          .as("guaranteed"))
+  }
+
+  /** DuckDB twin of [[mgHeavyHitters]] — same λ, same counters. */
+  def mgHeavyHittersSql(table: String, groupCol: String,
+      keyCol: String): String =
+    s"""WITH mgf AS (SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key,
+       |               CAST(COUNT(*) AS BIGINT) AS cnt
+       |             FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1, 2),
+       |mglam AS (SELECT grp, cnt AS lam FROM (
+       |    SELECT grp, cnt,
+       |           ROW_NUMBER() OVER (PARTITION BY grp
+       |             ORDER BY cnt DESC, key ASC) AS rn
+       |    FROM mgf) WHERE rn = ${MgK + 1}),
+       |mgs AS (SELECT f.grp, f.key, f.cnt - COALESCE(l.lam, 0) AS cnt
+       |        FROM mgf f LEFT JOIN mglam l ON l.grp = f.grp
+       |        WHERE f.cnt > COALESCE(l.lam, 0)),
+       |mgtot AS (SELECT $groupCol AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |          FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1)
+       |SELECT s.grp, s.key, f.cnt AS exact_cnt, s.cnt AS mg_est,
+       |       t.n_rows, f.cnt * ${MgK + 1} > t.n_rows AS guaranteed
+       |FROM mgs s JOIN mgf f ON f.grp = s.grp AND f.key = s.key
+       |     JOIN mgtot t ON t.grp = s.grp""".stripMargin
+
+  // ------------------------------------------------------------------
   // Bloom filter (Bloom, "Space/time trade-offs in hash coding with
   // allowable errors", CACM 1970) — the mergeable MEMBERSHIP sketch
   // that completes the family: HLL answers distinct, CM frequency,

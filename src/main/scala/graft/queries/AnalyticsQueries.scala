@@ -240,6 +240,19 @@ object AnalyticsQueries extends QueryModule {
           col("event_type"), col("user_id"))
         .orderBy(col("ga"), col("gb"))),
 
+    // Misra–Gries heavy hitters (r12): the sketch that ENUMERATES the
+    // frequent keys with ≤ k counters per group — the count–min can
+    // only point-query keys you already hold. Canonical order-free
+    // batch form (λ = (k+1)-th largest frequency), so the summary is
+    // identical cross-engine and the oracle hashes the counters,
+    // exact counts, and the f > n/(k+1) guarantee flags.
+    "sketch_mg" -> ((s, dir) =>
+      graft.operators.Sketches.mgHeavyHitters(Tables.events(s, dir),
+          col("event_type"), col("user_id"))
+        .select(col("grp").as("event_type"), col("key").as("user_key"),
+          col("exact_cnt"), col("mg_est"), col("n_rows"), col("guaranteed"))
+        .orderBy(col("event_type"), col("user_key"))),
+
     // Bloom filter (r12): membership verdicts for the deterministic
     // probe set user_id % 10 == 0, probed against EVERY event type's
     // bloom — users of other types exercise the false-positive path,
@@ -316,6 +329,13 @@ object AnalyticsQueries extends QueryModule {
          |FROM (${graft.operators.Sketches.kmvJaccardSql("events",
               "event_type", "user_id")})
          |ORDER BY ga, gb""".stripMargin,
+
+    "sketch_mg" ->
+      s"""SELECT grp AS event_type, key AS user_key, exact_cnt, mg_est,
+         |       n_rows, guaranteed
+         |FROM (${graft.operators.Sketches.mgHeavyHittersSql("events",
+              "event_type", "user_id")})
+         |ORDER BY event_type, user_key""".stripMargin,
 
     "sketch_bloom" ->
       s"""SELECT grp AS event_type, key AS user_key, might_contain, is_member

@@ -103,6 +103,45 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries: estimates one-sided within the bound; merge keeps it; heavy keys never drop") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // zipf-ish: key j appears ~600/j times — real heavy hitters up top,
+    // a long flat tail underneath
+    val rows = (1 to 60).flatMap(j => Seq.fill(600 / j)(("g", j.toLong)))
+    val df = rows.toDF("event_type", "user_id")
+    val n = rows.size.toLong
+    val exact = rows.groupBy(_._2).map { case (k, v) => k.toString -> v.size.toLong }
+    val k1 = (Sketches.MgK + 1).toLong
+
+    // build: ≤ k counters, est ∈ [f − n/(k+1), f], f > n/(k+1) present
+    val built = Sketches.mgSummary(df, col("event_type"), col("user_id"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(built.nonEmpty && built.size <= Sketches.MgK)
+    built.foreach { case (key, est) =>
+      val f = exact(key)
+      assert(est <= f && est >= f - n / k1, s"MG bound broken: $key est=$est f=$f")
+    }
+    exact.filter(_._2 * k1 > n).keys.foreach(key =>
+      assert(built.contains(key), s"guaranteed heavy key $key dropped"))
+
+    // merge of 3 disjoint shards: counters within the summed-shards
+    // bound, guaranteed keys still never drop
+    val shards = (0 until 3).map(s => df.where(expr(s"user_id % 3 = $s")))
+    val merged = Sketches.mgMerge(shards.map(s =>
+        Sketches.mgSummary(s, col("event_type"), col("user_id"))))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(merged.nonEmpty && merged.size <= Sketches.MgK)
+    merged.foreach { case (key, est) =>
+      val f = exact(key)
+      // Σ nᵢ = n, and the merge re-trim adds one more λ' ≤ n/(k+1)
+      assert(est <= f && est >= f - 2 * n / k1,
+        s"MG merge bound broken: $key est=$est f=$f")
+    }
+    exact.filter(_._2 * k1 > 2 * n).keys.foreach(key =>
+      assert(merged.contains(key), s"heavy key $key dropped by merge"))
+  }
+
   test("Bloom: merge == build-on-union exactly; no false negatives") {
     import spark.implicits._
     import graft.operators.Sketches
