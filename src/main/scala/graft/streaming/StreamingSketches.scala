@@ -68,6 +68,13 @@ object StreamingSketches {
         Sketches.bfRegisters(batch, col("grp"), col("key"))
           .write.mode("overwrite")
           .parquet(s"$stateDir/bloom/batch_id=$batchId")
+        // Misra–Gries: ≤ k counters per (grp, batch); the read-time
+        // merge re-trims, and the published bound degrades by one
+        // λ ≤ nᵢ/(k+1) per shard — the price of enumerating heavy
+        // hitters from a stream with bounded state
+        Sketches.mgSummary(batch, col("grp"), col("key"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/mg/batch_id=$batchId")
         ()
       }
       .start()
@@ -115,4 +122,52 @@ object StreamingSketches {
       probes: DataFrame): DataFrame =
     Sketches.bfMightContain(Sketches.bfMerge(
       batchDirs(stateDir, "bloom").map(spark.read.parquet(_))), probes)
+
+  /** Corpus-wide heavy hitters from the accumulated per-batch MG
+    * summaries: counter SUM + one re-trim (Agarwal et al.'s mergeable
+    * MG) — ≤ k counters whatever the batch count, estimates within
+    * [f − Σnᵢ/(k+1) − λ', f]. */
+  def mgHeavyHittersNow(spark: SparkSession, stateDir: String): DataFrame =
+    Sketches.mgMerge(
+      batchDirs(stateDir, "mg").map(spark.read.parquet(_)))
+
+  // ---- event-time windowed quantiles --------------------------------
+
+  /** Input schema for the WINDOWED variant: (grp, key, ts). */
+  val tsObsSchema: StructType = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("key", LongType),
+    StructField("ts", org.apache.spark.sql.types.TimestampType)))
+
+  /** Per-WINDOW quantile maintenance (the streaming-q-digest shape a
+    * metrics pipeline runs): the digest GROUP is `<hour>|<grp>`, so
+    * [[qdQuantilesNow]] over this state dir answers per-hour quantiles
+    * directly. No watermark is needed for CORRECTNESS — the per-batch
+    * digests merge additively, so a late row lands in its hour's digest
+    * through whichever batch carries it; a real deployment adds a
+    * watermark only to STOP COMPACTING closed windows (state here is
+    * already ≤ 3k digest nodes per open hour, not per-row). */
+  def runWindowed(spark: SparkSession, srcDir: String,
+      checkpointDir: String, stateDir: String): Unit = {
+    val stream = spark.readStream.schema(tsObsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.select(
+          concat(date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH"), lit("|"), col("grp")).as("grp"),
+          col("key"))
+        val (qd, qdTot) = Sketches.qdBuild(keyed, col("grp"), col("key"))
+        qd.write.mode("overwrite")
+          .parquet(s"$stateDir/qd/batch_id=$batchId")
+        qdTot.write.mode("overwrite")
+          .parquet(s"$stateDir/qdtot/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -24,7 +24,11 @@ class StreamingSketchSpec extends AnyFunSuite {
     val src = Files.createTempDirectory("sk-src").toString
     val ck = Files.createTempDirectory("sk-ck").toString
     val state = Files.createTempDirectory("sk-state").toString
-    val w1 = obs(7, 300); val w2 = obs(11, 400)
+    val w1 = obs(7, 300)
+    // wave 2 carries a genuinely heavy key (60 hits vs the ≤6 ambient)
+    // so the MG assertions below are non-vacuous
+    val w2 = obs(11, 400)
+      .unionByName(Seq.fill(60)(("g0", 999L)).toDF("grp", "key"))
 
     w1.coalesce(1).write.mode("append").parquet(src)
     StreamingSketches.run(spark, src, ck, state)
@@ -83,6 +87,32 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(streamedBf.nonEmpty && streamedBf == batchBf,
       "streamed bloom verdicts must equal the batch-at-once sketch")
 
+    // Misra–Gries (r12): the streamed per-batch summaries, merged, must
+    // equal the SAME merge built in batch over the two waves — counter
+    // for counter (the merge is deterministic; the heavy-hitter bound
+    // vs exact counts is AnalyticsSpec's job on skewed data), and every
+    // surviving estimate is one-sided within the stream-degraded bound
+    val n = whole.count()
+    val k1 = (Sketches.MgK + 1).toLong
+    val exactCnt = whole.groupBy(col("grp"), col("key").cast("string").as("k"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val mgNow = StreamingSketches.mgHeavyHittersNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val mgBatch = Sketches.mgMerge(Seq(w1, w2).map(w =>
+        Sketches.mgSummary(w, col("grp"), col("key"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mgNow == mgBatch,
+      "streamed MG summary must equal the batch-built merge")
+    assert(mgNow.contains(("g0", "999")),
+      "the planted heavy key must survive the streamed merge")
+    assert(mgNow.keys.groupBy(_._1).values.forall(_.size <= Sketches.MgK))
+    mgNow.foreach { case (gk, est) =>
+      val f = exactCnt(gk)
+      assert(est <= f && est >= f - 2 * n / k1,
+        s"streamed MG bound broken: $gk est=$est f=$f")
+    }
+
     // state really is per-batch register sets, each d·w-bounded
     val cmBatches = new java.io.File(s"$state/cm").listFiles()
       .filter(_.getName.startsWith("batch_id=")).toSeq
@@ -91,5 +121,42 @@ class StreamingSketchSpec extends AnyFunSuite {
       spark.read.parquet(d.getPath).count()).max
     assert(worst <= 2L * Sketches.CmDepth * Sketches.CmWidth,
       "per-batch CM registers exceeded the d*w bound per group")
+  }
+
+  test("windowed streaming q-digest: per-hour quantiles equal the batch build") {
+    val src = Files.createTempDirectory("wq-src").toString
+    val ck = Files.createTempDirectory("wq-ck").toString
+    val state = Files.createTempDirectory("wq-state").toString
+    // two waves spanning two hours, one wave straddling both — the
+    // additive merge must still land every row in its own hour's digest
+    def tsObs(seed: Int, n: Int, hourOf: Int => Int) =
+      (1 to n).map { i =>
+        ("g" + (i % 2), ((i * seed) % 97).toLong,
+          java.sql.Timestamp.valueOf(f"2026-08-15 ${hourOf(i)}%02d:${i % 60}%02d:00"))
+      }.toDF("grp", "key", "ts")
+    val w1 = tsObs(7, 300, i => 10 + (i % 2))  // hours 10 and 11
+    val w2 = tsObs(11, 400, _ => 11)           // hour 11 only
+    w1.coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.runWindowed(spark, src, ck, state)
+    w2.coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.runWindowed(spark, src, ck, state)
+
+    val qs = Seq((1, 2), (9, 10))
+    val streamed = StreamingSketches.qdQuantilesNow(spark, state, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch twin: same hour|grp keying, same per-wave build + merge
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"),
+        lit("|"), col("grp")).as("grp"), col("key"))
+    val (d1, t1) = Sketches.qdBuild(keyed(w1), col("grp"), col("key"))
+    val (d2, t2) = Sketches.qdBuild(keyed(w2), col("grp"), col("key"))
+    val tot = t1.unionByName(t2).groupBy(col("grp")).agg(sum(col("n")).as("n"))
+    val batch = Sketches.qdQuantiles(
+        Sketches.qdMerge(Seq(d1, d2), Seq(t1, t2)), tot, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      "windowed streamed quantiles must equal the batch-built merge")
+    // both hours really have digests (the straddling wave split)
+    assert(streamed.keys.map(_._1.split('|').head.takeRight(2)).toSet == Set("10", "11"))
   }
 }
