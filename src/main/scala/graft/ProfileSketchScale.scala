@@ -38,6 +38,18 @@ object ProfileSketchScale {
         println("  register rows: " + regs.count() +
           s" (bound ${Sketches.CmDepth * Sketches.CmWidth}/group)")
       }
+      // r12: MG summary (top-k trim must stay WindowGroupLimit-pushed —
+      // register count k-bounded, wall ∝ distinct keys) and bloom bits
+      // (m-bounded per group however many keys set them)
+      t(s"mg summary x$m") {
+        val s = Sketches.mgSummary(ev, col("event_type"), col("user_id"))
+        println("  mg rows: " + s.count() + s" (bound ${Sketches.MgK}/group)")
+      }
+      t(s"bloom registers x$m") {
+        val regs = Sketches.bfRegisters(ev, col("event_type"), col("user_id"))
+        println("  bloom bits: " + regs.count() +
+          s" (bound ${Sketches.BfM}/group)")
+      }
       // volume axis for the digest: x10 rows, same value domain — leaf
       // cardinality is domain-capped, so compression work stays flat
       val lix = (0 until m).map(_ => li).reduce(_ unionByName _)

@@ -148,6 +148,16 @@ class PlanGuardSpec extends AnyFunSuite {
       s"plan-invariant violations:\n${violations.mkString("\n")}")
   }
 
+  test("sketch_mg: the trim's rank filter gets the WindowGroupLimit pushdown") {
+    // λ = (k+1)-th largest needs only a per-group top-(k+1); Spark's
+    // InferWindowGroupLimit turns the rank predicate into map-side
+    // group limits — without it the trim would SORT every distinct key
+    // per group, the difference between top-k and sort-everything at
+    // 100 TB key cardinalities
+    val p = plan("sketch_mg")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("decon_semantic broadcasts the quarantine side only") {
     // the corpus × quarantine pairing must be a broadcast nested loop of
     // the SMALL side — a shuffled cross of the corpus would be the
