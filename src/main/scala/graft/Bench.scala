@@ -219,7 +219,8 @@ object Bench {
     // r12: mergeable Bloom filter + the runtime semi-join prune, the
     // lossless animated-GIF multi-frame roundtrip, and Misra–Gries
     // heavy hitters
-    "sketch_bloom", "sketch_bloom_prune", "mm_decode_gif", "sketch_mg")
+    "sketch_bloom", "sketch_bloom_prune", "mm_decode_gif", "sketch_mg",
+    "sketch_mg_weighted")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose

@@ -729,6 +729,64 @@ object Sketches {
           .as("guaranteed"))
   }
 
+  /** Weighted Misra–Gries: heavy hitters by a MEASURE SUM (revenue,
+    * bytes, tokens) rather than row count — the weighted-increment
+    * generalization in the mergeable-summaries construction. The trim
+    * and [[mgMerge]] are unchanged (counters are counters); the bounds
+    * scale by the total weight W: est ∈ [s − ΣWᵢ/(k+1), s], and keys
+    * with s > W/(k+1) are guaranteed present. `weightCol` must be a
+    * non-negative integral expression for cross-engine exactness. */
+  def mgWeightedSummary(df: DataFrame, groupCol: Column, keyCol: Column,
+      weightCol: Column): DataFrame =
+    mgTrim(df.filter(keyCol.isNotNull && weightCol.isNotNull)
+      .groupBy(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .agg(sum(weightCol.cast("long")).as("cnt")))
+
+  /** Weighted heavy hitters beside the exact sums: (grp, key,
+    * exact_sum, mg_est, w_total, guaranteed). */
+  def mgWeightedHeavyHitters(df: DataFrame, groupCol: Column,
+      keyCol: Column, weightCol: Column): DataFrame = {
+    val base = df.filter(keyCol.isNotNull && weightCol.isNotNull)
+    val summary = mgWeightedSummary(df, groupCol, keyCol, weightCol)
+    val exact = base
+      .groupBy(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .agg(sum(weightCol.cast("long")).as("exact_sum"))
+    val tot = base.groupBy(groupCol.as("grp"))
+      .agg(sum(weightCol.cast("long")).as("w_total"))
+    summary.join(exact, Seq("grp", "key"))
+      .join(tot, Seq("grp"))
+      .select(col("grp"), col("key"), col("exact_sum"),
+        col("cnt").as("mg_est"), col("w_total"),
+        (col("exact_sum") * lit((MgK + 1).toLong) > col("w_total"))
+          .as("guaranteed"))
+  }
+
+  /** DuckDB twin of [[mgWeightedHeavyHitters]]. `weightExpr` must be
+    * the same integral SQL expression the Spark side computes. */
+  def mgWeightedHeavyHittersSql(table: String, groupCol: String,
+      keyCol: String, weightExpr: String): String =
+    s"""WITH mwf AS (SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key,
+       |               CAST(SUM($weightExpr) AS BIGINT) AS cnt
+       |             FROM $table
+       |             WHERE $keyCol IS NOT NULL AND $weightExpr IS NOT NULL
+       |             GROUP BY 1, 2),
+       |mwlam AS (SELECT grp, cnt AS lam FROM (
+       |    SELECT grp, cnt,
+       |           ROW_NUMBER() OVER (PARTITION BY grp
+       |             ORDER BY cnt DESC, key ASC) AS rn
+       |    FROM mwf) WHERE rn = ${MgK + 1}),
+       |mws AS (SELECT f.grp, f.key, f.cnt - COALESCE(l.lam, 0) AS cnt
+       |        FROM mwf f LEFT JOIN mwlam l ON l.grp = f.grp
+       |        WHERE f.cnt > COALESCE(l.lam, 0)),
+       |mwtot AS (SELECT $groupCol AS grp, CAST(SUM($weightExpr) AS BIGINT) AS w_total
+       |          FROM $table
+       |          WHERE $keyCol IS NOT NULL AND $weightExpr IS NOT NULL
+       |          GROUP BY 1)
+       |SELECT s.grp, s.key, f.cnt AS exact_sum, s.cnt AS mg_est,
+       |       t.w_total, f.cnt * ${MgK + 1} > t.w_total AS guaranteed
+       |FROM mws s JOIN mwf f ON f.grp = s.grp AND f.key = s.key
+       |     JOIN mwtot t ON t.grp = s.grp""".stripMargin
+
   /** DuckDB twin of [[mgHeavyHitters]] — same λ, same counters. */
   def mgHeavyHittersSql(table: String, groupCol: String,
       keyCol: String): String =

@@ -253,6 +253,19 @@ object AnalyticsQueries extends QueryModule {
           col("exact_cnt"), col("mg_est"), col("n_rows"), col("guaranteed"))
         .orderBy(col("event_type"), col("user_key"))),
 
+    // Weighted Misra–Gries (r12): top suppliers by REVENUE per return
+    // flag — heavy hitters by measure sum, the weighted-increment form
+    // (a curation pipeline's "which sources dominate the token mass"
+    // with ≤ k counters). Integral weights (floored price) keep both
+    // engines exact.
+    "sketch_mg_weighted" -> ((s, dir) =>
+      graft.operators.Sketches.mgWeightedHeavyHitters(
+          Tables.lineitem(s, dir), col("l_returnflag"), col("l_suppkey"),
+          floor(col("l_extendedprice")).cast("long"))
+        .select(col("grp").as("l_returnflag"), col("key").as("supp_key"),
+          col("exact_sum"), col("mg_est"), col("w_total"), col("guaranteed"))
+        .orderBy(col("l_returnflag"), col("supp_key"))),
+
     // Bloom filter (r12): membership verdicts for the deterministic
     // probe set user_id % 10 == 0, probed against EVERY event type's
     // bloom — users of other types exercise the false-positive path,
@@ -336,6 +349,14 @@ object AnalyticsQueries extends QueryModule {
          |FROM (${graft.operators.Sketches.mgHeavyHittersSql("events",
               "event_type", "user_id")})
          |ORDER BY event_type, user_key""".stripMargin,
+
+    "sketch_mg_weighted" ->
+      s"""SELECT grp AS l_returnflag, key AS supp_key, exact_sum, mg_est,
+         |       w_total, guaranteed
+         |FROM (${graft.operators.Sketches.mgWeightedHeavyHittersSql(
+              "lineitem", "l_returnflag", "l_suppkey",
+              "CAST(FLOOR(l_extendedprice) AS BIGINT)")})
+         |ORDER BY l_returnflag, supp_key""".stripMargin,
 
     "sketch_bloom" ->
       s"""SELECT grp AS event_type, key AS user_key, might_contain, is_member

@@ -140,6 +140,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     exact.filter(_._2 * k1 > 2 * n).keys.foreach(key =>
       assert(merged.contains(key), s"heavy key $key dropped by merge"))
+
+    // weighted form: one row per key with weight 600/j — the same skew
+    // by MEASURE SUM; bounds scale by total weight W
+    val wdf = (1 to 60).map(j => ("g", j.toLong, (600 / j).toLong))
+      .toDF("event_type", "user_id", "w")
+    val totalW = (1 to 60).map(j => (600 / j).toLong).sum
+    val wBuilt = Sketches.mgWeightedSummary(wdf, col("event_type"),
+        col("user_id"), col("w"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(wBuilt.nonEmpty && wBuilt.size <= Sketches.MgK)
+    wBuilt.foreach { case (key, est) =>
+      val s = (600 / key.toInt).toLong
+      assert(est <= s && est >= s - totalW / k1,
+        s"weighted MG bound broken: $key est=$est s=$s")
+    }
+    (1 to 60).filter(j => (600L / j) * k1 > totalW).foreach(j =>
+      assert(wBuilt.contains(j.toString),
+        s"guaranteed heavy-weight key $j dropped"))
   }
 
   test("Bloom: merge == build-on-union exactly; no false negatives") {
