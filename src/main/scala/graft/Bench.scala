@@ -220,7 +220,17 @@ object Bench {
     // lossless animated-GIF multi-frame roundtrip, and Misra–Gries
     // heavy hitters
     "sketch_bloom", "sketch_bloom_prune", "mm_decode_gif", "sketch_mg",
-    "sketch_mg_weighted")
+    "sketch_mg_weighted",
+    // r13 (VERDICT r12 #1): the projected-rank family's DEPLOY
+    // configuration, timed end to end for the first time — capped
+    // closure (maxPairs=1M binds loudly: after hop 2 at sf0.01, after
+    // hop 1 at sf0.1) → author projection → fixed-point PageRank. The
+    // cap is what makes this family benchable at all (the uncapped
+    // form OOMs by |V|² semantics, see the r10 comment above).
+    "g_articlerank_capped",
+    // r13: deterministic priority sampling — the mergeable weighted
+    // sample completing the sketch family
+    "sketch_psample")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose

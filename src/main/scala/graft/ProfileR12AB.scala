@@ -36,6 +36,10 @@ object ProfileR12AB {
     import graft.queries.GraphQueries.refEdgesPublic
     import graft.operators.Graph
 
+    // section filter: SPARK_GRAFT_AB=modularity,hits (default both)
+    val sections = sys.env.getOrElse("SPARK_GRAFT_AB", "modularity,hits")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+
     // --- 1. refEdges pin: g_modularity old (re-derive ×2) vs new (pin) ---
     def modularityPinned(): Unit = {
       val e = graft.plans.Pins.pin(refEdgesPublic(spark, dir))
@@ -46,24 +50,29 @@ object ProfileR12AB {
       val e2 = refEdgesPublic(spark, dir)
       noop(Graph.modularity(e1, Graph.labelPropagation(e2, iters = 10)))
     }
-    modularityPinned(); sweep() // warm-up (codegen, file footers)
-    for (i <- 1 to 3) {
-      t(s"modularity pinned #$i") { modularityPinned() }; sweep()
-      t(s"modularity unpinned #$i") { modularityUnpinned() }; sweep()
+    if (sections("modularity")) {
+      modularityPinned(); sweep() // warm-up (codegen, file footers)
+      for (i <- 1 to 3) {
+        t(s"modularity pinned #$i") { modularityPinned() }; sweep()
+        t(s"modularity unpinned #$i") { modularityUnpinned() }; sweep()
+      }
     }
 
-    // --- 2. hitsFixed: AQE on (current) vs scoped AQE-off wrap ---
-    val edges = refEdgesPublic(spark, dir)
-    def hitsAqeOn(): Unit = noop(Graph.hitsFixed(edges, 10))
-    def hitsAqeScopedOff(): Unit = {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try noop(Graph.hitsFixed(edges, 10))
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    }
-    hitsAqeOn(); sweep()
-    for (i <- 1 to 3) {
-      t(s"hits aqe-on #$i") { hitsAqeOn() }; sweep()
-      t(s"hits aqe-scoped-off #$i") { hitsAqeScopedOff() }; sweep()
+    // --- 2. hitsFixed: AQE on vs the scoped AQE-off wrap. r13: the wrap
+    // was ADOPTED inside hitsFixed (r12) and moved onto a cloned session
+    // (r13), so the "on" arm must call the no-wrap seam — hitsFixed
+    // itself IS the "scoped-off" arm now (ADVICE r12: both arms of the
+    // old harness measured the identical AQE-off configuration once the
+    // wrap was internal). ---
+    if (sections("hits")) {
+      val edges = refEdgesPublic(spark, dir)
+      def hitsAqeOn(): Unit = noop(Graph.hitsFixedNoWrap(edges, 10))
+      def hitsAqeScopedOff(): Unit = noop(Graph.hitsFixed(edges, 10))
+      hitsAqeOn(); sweep()
+      for (i <- 1 to 3) {
+        t(s"hits aqe-on #$i") { hitsAqeOn() }; sweep()
+        t(s"hits aqe-scoped-off #$i") { hitsAqeScopedOff() }; sweep()
+      }
     }
     spark.stop()
   }

@@ -1687,20 +1687,53 @@ object Graph {
     // planned they run concurrently. Measured −11% median (16.96 →
     // 15.03 s, 3/3 reps, quiet sf0.1 A/B, BASELINE.md r12); every OTHER
     // pin loop is 2.5–3× WORSE without AQE (the r11 negative result in
-    // plans/Pins.scala) — do not generalize this wrap. The conf is
-    // session-global: the wrap toggles it only for the loop's own pin
-    // jobs and restores in finally (callers running concurrent queries
-    // on the same session would briefly plan without AQE).
-    val session = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = session.conf.get(aqeKey, "true")
-    session.conf.set(aqeKey, "false")
-    try hitsFixedBody(edges, iters, scale)
-    finally session.conf.set(aqeKey, aqePrev)
+    // plans/Pins.scala) — do not generalize this wrap.
+    //
+    // r13 (VERDICT r12 #2 / ADVICE): the toggle used to flip the conf on
+    // the SHARED session and restore in finally — any query planned
+    // concurrently on that session was silently planned without AQE, and
+    // two concurrent hitsFixed calls could race the save/restore. Spark 4
+    // SQL confs are per-SESSION, so the loop now runs on a throwaway
+    // `newSession()` clone (same SparkContext, shared block-manager cache,
+    // isolated conf): runtime confs are copied over, AQE is switched off
+    // there only, and the parent session's conf is never touched
+    // (GraphSpec polls it mid-flight). The input edges hop sessions via
+    // the RDD seam (session-independent) and the final score frames —
+    // localCheckpoint pins, so `.rdd` is a wrapper, not a recompute — hop
+    // back, keeping the caller-visible join planned under the parent's
+    // own conf (AQE on) exactly as the measured r12 shape had it.
+    val parent = edges.sparkSession
+    val loop = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      try loop.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // static confs
+    }
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    val in = edges.select(col("src"), col("dst"))
+    val (auths, hubs) =
+      hitsFixedLoop(loop.createDataFrame(in.rdd, in.schema), iters, scale)
+    val a = parent.createDataFrame(auths.rdd, auths.schema)
+    val h = parent.createDataFrame(hubs.rdd, hubs.schema)
+    hitsAssemble(a, h, scale)
   }
 
-  private def hitsFixedBody(edges: DataFrame, iters: Int,
-      scale: Long): DataFrame = {
+  /** [[hitsFixed]] without the cloned-session AQE-off wrap — the loop
+    * planned under the caller's own session conf. Profiling seam only
+    * (ProfileR12AB's "on" arm must not pick up the internal wrap). */
+  private[graft] def hitsFixedNoWrap(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val (auths, hubs) = hitsFixedLoop(edges, iters, scale)
+    hitsAssemble(auths, hubs, scale)
+  }
+
+  private def hitsAssemble(auths: DataFrame, hubs: DataFrame,
+      scale: Long): DataFrame =
+    auths.join(hubs, Seq("id"))
+      .withColumn("auth", col("auth_fp").cast("double") / lit(scale.toDouble))
+      .withColumn("hub", col("hub_fp").cast("double") / lit(scale.toDouble))
+
+  private def hitsFixedLoop(edges: DataFrame, iters: Int,
+      scale: Long): (DataFrame, DataFrame) = {
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct().cache()
@@ -1738,9 +1771,7 @@ object Graph {
         .pinned
     }
     adj.unpersist(); nodes.unpersist()
-    auths.join(hubs, Seq("id"))
-      .withColumn("auth", col("auth_fp").cast("double") / lit(scale.toDouble))
-      .withColumn("hub", col("hub_fp").cast("double") / lit(scale.toDouble))
+    (auths, hubs)
   }
 
   /** DuckDB twin of [[hitsFixed]] over `edgesCte(src, dst)` (distinct

@@ -481,14 +481,14 @@ object Sketches {
     * quantile answering. */
   def qdBuild(df: DataFrame, groupCol: Column,
       valueCol: Column): (DataFrame, DataFrame) = {
-    val vals = df.filter(valueCol.isNotNull)
-      .select(groupCol.as("grp"),
-        least(greatest(valueCol.cast("long"), lit(0L)),
-          lit((1L << QdL) - 1)).as("v"))
-    val tot = vals.groupBy(col("grp")).agg(count(lit(1)).as("n"))
-    val leaves = vals.groupBy(col("grp"), col("v").as("id"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("grp"), lit(0).cast("int").as("lvl"), col("id"), col("cnt"))
+    // ADVICE r12: the null-filter/clamp/count lives in qdLeaves ONLY —
+    // re-deriving totals from the (already tiny) leaf counts keeps the
+    // streaming build path from silently diverging if the clamp or
+    // domain ever changes there.
+    val l0 = qdLeaves(df, groupCol, valueCol)
+    val tot = l0.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    val leaves = l0.select(col("grp"), lit(0).cast("int").as("lvl"),
+      col("id"), col("cnt"))
     (qdCompress(leaves, tot, leavesOnly = true), tot)
   }
 
@@ -932,10 +932,40 @@ object Sketches {
     * exact join's shuffle. The exact left_semi at the end removes the
     * bloom's false positives — the prune is semantically transparent,
     * which is exactly what the oracle checks. */
+  /** Saturation guard for the prune (ADVICE r12): once the build-side
+    * key count pushes k·n well past m, the filter's fill fraction → 1
+    * and the prune keeps ~every probe row (FP ≈ fill^k) while still
+    * paying the bloom build plus BfK broadcast joins. Above this fill
+    * the prune is skipped and only the exact semi-join runs. 0.5 keeps
+    * the worst admitted FP rate at 0.5^BfK ≈ 6% — past that the joins
+    * cost more than the rows they drop. */
+  val BfMaxFill = 0.5
+
   def bloomSemiJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String): DataFrame = {
-    val regs = bfRegisters(build, lit(0L), col(buildKey)).select(col("b"))
-    val pruned = bloomPrune(probe, probeKey, regs)
+    // One bounded action building the register set (the build pass a
+    // runtime filter always pays). The collect is ≤ BfM rows by
+    // construction (distinct bit positions of an m-bit filter — ≤ 512 KB
+    // at BfM=65536), so materializing it driver-side makes the fill
+    // probe free and turns each of the BfK broadcast joins into a
+    // LocalRelation broadcast instead of BfK recomputations of the
+    // build-side scan.
+    val regRows = bfRegisters(build, lit(0L), col(buildKey))
+      .select(col("b")).collect().map(_.getLong(0)).toIndexedSeq
+    val fill = regRows.length.toDouble / BfM
+    val spark = probe.sparkSession
+    val pruned =
+      if (fill > BfMaxFill) {
+        // saturated filter: FP ≈ fill^BfK keeps ~every probe row — the
+        // prune cannot prune, so don't pay its joins (ADVICE r12)
+        System.err.println(f"[graft] bloomSemiJoin: filter saturated " +
+          f"(fill $fill%.3f > $BfMaxFill) — skipping the bloom prune")
+        probe
+      } else {
+        val regs = spark.createDataset(regRows)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("b")
+        bloomPrune(probe, probeKey, regs)
+      }
     pruned.join(build.select(col(buildKey).as("__bf_bk")).distinct(),
       col(probeKey) === col("__bf_bk"), "left_semi")
   }
@@ -951,4 +981,118 @@ object Sketches {
         bfBit(lit(i.toLong), col(probeKey).cast("string"))
           === col(s"__bf_r$i"), "left_semi")
     }
+
+  // ------------------------------------------------------------------
+  // Priority sampling (Duffield, Lund, Thorup, "Priority sampling for
+  // estimation of arbitrary subset sums", JACM 2007) — the mergeable
+  // WEIGHTED-SAMPLE sketch that completes the family the way
+  // Misra–Gries completed frequency: MG keeps the keys whose weight is
+  // provably heavy; the priority sample keeps a FIXED-SIZE weighted
+  // sample of ALL keys, from which any subset's weight sum is
+  // estimable (ŵ = max(w, τ) for sampled keys, τ = the (k+1)-th
+  // priority). The uniform variate is derandomized through the key
+  // hash (the KMV technique): u(key) = (hash54+1)/2^56 ∈ (0,1], so
+  // priority w/u is INTRINSIC to (key, w) — both engines compute the
+  // identical sample and the oracle hashes estimates directly.
+  //
+  // State = the top-(k+1) rows of (grp, key, w) by priority — k sample
+  // rows plus the threshold row. MERGE = union + weight re-sum + one
+  // re-trim: under key-disjoint slicing (partitioned corpora — the
+  // JACM model, each item once) a key in the union's top-(k+1) is in
+  // its own slice's top-(k+1), so merge == whole-corpus sample EXACTLY
+  // (the KMV/MG semilattice argument; AnalyticsSpec asserts it). Under
+  // key-SPLIT slicing the sample degrades one-sidedly: a key trimmed
+  // from some slice re-enters with only its surviving mass — the same
+  // graceful λ-style degradation the MG merge documents.
+  // ------------------------------------------------------------------
+
+  /** Sample size k (the state keeps k+1 rows — the (k+1)-th carries the
+    * threshold priority τ). */
+  val PsK = 32
+
+  /** Priority = w / u(key) as DOUBLE (one division of identical inputs
+    * on both engines — bit-identical, so the (desc, key asc) order is
+    * too). The md5 slice is 14 hex chars = 56 bits, so u = (h+1)/2^56
+    * ∈ (0, 1]; 2^56 is exactly representable. */
+  private def psPrio(key: Column, w: Column): Column =
+    w.cast("double") /
+      ((hash54(concat(lit("ps:"), key)) + lit(1L)).cast("double") /
+        lit(72057594037927936.0))
+
+  /** One trim pass: keep the top-(PsK+1) rows per group by (priority
+    * desc, key asc). The rank predicate gets Spark's WindowGroupLimit
+    * pushdown — map-side top-(k+1), never a full per-group sort (the
+    * sketch_mg plan gate's shape). */
+  private def psTrim(s: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("grp"))
+      .orderBy(psPrio(col("key"), col("w")).desc, col("key").asc)
+    s.withColumn("__ps_rn", row_number().over(win))
+      .filter(col("__ps_rn") <= PsK + 1)
+      .select(col("grp"), col("key"), col("w"))
+  }
+
+  /** The sketch state from a data slice: per-key weight sums, trimmed
+    * to the top-(PsK+1) priorities per group. */
+  def psSample(df: DataFrame, groupCol: Column, keyCol: Column,
+      weightCol: Column): DataFrame =
+    psTrim(df.filter(keyCol.isNotNull && weightCol.isNotNull)
+      .groupBy(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .agg(sum(weightCol.cast("long")).as("w")))
+
+  /** Merge samples from data slices: weight re-sum per key (a no-op
+    * under the key-disjoint contract), one re-trim. */
+  def psMerge(samples: Seq[DataFrame]): DataFrame =
+    psTrim(samples.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("key"))
+      .agg(sum(col("w")).as("w")))
+
+  /** Subset-sum estimates from a sample: the k sample rows with
+    * ŵ = max(w, τ) — any subset S's weight sum is estimated by
+    * Σ_{key ∈ S ∩ sample} ŵ. Groups holding ≤ PsK distinct keys have
+    * no threshold row and estimate exactly (ŵ = w). Output
+    * (grp, key, w, est). */
+  def psEstimates(sample: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("grp"))
+      .orderBy(psPrio(col("key"), col("w")).desc, col("key").asc)
+    val ranked = sample
+      .select(col("grp"), col("key"), col("w"),
+        psPrio(col("key"), col("w")).as("prio"))
+      .withColumn("rn", row_number().over(win))
+    val tau = ranked.filter(col("rn") === PsK + 1)
+      .select(col("grp"), col("prio").as("tau"))
+    ranked.filter(col("rn") <= PsK)
+      .join(tau, Seq("grp"), "left")
+      .select(col("grp"), col("key"), col("w"),
+        greatest(col("w").cast("double"),
+          coalesce(col("tau"), lit(0.0))).as("est"))
+  }
+
+  /** Build + estimate in one call — the oracle-checked entry shape. */
+  def prioritySample(df: DataFrame, groupCol: Column, keyCol: Column,
+      weightCol: Column): DataFrame =
+    psEstimates(psSample(df, groupCol, keyCol, weightCol))
+
+  /** DuckDB twin of [[prioritySample]] — same hash-derandomized u, same
+    * double priorities, same trim and threshold. */
+  def prioritySampleSql(table: String, groupCol: String, keyCol: String,
+      weightExpr: String): String =
+    s"""WITH psa AS (SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key,
+       |               CAST(SUM($weightExpr) AS BIGINT) AS w
+       |             FROM $table
+       |             WHERE $keyCol IS NOT NULL AND $weightExpr IS NOT NULL
+       |             GROUP BY 1, 2),
+       |psp AS (SELECT grp, key, w,
+       |          CAST(w AS DOUBLE) /
+       |            (CAST(CAST(('0x' || substr(md5('ps:' || key), 1, 14)) AS BIGINT) + 1
+       |              AS DOUBLE) / 72057594037927936.0) AS prio
+       |        FROM psa),
+       |psr AS (SELECT grp, key, w, prio,
+       |          ROW_NUMBER() OVER (PARTITION BY grp
+       |            ORDER BY prio DESC, key ASC) AS rn
+       |        FROM psp),
+       |pst AS (SELECT grp, prio AS tau FROM psr WHERE rn = ${PsK + 1})
+       |SELECT r.grp, r.key, r.w,
+       |       GREATEST(CAST(r.w AS DOUBLE), COALESCE(t.tau, 0.0)) AS est
+       |FROM psr r LEFT JOIN pst t ON t.grp = r.grp
+       |WHERE r.rn <= $PsK""".stripMargin
 }

@@ -266,6 +266,20 @@ object AnalyticsQueries extends QueryModule {
           col("exact_sum"), col("mg_est"), col("w_total"), col("guaranteed"))
         .orderBy(col("l_returnflag"), col("supp_key"))),
 
+    // Priority sampling (r13, Duffield–Lund–Thorup): the mergeable
+    // fixed-size WEIGHTED sample over the same revenue-mass shape as
+    // sketch_mg_weighted — MG answers "which keys are provably heavy",
+    // the priority sample answers "estimate ANY subset's weight sum
+    // from k kept rows". u derandomized through the key hash, so both
+    // engines draw the identical sample and the estimates hash.
+    "sketch_psample" -> ((s, dir) =>
+      graft.operators.Sketches.prioritySample(
+          Tables.lineitem(s, dir), col("l_returnflag"), col("l_suppkey"),
+          floor(col("l_extendedprice")).cast("long"))
+        .select(col("grp").as("l_returnflag"), col("key").as("supp_key"),
+          col("w"), col("est"))
+        .orderBy(col("l_returnflag"), col("supp_key"))),
+
     // Bloom filter (r12): membership verdicts for the deterministic
     // probe set user_id % 10 == 0, probed against EVERY event type's
     // bloom — users of other types exercise the false-positive path,
@@ -354,6 +368,13 @@ object AnalyticsQueries extends QueryModule {
       s"""SELECT grp AS l_returnflag, key AS supp_key, exact_sum, mg_est,
          |       w_total, guaranteed
          |FROM (${graft.operators.Sketches.mgWeightedHeavyHittersSql(
+              "lineitem", "l_returnflag", "l_suppkey",
+              "CAST(FLOOR(l_extendedprice) AS BIGINT)")})
+         |ORDER BY l_returnflag, supp_key""".stripMargin,
+
+    "sketch_psample" ->
+      s"""SELECT grp AS l_returnflag, key AS supp_key, w, est
+         |FROM (${graft.operators.Sketches.prioritySampleSql(
               "lineitem", "l_returnflag", "l_suppkey",
               "CAST(FLOOR(l_extendedprice) AS BIGINT)")})
          |ORDER BY l_returnflag, supp_key""".stripMargin,

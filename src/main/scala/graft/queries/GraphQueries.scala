@@ -559,6 +559,26 @@ object GraphQueries extends QueryModule {
         .orderBy(col("rank_fp").desc, col("id"))
     }),
 
+    // G2–G4 DEPLOY configuration (VERDICT r12 #1): the capped chain a
+    // 100× deployment must run — the uncapped `REFERENCES*1..10` closure
+    // was measured to |V|² saturation at sf0.1 (BASELINE.md r10), so the
+    // deployed shape is kHopReach with maxPairs binding LOUDLY (hop 2's
+    // 433 k fits the 1 M cap at sf0.01; hop 3's 3.07 M does not) →
+    // projectViaClosure → pageRankFixed. The twin unrolls the per-hop
+    // closures and picks the surviving hop by the same monotone
+    // cumulative-count rule as g_khop_capped, so both engines rank the
+    // identical truncated projection. Timed in the bench headline — the
+    // first end-to-end bench row for this family's deployable form.
+    "g_articlerank_capped" -> ((s, dir) => {
+      val closure = Graph.kHopReach(refEdges(s, dir), 10,
+        maxPairs = Some(KHopCap))
+      val proj = Graph.projectViaClosure(authorship(s, dir), closure)
+      named(Graph.pageRankFixed(proj, iters = 10),
+          Tables.customer(s, dir), "c_custkey", "c_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))
+    }),
+
     // G3 — venue ArticleRank (graph_queries.cyp:61-72):
     // (Venue)-[:PUBLICATION]-(Piece)-[:REFERENCES*1..10]->(Piece)
     // -[:PUBLICATION]-(Venue2). The reference's projection RETURNs
@@ -637,14 +657,34 @@ object GraphQueries extends QueryModule {
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |       JOIN customer c ON c.c_custkey = o.o_custkey)""".stripMargin
 
-  /** [[Graph.projectViaClosure]]'s twin over `ends` + `cr10`: collapse to
-    * (entity, reachable node) before attaching the far side, exactly as
-    * the Spark side does. */
-  private val projSql =
-    """mid AS MATERIALIZED (SELECT DISTINCT a.entity AS e_src, c.dst
-      |  FROM ends a JOIN cr10 c ON c.src = a.node),
-      |proj AS MATERIALIZED (SELECT DISTINCT m.e_src AS src, b.entity AS dst
-      |  FROM mid m JOIN ends b ON b.node = m.dst)""".stripMargin
+  /** [[Graph.projectViaClosure]]'s twin over `ends` + the named closure
+    * CTE: collapse to (entity, reachable node) before attaching the far
+    * side, exactly as the Spark side does. */
+  private def projSqlOver(closureCte: String): String =
+    s"""mid AS MATERIALIZED (SELECT DISTINCT a.entity AS e_src, c.dst
+       |  FROM ends a JOIN $closureCte c ON c.src = a.node),
+       |proj AS MATERIALIZED (SELECT DISTINCT m.e_src AS src, b.entity AS dst
+       |  FROM mid m JOIN ends b ON b.node = m.dst)""".stripMargin
+  private val projSql = projSqlOver("cr10")
+
+  /** [[Graph.kHopReach]]-with-`maxPairs` twin over [[Graph.closureCtesSql]]'s
+    * cumulative per-hop closures cr1..cr`k`: `pick` = the largest
+    * completed hop whose closure fits the cap (cr1 unconditionally if
+    * even hop 2 overflows) — the same monotone cumulative-count rule as
+    * `g_khop_capped`'s inline twin, factored for reuse. */
+  private def cappedClosurePickSql(k: Int, cap: Long): String = {
+    val counts = (2 to k)
+      .map(h => s"(SELECT COUNT(*) FROM cr$h) AS c$h").mkString(", ")
+    val arms =
+      (s"SELECT src, dst FROM cr$k WHERE (SELECT c$k FROM kc) <= $cap" +:
+        (k - 1 to 2 by -1).map(h =>
+          s"SELECT src, dst FROM cr$h WHERE (SELECT c${h + 1} FROM kc) > $cap" +
+            s" AND (SELECT c$h FROM kc) <= $cap") :+
+        s"SELECT src, dst FROM cr1 WHERE (SELECT c2 FROM kc) > $cap")
+    s"""kc AS MATERIALIZED (SELECT $counts),
+       |pick AS MATERIALIZED (
+       |${arms.mkString("\n  UNION ALL\n")})""".stripMargin
+  }
 
   /** Assembled oracle for one projected fixed-point PageRank: closure →
     * projection → unrolled PageRank → named scores. `dimSql` must yield
@@ -654,6 +694,21 @@ object GraphQueries extends QueryModule {
        |${Graph.closureCtesSql("e", 10)},
        |$endsSql,
        |$projSql,
+       |${Graph.pageRankCtesSql("proj", 10)}
+       |SELECT pr.id, d.name, pr.rank_fp,
+       |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+       |FROM pr10 pr JOIN ($dimSql) d ON d.k = pr.id
+       |ORDER BY pr.rank_fp DESC, pr.id""".stripMargin
+
+  /** [[projectedPrOracle]] over the CAPPED closure — `g_articlerank_capped`'s
+    * twin: cr1..cr10 → monotone pick under [[KHopCap]] → projection →
+    * unrolled PageRank. */
+  private def cappedProjectedPrOracle(endsSql: String, dimSql: String): String =
+    s"""WITH $refEdgesSql,
+       |${Graph.closureCtesSql("e", 10)},
+       |${cappedClosurePickSql(10, KHopCap)},
+       |$endsSql,
+       |${projSqlOver("pick")},
        |${Graph.pageRankCtesSql("proj", 10)}
        |SELECT pr.id, d.name, pr.rank_fp,
        |       CAST(pr.rank_fp AS DOUBLE) / 1000000000000.0 AS rank
@@ -1111,6 +1166,9 @@ object GraphQueries extends QueryModule {
       "SELECT c_custkey AS k, c_name AS name FROM customer"),
 
     "g_articlerank_gdsnorm" -> projectedArOracle(authorshipEndsSql,
+      "SELECT c_custkey AS k, c_name AS name FROM customer"),
+
+    "g_articlerank_capped" -> cappedProjectedPrOracle(authorshipEndsSql,
       "SELECT c_custkey AS k, c_name AS name FROM customer"),
 
     "g_articlerank_venues" -> projectedPrOracle(publicationEndsSql,

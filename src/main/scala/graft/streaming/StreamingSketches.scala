@@ -144,11 +144,30 @@ object StreamingSketches {
     * [[qdQuantilesNow]] over this state dir answers per-hour quantiles
     * directly. No watermark is needed for CORRECTNESS — the per-batch
     * digests merge additively, so a late row lands in its hour's digest
-    * through whichever batch carries it; a real deployment adds a
-    * watermark only to STOP COMPACTING closed windows (state here is
-    * already ≤ 3k digest nodes per open hour, not per-row). */
+    * through whichever batch carries it.
+    *
+    * State is BOUNDED (VERDICT r12 #3 — batch dirs used to accumulate
+    * one per micro-batch forever, and reads merged all of them): each
+    * batch dir carries a `_MAXTS` marker (epoch ms of its newest row),
+    * and after every batch, prior dirs whose newest row's WINDOW has
+    * closed — window end ≤ event-time high-water − `horizonHours` — are
+    * deleted whole, qd and qdtot in lockstep (the runStreamingNearDup
+    * discipline: marker-only reads, O(#dirs) sweep, no footer scans).
+    * The window-end refinement matters: a marker merely OLDER than the
+    * cutoff could still sit in an hour that newer batches keep feeding;
+    * sweeping only fully-closed windows means an open window's mass is
+    * never split. Retention semantics follow the watermark contract:
+    * [[qdQuantilesNow]] answers windows inside the horizon; a closed
+    * window's final quantiles must be consumed before its state ages
+    * out, and a straggler beyond the horizon re-opens its window with
+    * only its own mass — exactly a watermark-expired late row. Window
+    * ends are computed on UTC hour boundaries (the session default);
+    * deployments in a non-hour-offset zone should widen `horizonHours`
+    * by one to cover the drift. */
   def runWindowed(spark: SparkSession, srcDir: String,
-      checkpointDir: String, stateDir: String): Unit = {
+      checkpointDir: String, stateDir: String,
+      horizonHours: Long = 2L): Unit = {
+    import java.nio.file.{Files, Paths}
     val stream = spark.readStream.schema(tsObsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -165,9 +184,41 @@ object StreamingSketches {
           .parquet(s"$stateDir/qd/batch_id=$batchId")
         qdTot.write.mode("overwrite")
           .parquet(s"$stateDir/qdtot/batch_id=$batchId")
+        // bounded scalar action (the EventStream.scala:138 pattern)
+        val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        if (maxTs != null) {
+          val hwMs = maxTs.toInstant.toEpochMilli
+          Files.writeString(
+            Paths.get(s"$stateDir/qd/batch_id=$batchId/_MAXTS"),
+            hwMs.toString)
+          val cutoffMs = hwMs - horizonHours * 3600000L
+          batchDirs(stateDir, "qd").foreach { d =>
+            val f = new java.io.File(d)
+            val id = f.getName.stripPrefix("batch_id=").toLongOption
+            val marker = Paths.get(d, "_MAXTS")
+            if (id.exists(_ < batchId) && Files.exists(marker)) {
+              val m = Files.readString(marker).trim.toLong
+              val windowEndMs = (m / 3600000L + 1L) * 3600000L
+              if (windowEndMs <= cutoffMs) {
+                rmTree(Paths.get(d))
+                rmTree(Paths.get(s"$stateDir/qdtot/${f.getName}"))
+              }
+            }
+          }
+        }
         ()
       }
       .start()
     q.awaitTermination()
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete(_))
+      finally walk.close()
+    }
   }
 }

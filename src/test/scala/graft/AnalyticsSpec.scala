@@ -211,6 +211,69 @@ class AnalyticsSpec extends AnyFunSuite {
       s"bloom prune dropped nothing ($surviving of $total probe rows kept)")
   }
 
+  test("Bloom semi-join: saturated filter skips the prune, result unchanged") {
+    // ADVICE r12: at k·n >> m the filter's fill fraction → 1 and the
+    // prune keeps ~everything while still paying BfK broadcast joins;
+    // bloomSemiJoin now probes the fill and skips the prune past
+    // BfMaxFill. Observable in the plan: the pruned shape carries
+    // 1 + BfK joins, the saturated shape exactly 1 (the exact semi).
+    import graft.operators.Sketches
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    val probe = spark.range(0, 4000).toDF("k")
+    // 50k distinct build keys: fill ≈ 1 − e^(−4·50000/65536) ≈ 0.95
+    val saturated = spark.range(0, 50000).toDF("bk")
+    val sat = Sketches.bloomSemiJoin(probe, "k", saturated, "bk")
+    assert(joins(sat) == 1, "saturated filter must skip the bloom prune")
+    assert(sat.count() == 4000) // all probe keys < 50000 really join
+    // small build side: prune runs (1 exact + BfK bloom semis)
+    val small = spark.range(0, 100).toDF("bk")
+    val pruned = Sketches.bloomSemiJoin(probe, "k", small, "bk")
+    assert(joins(pruned) == 1 + Sketches.BfK,
+      "unsaturated filter must keep the bloom prune")
+    assert(pruned.count() == 100)
+  }
+
+  test("priority sample: key-disjoint shard merge == whole-corpus sample; estimates one-sided") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 300 keys across 2 groups with skewed weights — more keys than
+    // PsK, so the trim and the threshold row are both exercised
+    val df = (1 to 3000).map { i =>
+      ("g" + (i % 2), (i % 300).toLong, ((i % 7) + 1L) * (i % 300 + 1L))
+    }.toDF("grp_in", "key_in", "w_in")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sketches.psSample(d, col("grp_in"), col("key_in"), col("w_in"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // key-disjoint shards (the JACM model: each item once) — the merge
+    // must equal the whole-corpus sample EXACTLY, state row for state row
+    val shards = (0 until 3).map(k => df.where(col("key_in") % 3 === k))
+    val whole = rows(sample(df))
+    val merged = rows(Sketches.psMerge(shards.map(sample)))
+    assert(whole.nonEmpty && whole == merged,
+      "key-disjoint shard merge must equal the whole-corpus sample")
+    // state is (k+1)-bounded per group; estimates expose k rows
+    assert(whole.keys.groupBy(_._1).values.forall(_.size <= Sketches.PsK + 1))
+    val est: Seq[((String, String), Long, Double)] =
+      Sketches.psEstimates(sample(df)).collect().toIndexedSeq
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(est.map(_._1).groupBy(_._1).values.forall(_.size <= Sketches.PsK))
+    // one-sided: ŵ = max(w, τ) ≥ w for every sampled key
+    est.foreach { case (gk, w, e) =>
+      assert(e >= w.toDouble, s"estimate below true weight for $gk")
+    }
+    // a group with ≤ PsK distinct keys has no threshold row: exact
+    val tiny = (1 to 200).map(i => ("t", (i % 10).toLong, 5L))
+      .toDF("grp_in", "key_in", "w_in")
+    Sketches.psEstimates(sample(tiny)).collect().foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble,
+        "under-k group must estimate exactly")
+    }
+  }
+
   test("KMV: merge is a semilattice (shard-merge == whole-corpus), Jaccard estimator sane") {
     import spark.implicits._
     import graft.operators.Sketches

