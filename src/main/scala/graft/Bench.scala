@@ -235,11 +235,16 @@ object Bench {
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose
     * single-run cost is large enough that 6 runs would dominate the
-    * bench wall. Telemetry marks them `"heavy":true`. Currently empty:
-    * the one candidate family (the uncapped 10-hop closure projections)
-    * turned out not to fit the 20 GB driver at sf0.1 at all (see the
-    * headline comment) and is audited in BASELINE.md instead. */
-  val heavy: Set[String] = Set.empty
+    * bench wall. Telemetry marks them `"heavy":true`.
+    *
+    * g_articlerank_capped (r13): ~100 s/run at sf0.1 — the capped
+    * 1-hop closure projects to a ~147 M-edge author→author graph
+    * (|entities| ≈ 15 k, GDS distinct-edge semantics make it ~dense on
+    * TPC-H-ish co-purchase data; ProfileArcCapped: closure 9 s,
+    * projection 38 s, PageRank 25 s — semantic volume, not a plan
+    * bug). Median-of-5 would add ~10 min of bench wall for a number a
+    * single run records within the telemetry's noise gates. */
+  val heavy: Set[String] = Set("g_articlerank_capped")
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC

@@ -139,20 +139,24 @@ object StreamingSketches {
     StructField("key", LongType),
     StructField("ts", org.apache.spark.sql.types.TimestampType)))
 
-  /** Per-WINDOW quantile maintenance (the streaming-q-digest shape a
-    * metrics pipeline runs): the digest GROUP is `<hour>|<grp>`, so
-    * [[qdQuantilesNow]] over this state dir answers per-hour quantiles
-    * directly. No watermark is needed for CORRECTNESS — the per-batch
-    * digests merge additively, so a late row lands in its hour's digest
-    * through whichever batch carries it.
+  /** Per-WINDOW sketch maintenance (the streaming shape a metrics
+    * pipeline runs): the sketch GROUP is `<hour>|<grp>`, so
+    * [[qdQuantilesNow]] answers per-hour quantiles, [[mgHeavyHittersNow]]
+    * per-hour heavy hitters, and [[bloomMightContainNow]] per-hour
+    * membership — all from this state dir with the un-windowed readers
+    * (r13: the hour prefix is just another group). No watermark is
+    * needed for CORRECTNESS — the per-batch states merge additively, so
+    * a late row lands in its hour's sketch through whichever batch
+    * carries it.
     *
     * State is BOUNDED (VERDICT r12 #3 — batch dirs used to accumulate
     * one per micro-batch forever, and reads merged all of them): each
     * batch dir carries a `_MAXTS` marker (epoch ms of its newest row),
     * and after every batch, prior dirs whose newest row's WINDOW has
     * closed — window end ≤ event-time high-water − `horizonHours` — are
-    * deleted whole, qd and qdtot in lockstep (the runStreamingNearDup
-    * discipline: marker-only reads, O(#dirs) sweep, no footer scans).
+    * deleted whole, qd/qdtot/mg/bloom in lockstep (the
+    * runStreamingNearDup discipline: marker-only reads, O(#dirs) sweep,
+    * no footer scans).
     * The window-end refinement matters: a marker merely OLDER than the
     * cutoff could still sit in an hour that newer batches keep feeding;
     * sweeping only fully-closed windows means an open window's mass is
@@ -184,6 +188,15 @@ object StreamingSketches {
           .parquet(s"$stateDir/qd/batch_id=$batchId")
         qdTot.write.mode("overwrite")
           .parquet(s"$stateDir/qdtot/batch_id=$batchId")
+        // r13: per-hour heavy hitters and membership ride the same
+        // hour|grp keying — [[mgHeavyHittersNow]]/[[bloomMightContainNow]]
+        // over this state dir answer per-window directly, no new readers
+        Sketches.mgSummary(keyed, col("grp"), col("key"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/mg/batch_id=$batchId")
+        Sketches.bfRegisters(keyed, col("grp"), col("key"))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/bloom/batch_id=$batchId")
         // bounded scalar action (the EventStream.scala:138 pattern)
         val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
         if (maxTs != null) {
@@ -201,7 +214,8 @@ object StreamingSketches {
               val windowEndMs = (m / 3600000L + 1L) * 3600000L
               if (windowEndMs <= cutoffMs) {
                 rmTree(Paths.get(d))
-                rmTree(Paths.get(s"$stateDir/qdtot/${f.getName}"))
+                Seq("qdtot", "mg", "bloom").foreach(s =>
+                  rmTree(Paths.get(s"$stateDir/$s/${f.getName}")))
               }
             }
           }

@@ -180,7 +180,11 @@ class StreamingSketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
 
     val w1 = tsObs(7, 300, 10)    // hour 10
-    val w2 = tsObs(11, 400, 11)   // hour 11
+    // hour 11 carries a planted heavy key for the per-hour MG check
+    val w2 = tsObs(11, 400, 11).unionByName(
+      (1 to 60).map(i => ("g0", 999L,
+        java.sql.Timestamp.valueOf("2026-08-15 11:30:00")))
+        .toDF("grp", "key", "ts"))
     val w3 = tsObs(13, 500, 20)   // hour 20 — 9 h later, horizon 2 h
     w1.coalesce(1).write.mode("append").parquet(src)
     StreamingSketches.runWindowed(spark, src, ck, state)
@@ -190,15 +194,29 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(dirsOf("qd") == Set("batch_id=0", "batch_id=1"))
     assert(estNow().keys.map(_._1.take(13)).toSet
       == Set("2026-08-15 10", "2026-08-15 11"))
+    // r13: per-hour heavy hitters from the SAME state dir — the hour
+    // prefix is just another group to the un-windowed reader, and the
+    // planted key surfaces in ITS hour only
+    val mg = StreamingSketches.mgHeavyHittersNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mg.contains(("2026-08-15 11|g0", "999")),
+      "planted heavy key must surface in its own hour's MG summary")
+    assert(!mg.keys.exists { case (g, k) => g.startsWith("2026-08-15 10") && k == "999" })
+    // per-hour membership: the planted key is a member of hour 11, and
+    // the filter (no false negatives) must say so
+    val bfProbe = Seq(("2026-08-15 11|g0", "999"), ("2026-08-15 10|g0", "999"))
+      .toDF("grp", "key")
+    val bf = StreamingSketches.bloomMightContainNow(spark, state, bfProbe)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(bf("2026-08-15 11|g0"), "bloom false negative on the planted key")
 
     w3.coalesce(1).write.mode("append").parquet(src)
     StreamingSketches.runWindowed(spark, src, ck, state)
     // hour 20's high-water closes hours 10 and 11 (window ends 11:00 and
-    // 12:00 ≤ 20:xx − 2 h): both dirs swept whole, qdtot in lockstep
-    assert(dirsOf("qd") == Set("batch_id=2"),
-      "closed-window qd batch dirs must be deleted")
-    assert(dirsOf("qdtot") == Set("batch_id=2"),
-      "qdtot must be swept in lockstep with qd")
+    // 12:00 ≤ 20:xx − 2 h): both dirs swept whole, every sketch in lockstep
+    for (sk <- Seq("qd", "qdtot", "mg", "bloom"))
+      assert(dirsOf(sk) == Set("batch_id=2"),
+        s"closed-window $sk batch dirs must be deleted")
     // the surviving window answers with its full mass: identical to the
     // batch build over its own rows
     val keyed = w3.select(
