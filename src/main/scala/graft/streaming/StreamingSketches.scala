@@ -8,11 +8,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 import graft.operators.Sketches
 
 /** Mergeable sketches maintained BY a stream — the deployment shape the
-  * r11–r12 sketch family exists for: a 100 TB corpus arrives
+  * r11–r13 sketch family exists for: a 100 TB corpus arrives
   * incrementally, each micro-batch reduces to a bounded register set
   * (64 HLL buckets, d·w count–min cells, ≤3k q-digest nodes, ≤m bloom
-  * bits per group), and the corpus-wide estimate is a register MERGE
-  * (max / sum / sum+recompress / or), never a rescan.
+  * bits, ≤k MG counters, ≤k+1 priority-sample rows per group), and the
+  * corpus-wide estimate is a register MERGE (max / sum / sum+recompress
+  * / or / sum+re-trim), never a rescan.
   *
   * Exactly-once without relying on sink transactions: each micro-batch
   * writes its OWN register set to `stateDir/<sketch>/batch_id=<id>` with
@@ -75,6 +76,18 @@ object StreamingSketches {
         Sketches.mgSummary(batch, col("grp"), col("key"))
           .write.mode("overwrite")
           .parquet(s"$stateDir/mg/batch_id=$batchId")
+        // r13 — priority sample: ≤ k+1 weighted rows per (grp, batch);
+        // the read-time merge re-sums weights per key and re-trims. A
+        // key trimmed from SOME batch re-enters with only its surviving
+        // mass, so streamed estimates degrade ONE-SIDEDLY vs
+        // batch-at-once (the MG λ-per-shard trade stated above —
+        // bounded state from an unbounded stream); a key inside the
+        // top-(k+1) of every batch carries its exact total. Weight =
+        // occurrence count here, the streaming analog of the batch
+        // sketch's SUM(w).
+        Sketches.psSample(batch, col("grp"), col("key"), lit(1L))
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/ps/batch_id=$batchId")
         ()
       }
       .start()
@@ -130,6 +143,14 @@ object StreamingSketches {
   def mgHeavyHittersNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.mgMerge(
       batchDirs(stateDir, "mg").map(spark.read.parquet(_)))
+
+  /** Corpus-wide weighted-sample estimates from the accumulated
+    * per-batch priority samples: weight re-sum per key + one re-trim,
+    * then ŵ = max(w, τ). Exact for keys that survived every batch's
+    * top-(k+1); one-sided under-count otherwise (see `run`'s note). */
+  def psEstimatesNow(spark: SparkSession, stateDir: String): DataFrame =
+    Sketches.psEstimates(Sketches.psMerge(
+      batchDirs(stateDir, "ps").map(spark.read.parquet(_))))
 
   // ---- event-time windowed quantiles --------------------------------
 

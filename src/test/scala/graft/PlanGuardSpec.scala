@@ -158,6 +158,15 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("sketch_psample: the priority trim gets the same WindowGroupLimit pushdown") {
+    // the top-(k+1) selection orders by a computed priority EXPRESSION —
+    // the pushdown must survive that (it keys on the rank predicate, not
+    // the order key's shape); without it the sample build sorts every
+    // distinct key per group
+    val p = plan("sketch_psample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   // ------------------------------------------------------------------
   // Exchange-count budgets for the loop family (VERDICT r12 #5): the
   // r9–r12 wins were bought in jobs-per-round and pins-per-round —

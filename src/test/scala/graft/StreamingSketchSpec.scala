@@ -113,6 +113,22 @@ class StreamingSketchSpec extends AnyFunSuite {
         s"streamed MG bound broken: $gk est=$est f=$f")
     }
 
+    // priority sample (r13): the streamed per-batch samples, merged,
+    // must equal the SAME merge built in batch over the two waves (the
+    // merge is deterministic); per-key weight never exceeds the exact
+    // occurrence count (one-sided under the MG-style λ trade)
+    val psNow = StreamingSketches.psEstimatesNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val psBatch = Sketches.psEstimates(Sketches.psMerge(Seq(w1, w2).map(w =>
+        Sketches.psSample(w, col("grp"), col("key"), lit(1L)))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(psNow.nonEmpty && psNow == psBatch,
+      "streamed priority sample must equal the batch-built merge")
+    psNow.foreach { case (gk, w) =>
+      assert(w <= exactCnt(gk), s"sampled weight above exact count: $gk")
+    }
+    assert(psNow.keys.groupBy(_._1).values.forall(_.size <= Sketches.PsK))
+
     // state really is per-batch register sets, each d·w-bounded
     val cmBatches = new java.io.File(s"$state/cm").listFiles()
       .filter(_.getName.startsWith("batch_id=")).toSeq
