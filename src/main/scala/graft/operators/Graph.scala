@@ -65,11 +65,18 @@ object Graph {
     * `rank_fp * 85 ≤ 8.5e13 << 2^63`: no overflow at any graph size. */
   def pageRankFixed(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, pinEvery: Int = 2): DataFrame = {
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    // The input is a FOUR-consumer frame (both node-union branches, both
+    // sides of the degree self-join) — the r8 rule says it must not stay
+    // lazy. For cheap scan-join inputs (refEdges) this is neutral; for
+    // an expensive input it is decisive: g_articlerank_capped's 147 M-row
+    // projection was being re-derived ~4× inside this prelude (r13,
+    // ProfileArcCapped: 38 s per derivation vs 117 s whole-query).
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), col("deg")).cache()
     val teleport = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank_fp", lit(scale / n))
@@ -90,6 +97,7 @@ object Graph {
       // from deeper per-pin plans). The final round always pins.
       ranks = if (t % pinEvery == 0 || t == iters) next.pinned else next
     }
+    e.unpersist()
     nodes.unpersist()
     withDeg.unpersist()
     ranks.withColumn("rank",
@@ -178,11 +186,13 @@ object Graph {
     * up to ~10^5 at scale 1e12. Twin: [[pageRankWeightedCtesSql]]. */
   def pageRankWeightedFixed(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    // four-consumer input — cached like pageRankFixed's (r13)
+    val e = edges.select(col("src"), col("dst"), col("w")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(sum(col("w")).as("wdeg")), "src")
+    val withDeg = e
+      .join(e.groupBy("src").agg(sum(col("w")).as("wdeg")), "src")
       .select(col("src"), col("dst"), col("w"), col("wdeg")).cache()
     val teleport = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank_fp", lit(scale / n))
@@ -198,6 +208,7 @@ object Graph {
           (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
         .pinned
     }
+    e.unpersist()
     nodes.unpersist()
     withDeg.unpersist()
     ranks.withColumn("rank",
@@ -236,10 +247,12 @@ object Graph {
     * [[personalizedPageRankCtesSql]]. */
   def personalizedPageRankFixed(edges: DataFrame, sources: Seq[Long],
       iters: Int, scale: Long = 1000000000000L): DataFrame = {
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    // four-consumer input — cached like pageRankFixed's (r13)
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), col("deg")).cache()
     val nS = sources.size.toLong
     val isSrc = col("id").isin(sources: _*)
@@ -259,6 +272,7 @@ object Graph {
             coalesce(col("csum"), lit(0L))).as("rank_fp"))
         .pinned
     }
+    e.unpersist()
     nodes.unpersist()
     withDeg.unpersist()
     ranks.withColumn("rank",
@@ -310,13 +324,16 @@ object Graph {
     * [[articleRankCtesSql]]. */
   def articleRankFixed(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    // FIVE-consumer input (node union ×2, degree self-join ×2, the
+    // avg-degree count) — cached like pageRankFixed's (r13)
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .select(col("src"), col("dst"), col("deg")).cache()
-    val avgDeg = edges.count() / n // floored — see scaladoc
+    val avgDeg = e.count() / n // floored — see scaladoc
     val teleport = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank_fp", lit(scale / n))
     for (_ <- 1 to iters) {
@@ -331,6 +348,7 @@ object Graph {
           (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
         .pinned
     }
+    e.unpersist()
     nodes.unpersist()
     withDeg.unpersist()
     ranks.withColumn("rank",
