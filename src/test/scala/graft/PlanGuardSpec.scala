@@ -191,7 +191,14 @@ class PlanGuardSpec extends AnyFunSuite {
     "g_hits" -> 51,
     "g_louvain2" -> 114,
     "g_scc" -> 34,
-    "g_pagerank_parts" -> 23)
+    "g_pagerank_parts" -> 23,
+    // r13 late wave: the remaining loop shapes + the composed pipeline
+    // (measured 16/16/47/12/36, same +2 convention)
+    "g_kcore" -> 18,
+    "g_components" -> 18,
+    "g_betweenness_sample" -> 49,
+    "g_harmonic" -> 14,
+    "pipe_end_to_end" -> 38)
 
   test("loop family: executed shuffle stages stay within their budgets") {
     val got = shuffleBudgets.keys.toSeq.sorted.map { name =>
