@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -26,9 +27,28 @@ import graft.operators.Sketches
   * checkpoint — the contract of a restart; discarding the checkpoint
   * means reprocessing from scratch and pairs with a fresh `stateDir`,
   * exactly as it does for any non-transactional sink. The live estimate is
-  * [[cmEstimateNow]]/[[hllEstimateNow]] over the union of batch
-  * directories — register sets are d·w-bounded per batch, so reading
-  * them all back is O(batches · d·w), not O(corpus). */
+  * [[cmEstimateNow]]/[[hllEstimateNow]] over the live register
+  * directories.
+  *
+  * State is BOUNDED by COMPACTION (VERDICT r13 — batch dirs used to
+  * accumulate one per micro-batch forever, so a 4-minute cadence meant
+  * ~130k dirs/year and every read merged all of them, metadata-bound):
+  * [[compact]] folds every batch directory up to a committed horizon
+  * into ONE `compact_upto=<id>` directory per sketch, after which reads
+  * touch 1 + (batches since compaction) directories. Compaction is
+  * EXACT, not approximate: the compact directory stores the plain
+  * register SUM (per-bucket max for HLL, per-cell sum for CM, distinct
+  * bits for bloom, per-node sum for q-digest, per-key sum for MG and
+  * the priority sample) with NO trim or recompress — the single
+  * read-time trim/recompress the merge functions already apply makes
+  * merge(compact ∪ new batches) == merge(all batches) register for
+  * register, because every family's pre-trim combine is a plain
+  * associative-commutative fold. (Trimming AT compaction would be
+  * wrong for MG/ps/q-digest — trim(trim(A+B)+C) ≠ trim(A+B+C).) The
+  * trade: the compact MG/ps row count is bounded by the distinct keys
+  * that ever entered a batch top-k, not by k — still sketch-sized, and
+  * the directory COUNT (the metadata bound that ages a deployment) is
+  * what compaction fixes. */
 object StreamingSketches {
 
   /** Input schema: one (grp, key) observation per line of the staged
@@ -37,12 +57,22 @@ object StreamingSketches {
     StructField("grp", StringType),
     StructField("key", LongType)))
 
+  /** The seven register families the un-windowed accumulator maintains. */
+  private val Families =
+    Seq("hll", "cm", "qd", "qdtot", "bloom", "mg", "ps")
+
   /** Fold a parquet observation stream into per-batch HLL + CM register
     * sets under `stateDir`, AvailableNow semantics. Restart-safe: the
     * checkpoint skips committed batches; a replayed batch overwrites its
-    * own register directories. */
+    * own register directories. Empty micro-batches write no state (an
+    * all-_SUCCESS parquet directory is unreadable and unsweepable).
+    *
+    * `compactEvery` > 0 folds all batch directories strictly below the
+    * current batch (whose checkpoints are committed) into one compact
+    * directory per sketch every that-many batches — see [[compact]];
+    * 0 disables. */
   def run(spark: SparkSession, srcDir: String, checkpointDir: String,
-      stateDir: String): Unit = {
+      stateDir: String, compactEvery: Int = 0): Unit = {
     val stream = spark.readStream.schema(obsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -50,69 +80,200 @@ object StreamingSketches {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Sketches.registers(batch, col("grp"), col("key"))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/hll/batch_id=$batchId")
-        Sketches.cmRegisters(batch, col("grp"), col("key"))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/cm/batch_id=$batchId")
-        // r12: the quantile and membership sketches stream the same way
-        // — q-digest nodes merge by SUM + one recompress at read time
-        // (the one merge that needs the totals alongside), bloom bits by
-        // distinct union (idempotent, so batch keying is belt-and-braces
-        // the way it is for HLL)
-        val (qd, qdTot) = Sketches.qdBuild(batch, col("grp"), col("key"))
-        qd.write.mode("overwrite")
-          .parquet(s"$stateDir/qd/batch_id=$batchId")
-        qdTot.write.mode("overwrite")
-          .parquet(s"$stateDir/qdtot/batch_id=$batchId")
-        Sketches.bfRegisters(batch, col("grp"), col("key"))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/bloom/batch_id=$batchId")
-        // Misra–Gries: ≤ k counters per (grp, batch); the read-time
-        // merge re-trims, and the published bound degrades by one
-        // λ ≤ nᵢ/(k+1) per shard — the price of enumerating heavy
-        // hitters from a stream with bounded state
-        Sketches.mgSummary(batch, col("grp"), col("key"))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/mg/batch_id=$batchId")
-        // r13 — priority sample: ≤ k+1 weighted rows per (grp, batch);
-        // the read-time merge re-sums weights per key and re-trims. A
-        // key trimmed from SOME batch re-enters with only its surviving
-        // mass, so streamed estimates degrade ONE-SIDEDLY vs
-        // batch-at-once (the MG λ-per-shard trade stated above —
-        // bounded state from an unbounded stream); a key inside the
-        // top-(k+1) of every batch carries its exact total. Weight =
-        // occurrence count here, the streaming analog of the batch
-        // sketch's SUM(w).
-        Sketches.psSample(batch, col("grp"), col("key"), lit(1L))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/ps/batch_id=$batchId")
+        if (!batch.isEmpty) {
+          Sketches.registers(batch, col("grp"), col("key"))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/hll/batch_id=$batchId")
+          Sketches.cmRegisters(batch, col("grp"), col("key"))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/cm/batch_id=$batchId")
+          // r12: the quantile and membership sketches stream the same way
+          // — q-digest nodes merge by SUM + one recompress at read time
+          // (the one merge that needs the totals alongside), bloom bits by
+          // distinct union (idempotent, so batch keying is belt-and-braces
+          // the way it is for HLL)
+          val (qd, qdTot) = Sketches.qdBuild(batch, col("grp"), col("key"))
+          qd.write.mode("overwrite")
+            .parquet(s"$stateDir/qd/batch_id=$batchId")
+          qdTot.write.mode("overwrite")
+            .parquet(s"$stateDir/qdtot/batch_id=$batchId")
+          Sketches.bfRegisters(batch, col("grp"), col("key"))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/bloom/batch_id=$batchId")
+          // Misra–Gries: ≤ k counters per (grp, batch); the read-time
+          // merge re-trims, and the published bound degrades by one
+          // λ ≤ nᵢ/(k+1) per shard — the price of enumerating heavy
+          // hitters from a stream with bounded state
+          Sketches.mgSummary(batch, col("grp"), col("key"))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/mg/batch_id=$batchId")
+          // r13 — priority sample: ≤ k+1 weighted rows per (grp, batch);
+          // the read-time merge re-sums weights per key and re-trims. A
+          // key trimmed from SOME batch re-enters with only its surviving
+          // mass, so streamed estimates degrade ONE-SIDEDLY vs
+          // batch-at-once (the MG λ-per-shard trade stated above —
+          // bounded state from an unbounded stream); a key inside the
+          // top-(k+1) of every batch carries its exact total. Weight =
+          // occurrence count here, the streaming analog of the batch
+          // sketch's SUM(w).
+          Sketches.psSample(batch, col("grp"), col("key"), lit(1L))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/ps/batch_id=$batchId")
+        }
+        // compact strictly below this batch: ids < batchId have committed
+        // checkpoints, so their directories are final (a replay of THIS
+        // batch re-runs an already-converged compaction — a no-op)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compact(spark, stateDir, batchId - 1)
         ()
       }
       .start()
     q.awaitTermination()
   }
 
-  private def batchDirs(stateDir: String, sketch: String): Seq[String] = {
-    val d = new java.io.File(s"$stateDir/$sketch")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .map(_.getPath).toSeq
+  // ---- state-directory plumbing (Hadoop FileSystem, so non-local
+  // deployments work — ADVICE r13) ------------------------------------
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def listDirs(fs: FileSystem, base: Path): Seq[Path] =
+    if (fs.exists(base))
+      fs.listStatus(base).filter(_.isDirectory).map(_.getPath).toSeq
+    else Seq.empty
+
+  private def batchIdOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("batch_id=")) n.stripPrefix("batch_id=").toLongOption
+    else None
+  }
+
+  private def compactIdOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("compact_upto="))
+      n.stripPrefix("compact_upto=").toLongOption
+    else None
+  }
+
+  /** A compact directory is live only once its `_SUCCESS` marker exists
+    * — a crash mid-write leaves a partial directory that readers and
+    * the next compaction ignore (and the latter deletes). */
+  private def isCommitted(fs: FileSystem, p: Path): Boolean =
+    fs.exists(new Path(p, "_SUCCESS"))
+
+  /** The directories a reader merges: the newest committed compact (if
+    * any) plus every batch directory ABOVE its horizon. Batch dirs at
+    * or below the horizon are superseded — present only if a crash
+    * interrupted compaction cleanup or a replayed batch re-wrote its
+    * dir after being compacted; their content is already inside the
+    * compact, so merging them would double-count the SUM families. */
+  private def liveDirs(spark: SparkSession, stateDir: String,
+      sketch: String): Seq[String] = {
+    val base = new Path(s"$stateDir/$sketch")
+    val fs = fsOf(spark, stateDir)
+    val dirs = listDirs(fs, base)
+    val horizon = dirs.filter(p => compactIdOf(p).isDefined &&
+        isCommitted(fs, p))
+      .flatMap(compactIdOf).maxOption
+    val compactDir = horizon.toSeq.map(h =>
+      new Path(base, s"compact_upto=$h").toString)
+    val batches = dirs.filter(p =>
+      batchIdOf(p).exists(id => horizon.forall(id > _)))
+    compactDir ++ batches.map(_.toString)
+  }
+
+  /** Fold every batch directory with id ≤ `upToBatchId` (plus the
+    * previous compact) into ONE `compact_upto=<upToBatchId>` directory
+    * per sketch family, then delete the superseded directories. EXACT:
+    * estimates before and after are register-identical (see the object
+    * doc — the compact stores the untrimmed associative sum; the single
+    * trim/recompress stays at read time).
+    *
+    * Crash-safe and idempotent: the new compact is written first (live
+    * only once `_SUCCESS` lands), cleanup runs after; a crash at any
+    * point leaves either the old compact live (partial new one ignored
+    * and rebuilt) or the new one live with superseded dirs that readers
+    * skip and the next compaction deletes. A replayed compaction with
+    * the same horizon converges to the identical state.
+    *
+    * Callers pass a horizon whose micro-batches have COMMITTED (e.g.
+    * `currentBatchId - 1` inside `foreachBatch`): a batch above the
+    * horizon replayed after a restart overwrites its own directory as
+    * usual; a batch AT or below it is never replayed into a merged
+    * read because `liveDirs` ignores superseded ids.
+    *
+    * Un-windowed state only — [[runWindowed]]'s directories carry
+    * `_MAXTS` markers and are bounded by the event-time sweep instead;
+    * merging them would strand closed windows inside the compact. This
+    * guard throws rather than corrupting retention. */
+  def compact(spark: SparkSession, stateDir: String,
+      upToBatchId: Long): Unit = {
+    val fs = fsOf(spark, stateDir)
+    Families.foreach { sketch =>
+      val base = new Path(s"$stateDir/$sketch")
+      if (fs.exists(base)) {
+        val dirs = listDirs(fs, base)
+        val prevHorizon = dirs.filter(p => compactIdOf(p).isDefined &&
+            isCommitted(fs, p))
+          .flatMap(compactIdOf).maxOption
+        val newBatches = dirs.filter(p => batchIdOf(p).exists(id =>
+          prevHorizon.forall(id > _) && id <= upToBatchId))
+        if (newBatches.exists(p => fs.exists(new Path(p, "_MAXTS"))))
+          throw new IllegalStateException(
+            s"compact() on windowed state ($base): windowed sketches are " +
+              "bounded by the _MAXTS sweep, not compaction")
+        val horizon = if (newBatches.nonEmpty) {
+          val inputs = (prevHorizon.toSeq.map(h =>
+              new Path(base, s"compact_upto=$h")) ++ newBatches)
+            .map(p => spark.read.parquet(p.toString))
+          val merged = sketch match {
+            case "hll"   => Sketches.mergeRegisters(inputs)
+            case "cm"    => Sketches.cmMerge(inputs)
+            case "bloom" => Sketches.bfMerge(inputs)
+            case "qd" => inputs.reduce(_ unionByName _)
+              .groupBy(col("grp"), col("lvl"), col("id"))
+              .agg(sum(col("cnt")).as("cnt"))
+            case "qdtot" => inputs.reduce(_ unionByName _)
+              .groupBy(col("grp")).agg(sum(col("n")).as("n"))
+            case "mg" => inputs.reduce(_ unionByName _)
+              .groupBy(col("grp"), col("key"))
+              .agg(sum(col("cnt")).as("cnt"))
+            case "ps" => inputs.reduce(_ unionByName _)
+              .groupBy(col("grp"), col("key"))
+              .agg(sum(col("w")).as("w"))
+          }
+          // one file: the compact is the long-lived directory every read
+          // opens — keep its footer count at 1
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(base, s"compact_upto=$upToBatchId").toString)
+          upToBatchId
+        } else prevHorizon.getOrElse(-1L)
+        // cleanup (idempotent — a replay that skipped the rewrite still
+        // sweeps leftovers from a crash after a prior write): superseded
+        // batch dirs, older compacts, and partial compacts below the
+        // live horizon
+        listDirs(fs, base).foreach { p =>
+          val stale = batchIdOf(p).exists(_ <= horizon) ||
+            compactIdOf(p).exists(id => id < horizon ||
+              (id <= horizon && !isCommitted(fs, p)))
+          if (stale) fs.delete(p, true)
+        }
+      }
+    }
   }
 
   /** Corpus-wide HLL distinct estimates from the accumulated per-batch
     * registers: per-bucket MAX merge, then the standard estimator. */
   def hllEstimateNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.estimateFromRegisters(Sketches.mergeRegisters(
-      batchDirs(stateDir, "hll").map(spark.read.parquet(_))))
+      liveDirs(spark, stateDir, "hll").map(spark.read.parquet(_))))
 
   /** Corpus-wide CM frequency estimates for `probes(grp, key)` from the
     * accumulated per-batch registers: per-cell SUM merge, then min-of-d. */
   def cmEstimateNow(spark: SparkSession, stateDir: String,
       probes: DataFrame): DataFrame =
     Sketches.cmEstimate(Sketches.cmMerge(
-      batchDirs(stateDir, "cm").map(spark.read.parquet(_))), probes)
+      liveDirs(spark, stateDir, "cm").map(spark.read.parquet(_))), probes)
 
   /** Corpus-wide φ-quantile estimates from the accumulated per-batch
     * digests: per-node SUM merge + one recompress under the combined
@@ -120,9 +281,9 @@ object StreamingSketches {
     * bound holds through the merge (AnalyticsSpec). */
   def qdQuantilesNow(spark: SparkSession, stateDir: String,
       qs: Seq[(Int, Int)]): DataFrame = {
-    val tots = batchDirs(stateDir, "qdtot").map(spark.read.parquet(_))
+    val tots = liveDirs(spark, stateDir, "qdtot").map(spark.read.parquet(_))
     val merged = Sketches.qdMerge(
-      batchDirs(stateDir, "qd").map(spark.read.parquet(_)), tots)
+      liveDirs(spark, stateDir, "qd").map(spark.read.parquet(_)), tots)
     val tot = tots.reduce(_ unionByName _)
       .groupBy(col("grp")).agg(sum(col("n")).as("n"))
     Sketches.qdQuantiles(merged, tot, qs)
@@ -134,7 +295,7 @@ object StreamingSketches {
   def bloomMightContainNow(spark: SparkSession, stateDir: String,
       probes: DataFrame): DataFrame =
     Sketches.bfMightContain(Sketches.bfMerge(
-      batchDirs(stateDir, "bloom").map(spark.read.parquet(_))), probes)
+      liveDirs(spark, stateDir, "bloom").map(spark.read.parquet(_))), probes)
 
   /** Corpus-wide heavy hitters from the accumulated per-batch MG
     * summaries: counter SUM + one re-trim (Agarwal et al.'s mergeable
@@ -142,7 +303,7 @@ object StreamingSketches {
     * [f − Σnᵢ/(k+1) − λ', f]. */
   def mgHeavyHittersNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.mgMerge(
-      batchDirs(stateDir, "mg").map(spark.read.parquet(_)))
+      liveDirs(spark, stateDir, "mg").map(spark.read.parquet(_)))
 
   /** Corpus-wide weighted-sample estimates from the accumulated
     * per-batch priority samples: weight re-sum per key + one re-trim,
@@ -150,7 +311,7 @@ object StreamingSketches {
     * top-(k+1); one-sided under-count otherwise (see `run`'s note). */
   def psEstimatesNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.psEstimates(Sketches.psMerge(
-      batchDirs(stateDir, "ps").map(spark.read.parquet(_))))
+      liveDirs(spark, stateDir, "ps").map(spark.read.parquet(_))))
 
   // ---- event-time windowed quantiles --------------------------------
 
@@ -160,24 +321,37 @@ object StreamingSketches {
     StructField("key", LongType),
     StructField("ts", org.apache.spark.sql.types.TimestampType)))
 
+  /** The windowed families, in SWEEP-DELETE order: the marker-bearing
+    * `qd` goes LAST, so a crash mid-sweep leaves the marker (and the
+    * retry it drives) intact rather than orphaning the siblings
+    * (ADVICE r13 — the old order deleted qd first). */
+  private val WindowedFamilies = Seq("qdtot", "mg", "bloom", "ps", "qd")
+
   /** Per-WINDOW sketch maintenance (the streaming shape a metrics
     * pipeline runs): the sketch GROUP is `<hour>|<grp>`, so
     * [[qdQuantilesNow]] answers per-hour quantiles, [[mgHeavyHittersNow]]
-    * per-hour heavy hitters, and [[bloomMightContainNow]] per-hour
-    * membership — all from this state dir with the un-windowed readers
-    * (r13: the hour prefix is just another group). No watermark is
-    * needed for CORRECTNESS — the per-batch states merge additively, so
-    * a late row lands in its hour's sketch through whichever batch
-    * carries it.
+    * per-hour heavy hitters, [[bloomMightContainNow]] per-hour
+    * membership, and (r14) [[psEstimatesNow]] per-hour weighted samples
+    * — all from this state dir with the un-windowed readers (the hour
+    * prefix is just another group). No watermark is needed for
+    * CORRECTNESS — the per-batch states merge additively, so a late row
+    * lands in its hour's sketch through whichever batch carries it.
+    * Rows with a NULL event time are dropped (they cannot be placed in
+    * a window — the watermark contract), which also keeps their mass
+    * out of unsweepable null-hour groups.
     *
     * State is BOUNDED (VERDICT r12 #3 — batch dirs used to accumulate
     * one per micro-batch forever, and reads merged all of them): each
     * batch dir carries a `_MAXTS` marker (epoch ms of its newest row),
     * and after every batch, prior dirs whose newest row's WINDOW has
     * closed — window end ≤ event-time high-water − `horizonHours` — are
-    * deleted whole, qd/qdtot/mg/bloom in lockstep (the
-    * runStreamingNearDup discipline: marker-only reads, O(#dirs) sweep,
-    * no footer scans).
+    * deleted whole, qdtot/mg/bloom/ps first and the marker-bearing qd
+    * last (the runStreamingNearDup discipline: marker-only reads,
+    * O(#dirs) sweep, no footer scans). Batches with no timestamped rows
+    * write no state at all, so every directory has a marker and none
+    * escapes the sweep (ADVICE r13). All marker and delete I/O goes
+    * through the Hadoop FileSystem of `stateDir`, so object-store and
+    * HDFS deployments behave like local runs.
     * The window-end refinement matters: a marker merely OLDER than the
     * cutoff could still sit in an hour that newer batches keep feeding;
     * sweeping only fully-closed windows means an open window's mass is
@@ -192,7 +366,6 @@ object StreamingSketches {
   def runWindowed(spark: SparkSession, srcDir: String,
       checkpointDir: String, stateDir: String,
       horizonHours: Long = 2L): Unit = {
-    import java.nio.file.{Files, Paths}
     val stream = spark.readStream.schema(tsObsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -200,44 +373,48 @@ object StreamingSketches {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val keyed = batch.select(
-          concat(date_format(date_trunc("hour", col("ts")),
-            "yyyy-MM-dd HH"), lit("|"), col("grp")).as("grp"),
-          col("key"))
-        val (qd, qdTot) = Sketches.qdBuild(keyed, col("grp"), col("key"))
-        qd.write.mode("overwrite")
-          .parquet(s"$stateDir/qd/batch_id=$batchId")
-        qdTot.write.mode("overwrite")
-          .parquet(s"$stateDir/qdtot/batch_id=$batchId")
-        // r13: per-hour heavy hitters and membership ride the same
-        // hour|grp keying — [[mgHeavyHittersNow]]/[[bloomMightContainNow]]
-        // over this state dir answer per-window directly, no new readers
-        Sketches.mgSummary(keyed, col("grp"), col("key"))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/mg/batch_id=$batchId")
-        Sketches.bfRegisters(keyed, col("grp"), col("key"))
-          .write.mode("overwrite")
-          .parquet(s"$stateDir/bloom/batch_id=$batchId")
-        // bounded scalar action (the EventStream.scala:138 pattern)
+        // bounded scalar action (the EventStream.scala:138 pattern);
+        // doubles as the empty/null-ts gate — no timestamped rows means
+        // no state (an unmarked dir would dodge the sweep forever)
         val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
         if (maxTs != null) {
+          val fs = fsOf(spark, stateDir)
+          val keyed = batch.filter(col("ts").isNotNull).select(
+            concat(date_format(date_trunc("hour", col("ts")),
+              "yyyy-MM-dd HH"), lit("|"), col("grp")).as("grp"),
+            col("key"))
+          val (qd, qdTot) = Sketches.qdBuild(keyed, col("grp"), col("key"))
+          qd.write.mode("overwrite")
+            .parquet(s"$stateDir/qd/batch_id=$batchId")
+          qdTot.write.mode("overwrite")
+            .parquet(s"$stateDir/qdtot/batch_id=$batchId")
+          // r13: per-hour heavy hitters and membership ride the same
+          // hour|grp keying — [[mgHeavyHittersNow]]/[[bloomMightContainNow]]
+          // over this state dir answer per-window directly, no new readers
+          Sketches.mgSummary(keyed, col("grp"), col("key"))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/mg/batch_id=$batchId")
+          Sketches.bfRegisters(keyed, col("grp"), col("key"))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/bloom/batch_id=$batchId")
+          // r14: the per-hour priority sample completes the windowed
+          // family — [[psEstimatesNow]] answers per-window subset sums
+          Sketches.psSample(keyed, col("grp"), col("key"), lit(1L))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/ps/batch_id=$batchId")
           val hwMs = maxTs.toInstant.toEpochMilli
-          Files.writeString(
-            Paths.get(s"$stateDir/qd/batch_id=$batchId/_MAXTS"),
-            hwMs.toString)
+          writeMarker(fs,
+            new Path(s"$stateDir/qd/batch_id=$batchId/_MAXTS"), hwMs)
           val cutoffMs = hwMs - horizonHours * 3600000L
-          batchDirs(stateDir, "qd").foreach { d =>
-            val f = new java.io.File(d)
-            val id = f.getName.stripPrefix("batch_id=").toLongOption
-            val marker = Paths.get(d, "_MAXTS")
-            if (id.exists(_ < batchId) && Files.exists(marker)) {
-              val m = Files.readString(marker).trim.toLong
+          listDirs(fs, new Path(s"$stateDir/qd")).foreach { d =>
+            val id = batchIdOf(d)
+            val marker = new Path(d, "_MAXTS")
+            if (id.exists(_ < batchId) && fs.exists(marker)) {
+              val m = readMarker(fs, marker)
               val windowEndMs = (m / 3600000L + 1L) * 3600000L
-              if (windowEndMs <= cutoffMs) {
-                rmTree(Paths.get(d))
-                Seq("qdtot", "mg", "bloom").foreach(s =>
-                  rmTree(Paths.get(s"$stateDir/$s/${f.getName}")))
-              }
+              if (windowEndMs <= cutoffMs)
+                WindowedFamilies.foreach(s => fs.delete(
+                  new Path(s"$stateDir/$s/${d.getName}"), true))
             }
           }
         }
@@ -247,13 +424,15 @@ object StreamingSketches {
     q.awaitTermination()
   }
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete(_))
-      finally walk.close()
-    }
+  private def writeMarker(fs: FileSystem, p: Path, v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): Long = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
   }
 }

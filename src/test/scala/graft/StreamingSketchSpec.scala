@@ -139,6 +139,130 @@ class StreamingSketchSpec extends AnyFunSuite {
       "per-batch CM registers exceeded the d*w bound per group")
   }
 
+  test("compaction: estimates register-identical, dirs bounded, mid-compaction restart converges") {
+    // VERDICT r13 #2: the un-windowed accumulator grew one dir per
+    // micro-batch forever. compact() must fold committed batch dirs
+    // into ONE compact dir per sketch with estimates EXACTLY unchanged
+    // (the compact stores the untrimmed associative sum; the single
+    // trim/recompress stays at read time), and a crash at any point of
+    // the compaction must converge on replay.
+    val src = Files.createTempDirectory("skc-src").toString
+    val ck = Files.createTempDirectory("skc-ck").toString
+    val state = Files.createTempDirectory("skc-state").toString
+    val w1 = obs(7, 300)
+    val w2 = obs(11, 400)
+      .unionByName(Seq.fill(60)(("g0", 999L)).toDF("grp", "key"))
+    val w3 = obs(13, 500)
+    val qs = Seq((1, 4), (1, 2), (9, 10))
+    val probes = w1.unionByName(w2).unionByName(w3)
+      .select(col("grp"), col("key").cast("string").as("key"))
+      .distinct().filter(col("key").cast("long") % 10 === 0)
+
+    def dirsOf(sketch: String) =
+      new java.io.File(s"$state/$sketch").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    // every family's full estimate surface in one comparable value
+    def snap() = (
+      StreamingSketches.hllEstimateNow(spark, state)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap,
+      StreamingSketches.cmEstimateNow(spark, state, probes)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      StreamingSketches.qdQuantilesNow(spark, state, qs)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      StreamingSketches.bloomMightContainNow(spark, state, probes)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap,
+      StreamingSketches.mgHeavyHittersNow(spark, state)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      StreamingSketches.psEstimatesNow(spark, state)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap)
+
+    w1.coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.run(spark, src, ck, state)
+    w2.coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.run(spark, src, ck, state)
+    val families = Seq("hll", "cm", "qd", "qdtot", "bloom", "mg", "ps")
+    val before = snap()
+
+    // keep the pre-compaction batch dirs around to fake the crash below
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(from)
+      try walk.iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+    }
+    val snapshot = Files.createTempDirectory("skc-snap")
+    copyTree(java.nio.file.Paths.get(state), snapshot)
+
+    StreamingSketches.compact(spark, state, 1)
+    assert(snap() == before,
+      "estimates must be register-identical across compaction")
+    for (sk <- families)
+      assert(dirsOf(sk) == Set("compact_upto=1"),
+        s"$sk must hold exactly the compact dir after compaction")
+
+    // crash AFTER the compact write, BEFORE cleanup: the superseded
+    // batch dirs reappear next to the compact — readers must ignore
+    // them (merging both would double-count the SUM families), and the
+    // replayed compaction must delete them
+    for (sk <- families; id <- Seq(0, 1))
+      copyTree(snapshot.resolve(s"$sk/batch_id=$id"),
+        java.nio.file.Paths.get(s"$state/$sk/batch_id=$id"))
+    assert(snap() == before,
+      "readers must ignore batch dirs superseded by the compact")
+    StreamingSketches.compact(spark, state, 1)  // the replay
+    assert(snap() == before)
+    for (sk <- families) assert(dirsOf(sk) == Set("compact_upto=1"))
+
+    // a partial compact (crash mid-write: no _SUCCESS) is ignored by
+    // readers and swept by the next compaction
+    val partial = java.nio.file.Paths.get(s"$state/hll/compact_upto=0")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.writeString(partial.resolve("garbage"), "x")
+    assert(snap() == before, "an uncommitted compact must be invisible")
+
+    // new batches land NEXT TO the compact and merge exactly: wave 3
+    // streams in, then run() with compactEvery folds it in
+    w3.coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.run(spark, src, ck, state)
+    assert(dirsOf("cm") == Set("compact_upto=1", "batch_id=2"))
+    val whole = w1.unionByName(w2).unionByName(w3)
+    val cmNow = StreamingSketches.cmEstimateNow(spark, state, probes)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cmBatch = Sketches.cmEstimate(
+        Sketches.cmRegisters(whole, col("grp"), col("key")), probes)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cmNow == cmBatch,
+      "compact + live batches must still equal the batch-at-once sketch")
+    val psNow = StreamingSketches.psEstimatesNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val psBatch = Sketches.psEstimates(Sketches.psMerge(Seq(w1, w2, w3).map(w =>
+        Sketches.psSample(w, col("grp"), col("key"), lit(1L)))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(psNow == psBatch,
+      "trimmed families must merge exactly through the compact")
+
+    // the wired path: run(compactEvery = 1) processes wave 4 as batch 3
+    // and compacts up to batch 2 inside the stream
+    obs(17, 200).coalesce(1).write.mode("append").parquet(src)
+    StreamingSketches.run(spark, src, ck, state, compactEvery = 1)
+    for (sk <- families)
+      assert(dirsOf(sk) == Set("compact_upto=2", "batch_id=3"),
+        s"$sk: run(compactEvery) must fold committed batches in-stream")
+    assert(!java.nio.file.Files.exists(partial),
+      "the partial compact must be swept by the in-stream compaction")
+    val hllNow = StreamingSketches.hllEstimateNow(spark, state)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val hllBatch = Sketches.estimateFromRegisters(Sketches.registers(
+        whole.unionByName(obs(17, 200)), col("grp"), col("key")))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(hllNow == hllBatch)
+  }
+
   test("windowed streaming q-digest: per-hour quantiles equal the batch build") {
     val src = Files.createTempDirectory("wq-src").toString
     val ck = Files.createTempDirectory("wq-ck").toString
@@ -226,11 +350,20 @@ class StreamingSketchSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
     assert(bf("2026-08-15 11|g0"), "bloom false negative on the planted key")
 
+    // r14: the per-hour priority sample rides the same keying — the
+    // planted key's 60 occurrences surface in ITS hour's sample only,
+    // with weight == the exact count (it never straddles a trim)
+    val ps = StreamingSketches.psEstimatesNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ps(("2026-08-15 11|g0", "999")) == 60L,
+      "planted heavy key must carry its full weight in its hour's sample")
+    assert(!ps.keys.exists { case (g, k) => g.startsWith("2026-08-15 10") && k == "999" })
+
     w3.coalesce(1).write.mode("append").parquet(src)
     StreamingSketches.runWindowed(spark, src, ck, state)
     // hour 20's high-water closes hours 10 and 11 (window ends 11:00 and
     // 12:00 ≤ 20:xx − 2 h): both dirs swept whole, every sketch in lockstep
-    for (sk <- Seq("qd", "qdtot", "mg", "bloom"))
+    for (sk <- Seq("qd", "qdtot", "mg", "bloom", "ps"))
       assert(dirsOf(sk) == Set("batch_id=2"),
         s"closed-window $sk batch dirs must be deleted")
     // the surviving window answers with its full mass: identical to the
