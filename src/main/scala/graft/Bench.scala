@@ -246,6 +246,16 @@ object Bench {
     * single run records within the telemetry's noise gates. */
   val heavy: Set[String] = Set("g_articlerank_capped")
 
+  /** Steal gate for the heavy tier's retry (VERDICT r13): a single-run
+    * entry has no spread to flag weather, so one windy window owns the
+    * number (BENCH_r13: 170.2 s vs 75.3 s quiet on identical code — 30%
+    * of the driver's headline). If the hypervisor stole more than this
+    * fraction of CPU during a heavy entry's timed run, the run repeats
+    * ONCE and the minimum is reported (`"retried":true` in telemetry) —
+    * bounded cost (≤ 1 extra run), and a gust can no longer dominate
+    * the cross-round comparison. */
+  val HeavyRetryStealPct = 0.3
+
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC
     * deltas, plus the min–max spread of the 5 timed runs. A query whose
@@ -254,7 +264,8 @@ object Bench {
     */
   private final case class CpuSnap(total: Long, steal: Long, idle: Long)
   private final case class QueryTel(
-      min: Double, max: Double, gcMs: Long, stealPct: Option[Double])
+      min: Double, max: Double, gcMs: Long, stealPct: Option[Double],
+      retried: Boolean = false)
   private def cpuSnap(): Option[CpuSnap] =
     try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines()
@@ -371,20 +382,37 @@ object Bench {
       System.gc()
       val cpu0 = cpuSnap()
       val nRuns = if (heavy.contains(name)) 1 else 5
-      val runs = (1 to nRuns).map(_ => run())
+      val runs0 = (1 to nRuns).map(_ => run())
       val cpu1 = cpuSnap()
+      // steal% over the query's timed runs: ticks the hypervisor took from
+      // this VM while the query ran. >1–2% sustained means the machine, not
+      // the plan, owns part of the wall time.
+      val steal0 = for { a <- cpu0; b <- cpu1; if b.total > a.total }
+        yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
+      // r14: weather-harden the single-run heavy tier — steal-gated
+      // retry, min reported (see [[HeavyRetryStealPct]]). The reported
+      // steal is the KEPT (faster) run's window.
+      val (runs, stealPct, retried) =
+        if (heavy.contains(name) && runs0.exists(_._3.isEmpty) &&
+            steal0.exists(_ > HeavyRetryStealPct)) {
+          val c0 = cpuSnap()
+          val again = run()
+          val c1 = cpuSnap()
+          val steal1 = for { a <- c0; b <- c1; if b.total > a.total }
+            yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
+          val keepFirst = again._3.nonEmpty || runs0.head._1 <= again._1
+          (runs0 :+ again, if (keepFirst) steal0 else steal1, true)
+        } else (runs0, steal0, false)
       val gcTimed = runs.map(_._2).sum
       val ok = runs.collect { case (t, _, None) => t }
       val firstErr = runs.collectFirst { case (_, _, Some(m)) => m }
-      // steal% over the query's 5 timed runs: ticks the hypervisor took from
-      // this VM while the query ran. >1–2% sustained means the machine, not
-      // the plan, owns part of the wall time.
-      val stealPct = for { a <- cpu0; b <- cpu1; if b.total > a.total }
-        yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
       val tel =
         if (ok.isEmpty) None
-        else Some(QueryTel(ok.min, ok.max, gcTimed, stealPct))
-      (name, if (ok.isEmpty) None else Some(median(ok)),
+        else Some(QueryTel(ok.min, ok.max, gcTimed, stealPct, retried))
+      // heavy entries report the MIN (single run, or the quieter of the
+      // steal-gated pair); the 5-run protocol keeps its median
+      (name, if (ok.isEmpty) None
+        else Some(if (heavy.contains(name)) ok.min else median(ok)),
         if (ok.isEmpty) firstErr else None, tel)
     }
     // A query with no successful run reports null, never a time-to-failure.
@@ -404,7 +432,8 @@ object Bench {
         ",\"spread\":" + r3(spread) + ",\"gc_ms\":" + t.gcMs +
         ",\"steal_pct\":" + t.stealPct.fold("null")(r3) +
         ",\"noisy\":" + flagged +
-        (if (heavy.contains(k)) ",\"heavy\":true" else "") + "}"
+        (if (heavy.contains(k)) ",\"heavy\":true" else "") +
+        (if (t.retried) ",\"retried\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val benchCpu1 = cpuSnap()
     val benchSteal = for { a <- benchCpu0; b <- benchCpu1; if b.total > a.total }

@@ -21,6 +21,14 @@ import graft.plans.Pins.PinnedOps
   */
 object Graph {
 
+  /** One AQE-off session clone per SparkContext for [[hitsFixed]],
+    * created lazily and reused across calls (ADVICE r13 — a per-call
+    * `newSession()` accumulated session state on a long-lived driver).
+    * Confs are re-synced from the calling parent on every use. */
+  private val aqeOffClones =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, SparkSession]
+
   /** Directed PageRank. Simple-uniform teleport, dangling mass dropped
     * (matches the common simplified formulation; GDS normalizes
     * differently — capability parity, not score-identical, per SURVEY
@@ -1720,11 +1728,24 @@ object Graph {
     // localCheckpoint pins, so `.rdd` is a wrapper, not a recompute — hop
     // back, keeping the caller-visible join planned under the parent's
     // own conf (AQE on) exactly as the measured r12 shape had it.
+    //
+    // r14 (ADVICE r13): ONE clone per SparkContext, created lazily and
+    // reused — a long-lived driver calling hitsFixed repeatedly no longer
+    // accumulates session state. Parent runtime confs are re-copied onto
+    // the clone at every call (so conf drift on the parent is picked up),
+    // AQE re-forced off after; copy failures for static confs are the
+    // expected AnalysisException (silent), anything else is logged rather
+    // than silently dropped.
     val parent = edges.sparkSession
-    val loop = parent.newSession()
+    val loop = aqeOffClones.computeIfAbsent(
+      parent.sparkContext, _ => parent.newSession())
     parent.conf.getAll.foreach { case (k, v) =>
       try loop.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () } // static confs
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => () // static confs
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] hitsFixed: conf copy of $k failed: $e")
+      }
     }
     loop.conf.set("spark.sql.adaptive.enabled", "false")
     val in = edges.select(col("src"), col("dst"))
