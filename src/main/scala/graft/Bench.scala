@@ -230,7 +230,9 @@ object Bench {
     "g_articlerank_capped",
     // r13: deterministic priority sampling — the mergeable weighted
     // sample completing the sketch family
-    "sketch_psample")
+    "sketch_psample",
+    // r14: VarOpt — the variance-optimal batch sampler beside it
+    "sketch_vosample")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the median-of-5 protocol — for queries whose

@@ -941,6 +941,19 @@ object Sketches {
     * cost more than the rows they drop. */
   val BfMaxFill = 0.5
 
+  /** NOTE (ADVICE r13): construction is EAGER — calling this runs one
+    * bounded Spark job (the ≤ BfM-row register collect below) before
+    * the returned DataFrame is ever executed, and the bloom registers
+    * snapshot the build side AT CONSTRUCTION time. Under the immutable-
+    * source contract every Spark plan assumes, this is invisible: the
+    * trailing exact semi-join removes all false positives, so the
+    * result equals a plain left_semi. But a caller that mutates
+    * `build`'s source between construction and execution can LOSE rows
+    * (the stale bloom prunes probe rows that only the new build rows
+    * would match — a false negative the exact join never sees), and a
+    * caller that never executes the result still paid the register
+    * job. Callers needing lazy construction or mutating sources should
+    * use a plain left_semi. */
   def bloomSemiJoin(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String): DataFrame = {
     // One bounded action building the register set (the build pass a
@@ -1095,4 +1108,142 @@ object Sketches {
        |       GREATEST(CAST(r.w AS DOUBLE), COALESCE(t.tau, 0.0)) AS est
        |FROM psr r LEFT JOIN pst t ON t.grp = r.grp
        |WHERE r.rn <= $PsK""".stripMargin
+
+  // ------------------------------------------------------------------
+  // VarOpt sampling (Cohen, Duffield, Kaplan, Lund, Thorup, "Stream
+  // sampling for variance-optimal estimation of subset sums", SODA
+  // 2009) — the variance-OPTIMAL sibling of the priority sample: k kept
+  // keys, subset-sum estimates Σŵ, with the minimum possible average
+  // variance over all k-sample schemes (priority sampling is within a
+  // factor but not optimal). Batch threshold form: τ solves
+  // Σ min(wᵢ/τ, 1) = k — keys with w above the split kept EXACTLY
+  // (ŵ = w), the rest sampled with inclusion probability wᵢ/τ and
+  // ŵ = τ. Derandomized end to end so both engines draw the IDENTICAL
+  // sample: the heavy/light split is found in exact BIGINT arithmetic
+  // (w·(k−j) ≤ S_j, never a float compare), and the light pick is
+  // SYSTEMATIC sampling over the md5-hash order with the inclusion
+  // probabilities snapped to the 1e-6 integer grid (the pmi-embed grid
+  // discipline) — the running sum that places the picks is an exact
+  // BIGINT window sum, associative, so engine-internal summation order
+  // can't flip a pick.
+  //
+  // Scale note: the light pick is one window sum over the group's keys
+  // in hash order — a per-group sort, the same cost class as the exact
+  // quantile entries (a systematic pick is inherently sequential). The
+  // MERGEABLE weighted-sample path at 100 TB is [[psSample]]; VarOpt is
+  // the one-pass batch sampler you run when variance matters more than
+  // mergeability (e.g. drawing a fixed training subsample per group).
+  // ------------------------------------------------------------------
+
+  /** VarOpt sample size. */
+  val VoK = 32
+
+  private def voHash(key: Column): Column =
+    hash54(concat(lit("vo:"), key))
+
+  /** VarOpt_k sample with estimates — (grp, key, w, est): ~k rows per
+    * group (grid rounding can shift the pick count by ±1); groups with
+    * ≤ k keys are kept whole with est = w exactly. */
+  def varOptSample(df: DataFrame, groupCol: Column, keyCol: Column,
+      weightCol: Column): DataFrame = {
+    val w = df.filter(keyCol.isNotNull && weightCol.isNotNull)
+      .groupBy(groupCol.as("grp"), keyCol.cast("string").as("key"))
+      .agg(sum(weightCol.cast("long")).as("w"))
+      .filter(col("w") > 0L)
+    val tot = w.groupBy(col("grp"))
+      .agg(sum(col("w")).as("totw"), count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("grp"))
+      .orderBy(col("w").desc, col("key").asc)
+    val ranked = w
+      .withColumn("rn", row_number().over(win))
+      .withColumn("pre", sum(col("w")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(tot, Seq("grp")).pinned
+    // small groups: the sample is the group, exactly
+    val small = ranked.filter(col("n") <= VoK)
+      .select(col("grp"), col("key"), col("w"),
+        col("w").cast("double").as("est"))
+    val big = ranked.filter(col("n") > VoK)
+    // the split: smallest j with w_(j+1)·(k−j) ≤ S_j (S_j = suffix sum
+    // BELOW the j heaviest = totw − pre + w at row rn = j+1) — exact
+    // BIGINT compare; τ = S_j/(k−j), ONE double division. Existence: at
+    // rn = k the inequality always holds (S includes w_(k) itself).
+    val cutWin = Window.partitionBy(col("grp")).orderBy(col("rn"))
+    val cut = big
+      .filter(col("rn") <= VoK &&
+        col("w") * (lit(VoK.toLong) - col("rn") + 1L) <=
+          col("totw") - col("pre") + col("w"))
+      .withColumn("rw", row_number().over(cutWin))
+      .filter(col("rw") === 1)
+      .select(col("grp"), col("rn").as("cutrn"),
+        ((col("totw") - col("pre") + col("w")).cast("double") /
+          (lit(VoK.toLong) - col("rn") + 1L).cast("double")).as("tau"))
+    val withCut = big.join(cut, Seq("grp"))
+    val heavy = withCut.filter(col("rn") < col("cutrn"))
+      .select(col("grp"), col("key"), col("w"),
+        col("w").cast("double").as("est"))
+    // systematic pick over the light keys in md5 order: pµ = the grid
+    // inclusion probability; a key is picked iff its pµ mass crosses an
+    // integer grid boundary of the running sum (Σpµ ≈ (k−j)·10⁶ ⇒ ~k−j
+    // picks). p = 1 (w at τ) always crosses — picked with certainty.
+    val pickWin = Window.partitionBy(col("grp"))
+      .orderBy(voHash(col("key")), col("key"))
+    val light = withCut.filter(col("rn") >= col("cutrn"))
+      .withColumn("pmu",
+        floor(col("w").cast("double") / col("tau") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .withColumn("cum", sum(col("pmu")).over(
+        pickWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(expr("cum div 1000000") > expr("(cum - pmu) div 1000000"))
+      .select(col("grp"), col("key"), col("w"), col("tau").as("est"))
+    small.unionByName(heavy).unionByName(light)
+  }
+
+  /** DuckDB twin of [[varOptSample]] — same exact-integer split, same
+    * grid-snapped systematic pick, same md5 pick order. */
+  def varOptSampleSql(table: String, groupCol: String, keyCol: String,
+      weightExpr: String): String =
+    s"""WITH vw AS (SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key,
+       |              CAST(SUM($weightExpr) AS BIGINT) AS w
+       |            FROM $table
+       |            WHERE $keyCol IS NOT NULL AND $weightExpr IS NOT NULL
+       |            GROUP BY 1, 2 HAVING CAST(SUM($weightExpr) AS BIGINT) > 0),
+       |vt AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS totw, COUNT(*) AS n
+       |       FROM vw GROUP BY 1),
+       |vr AS (SELECT v.grp, v.key, v.w, t.totw, t.n,
+       |         ROW_NUMBER() OVER (PARTITION BY v.grp
+       |           ORDER BY v.w DESC, v.key ASC) AS rn,
+       |         CAST(SUM(v.w) OVER (PARTITION BY v.grp
+       |           ORDER BY v.w DESC, v.key ASC
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+       |       FROM vw v JOIN vt t ON t.grp = v.grp),
+       |vsmall AS (SELECT grp, key, w, CAST(w AS DOUBLE) AS est
+       |           FROM vr WHERE n <= $VoK),
+       |vcut AS (SELECT grp, rn AS cutrn,
+       |           CAST(totw - pre + w AS DOUBLE) /
+       |             CAST($VoK - rn + 1 AS DOUBLE) AS tau
+       |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+       |                 ORDER BY rn) AS rw
+       |               FROM vr
+       |               WHERE n > $VoK AND rn <= $VoK
+       |                 AND w * ($VoK - rn + 1) <= totw - pre + w)
+       |         WHERE rw = 1),
+       |vheavy AS (SELECT r.grp, r.key, r.w, CAST(r.w AS DOUBLE) AS est
+       |           FROM vr r JOIN vcut c ON c.grp = r.grp
+       |           WHERE r.rn < c.cutrn),
+       |vlight AS (SELECT r.grp, r.key, r.w, c.tau,
+       |             CAST(FLOOR(CAST(r.w AS DOUBLE) / c.tau * 1e6 + 0.5)
+       |               AS BIGINT) AS pmu
+       |           FROM vr r JOIN vcut c ON c.grp = r.grp
+       |           WHERE r.rn >= c.cutrn),
+       |vcum AS (SELECT grp, key, w, tau, pmu,
+       |           CAST(SUM(pmu) OVER (PARTITION BY grp
+       |             ORDER BY CAST(('0x' || substr(md5('vo:' || key), 1, 14))
+       |               AS BIGINT) ASC, key ASC
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |         FROM vlight)
+       |SELECT grp, key, w, est FROM vsmall
+       |UNION ALL SELECT grp, key, w, est FROM vheavy
+       |UNION ALL SELECT grp, key, w, tau AS est FROM vcum
+       |WHERE cum // 1000000 > (cum - pmu) // 1000000""".stripMargin
 }

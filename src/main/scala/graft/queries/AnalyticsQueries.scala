@@ -280,6 +280,18 @@ object AnalyticsQueries extends QueryModule {
           col("w"), col("est"))
         .orderBy(col("l_returnflag"), col("supp_key"))),
 
+    // VarOpt sampling (r14): the variance-OPTIMAL k-sample sibling of
+    // sketch_psample — heavy keys kept exactly, light keys by a
+    // grid-snapped systematic pick over the md5 order, so both engines
+    // draw the identical sample and the oracle hashes the estimates.
+    "sketch_vosample" -> ((s, dir) =>
+      graft.operators.Sketches.varOptSample(
+          Tables.lineitem(s, dir), col("l_returnflag"), col("l_suppkey"),
+          floor(col("l_extendedprice")).cast("long"))
+        .select(col("grp").as("l_returnflag"), col("key").as("supp_key"),
+          col("w"), col("est"))
+        .orderBy(col("l_returnflag"), col("supp_key"))),
+
     // Bloom filter (r12): membership verdicts for the deterministic
     // probe set user_id % 10 == 0, probed against EVERY event type's
     // bloom — users of other types exercise the false-positive path,
@@ -375,6 +387,13 @@ object AnalyticsQueries extends QueryModule {
     "sketch_psample" ->
       s"""SELECT grp AS l_returnflag, key AS supp_key, w, est
          |FROM (${graft.operators.Sketches.prioritySampleSql(
+              "lineitem", "l_returnflag", "l_suppkey",
+              "CAST(FLOOR(l_extendedprice) AS BIGINT)")})
+         |ORDER BY l_returnflag, supp_key""".stripMargin,
+
+    "sketch_vosample" ->
+      s"""SELECT grp AS l_returnflag, key AS supp_key, w, est
+         |FROM (${graft.operators.Sketches.varOptSampleSql(
               "lineitem", "l_returnflag", "l_suppkey",
               "CAST(FLOOR(l_extendedprice) AS BIGINT)")})
          |ORDER BY l_returnflag, supp_key""".stripMargin,

@@ -274,6 +274,51 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("VarOpt sample: ~k rows, heavy exact, light at tau >= w, subset sums near-unbiased") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 300 keys across 2 groups, skewed — well above VoK, so the
+    // heavy/light split and the systematic pick both bind
+    val df = (1 to 3000).map { i =>
+      ("g" + (i % 2), (i % 300).toLong, ((i % 7) + 1L) * (i % 300 + 1L))
+    }.toDF("grp_in", "key_in", "w_in")
+    val s = Sketches.varOptSample(df, col("grp_in"), col("key_in"),
+        col("w_in")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byGrp = s.groupBy(_._1)
+    // ~k rows per group (grid rounding can move the pick count by ±1)
+    byGrp.values.foreach(rows => assert(
+      rows.size >= Sketches.VoK - 1 && rows.size <= Sketches.VoK + 1,
+      s"sample size ${rows.size} not ~VoK"))
+    // every estimate is >= its weight (heavy: est == w; light: est == τ,
+    // and only w <= τ keys are light)
+    s.foreach { case (g, k, w, e) =>
+      assert(e >= w.toDouble - 1e-9, s"estimate below weight for ($g,$k)") }
+    // τ is a single value per group: the distinct non-exact estimates
+    byGrp.foreach { case (g, rows) =>
+      val taus = rows.collect { case (_, _, w, e) if e != w.toDouble => e }
+      assert(taus.distinct.size <= 1, s"light estimates in $g must share τ")
+    }
+    // near-unbiasedness of the one deterministic draw: Σŵ within 10% of
+    // the true total per group (systematic pick ⇒ deviation ≤ ~2τ)
+    val tot = df.groupBy(col("grp_in"))
+      .agg(org.apache.spark.sql.functions.sum(col("w_in")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byGrp.foreach { case (g, rows) =>
+      val est = rows.map(_._4).sum
+      assert(math.abs(est - tot(g)) <= 0.1 * tot(g),
+        s"subset-sum estimate off >10% in $g: $est vs ${tot(g)}")
+    }
+    // a group with <= VoK keys is kept whole, exactly
+    val tiny = (1 to 200).map(i => ("t", (i % 10).toLong, 5L))
+      .toDF("grp_in", "key_in", "w_in")
+    val ts = Sketches.varOptSample(tiny, col("grp_in"), col("key_in"),
+      col("w_in")).collect()
+    assert(ts.length == 10)
+    ts.foreach(r => assert(r.getDouble(3) == r.getLong(2).toDouble,
+      "under-k group must be kept exactly"))
+  }
+
   test("KMV: merge is a semilattice (shard-merge == whole-corpus), Jaccard estimator sane") {
     import spark.implicits._
     import graft.operators.Sketches
