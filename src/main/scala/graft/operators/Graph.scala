@@ -1736,23 +1736,38 @@ object Graph {
     // AQE re-forced off after; copy failures for static confs are the
     // expected AnalysisException (silent), anything else is logged rather
     // than silently dropped.
+    //
+    // r15 (ADVICE r14): conf-sync + the whole loop run are SERIALIZED on
+    // the clone — without the lock, caller B's conf copy could
+    // momentarily re-enable AQE (or install a different parent's confs)
+    // while caller A's iterations were still planning, breaking the
+    // exact pinned-plan guarantee the clone exists for. The result
+    // frames are localCheckpoint pins, so their .rdd extraction (also
+    // inside the lock — its planning happens on the clone too) is a
+    // wrapper, not a recompute, and the lock's scope ends before any
+    // parent-session work. Entries whose SparkContext has stopped are
+    // evicted up front (multi-context test JVMs no longer leak clones).
     val parent = edges.sparkSession
+    aqeOffClones.keySet.removeIf(_.isStopped)
     val loop = aqeOffClones.computeIfAbsent(
       parent.sparkContext, _ => parent.newSession())
-    parent.conf.getAll.foreach { case (k, v) =>
-      try loop.conf.set(k, v)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => () // static confs
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] hitsFixed: conf copy of $k failed: $e")
-      }
-    }
-    loop.conf.set("spark.sql.adaptive.enabled", "false")
     val in = edges.select(col("src"), col("dst"))
-    val (auths, hubs) =
-      hitsFixedLoop(loop.createDataFrame(in.rdd, in.schema), iters, scale)
-    val a = parent.createDataFrame(auths.rdd, auths.schema)
-    val h = parent.createDataFrame(hubs.rdd, hubs.schema)
+    val (aRdd, aSchema, hRdd, hSchema) = loop.synchronized {
+      parent.conf.getAll.foreach { case (k, v) =>
+        try loop.conf.set(k, v)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => () // static confs
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] hitsFixed: conf copy of $k failed: $e")
+        }
+      }
+      loop.conf.set("spark.sql.adaptive.enabled", "false")
+      val (auths, hubs) =
+        hitsFixedLoop(loop.createDataFrame(in.rdd, in.schema), iters, scale)
+      (auths.rdd, auths.schema, hubs.rdd, hubs.schema)
+    }
+    val a = parent.createDataFrame(aRdd, aSchema)
+    val h = parent.createDataFrame(hRdd, hSchema)
     hitsAssemble(a, h, scale)
   }
 

