@@ -1,0 +1,59 @@
+package graft
+import org.apache.spark.sql.functions._
+
+/** Puts numbers on the streaming-sketch compaction win (VERDICT r14 #8):
+  * live-estimate read latency as a function of state-directory count,
+  * before and after [[graft.streaming.StreamingSketches.compact]], at
+  * ×1/×8 dir counts (32 vs 256 batch dirs ≈ 2 vs 17 hours of a 4-minute
+  * micro-batch cadence). Batches use DISJOINT key ranges — full churn,
+  * the worst case for the untrimmed compact's row count, so the printed
+  * mg compact size is the upper bound the trim option exists for.
+  * Results go to BASELINE.md. Dev-only main, not part of Verify/Bench. */
+object ProfileCompact {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      "prof-compact")
+    import graft.operators.Sketches
+    import graft.streaming.StreamingSketches
+    def t(l: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[compact] $l%-38s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    }
+    for (n <- Seq(32, 256)) {
+      val state =
+        java.nio.file.Files.createTempDirectory(s"prof-compact-$n").toString
+      (0 until n).foreach { i =>
+        // skewed multiplicities (counts 1,3,5,… per key — uniform
+        // singletons would make every MG summary empty, λ = 1 trims
+        // all); the i-offset keeps batches key-DISJOINT (full churn)
+        val batch = spark.range(i * 2000L, i * 2000L + 2000L)
+          .select((col("id") % 4).cast("string").as("grp"),
+            (lit(i * 100000L) + floor(sqrt(
+              (col("id") - lit(i * 2000L)).cast("double"))).cast("long"))
+              .as("key"))
+        Sketches.registers(batch, col("grp"), col("key"))
+          .write.mode("overwrite").parquet(s"$state/hll/batch_id=$i")
+        Sketches.mgSummary(batch, col("grp"), col("key"))
+          .write.mode("overwrite").parquet(s"$state/mg/batch_id=$i")
+      }
+      def readBoth(tag: String): Unit = {
+        t(s"hll estimate $tag (dirs=$n)") {
+          StreamingSketches.hllEstimateNow(spark, state).collect(); () }
+        t(s"mg heavy-hitters $tag (dirs=$n)") {
+          StreamingSketches.mgHeavyHittersNow(spark, state).collect(); () }
+      }
+      readBoth("pre-compact cold")
+      readBoth("pre-compact warm")
+      t(s"compact itself (dirs=$n)") {
+        StreamingSketches.compact(spark, state, n - 2L)
+      }
+      readBoth("post-compact cold") // 1 compact + 1 live batch dir
+      readBoth("post-compact warm")
+      val mgRows = spark.read.parquet(s"$state/mg/compact_upto=${n - 2}")
+        .count()
+      println(s"[compact] mg compact rows at full churn (dirs=$n): $mgRows" +
+        s" (trim=true bound would be ${4 * Sketches.MgK})")
+    }
+    spark.stop()
+  }
+}

@@ -1240,51 +1240,89 @@ object Sketches {
       .select(col("grp"), col("key"),
         floor(col("est") + lit(0.5)).cast("long").as("w"))
 
-  /** DuckDB twin of [[varOptSample]] — same exact-integer split, same
-    * grid-snapped systematic pick, same md5 pick order. */
-  def varOptSampleSql(table: String, groupCol: String, keyCol: String,
-      weightExpr: String): String =
-    s"""WITH vw AS (SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key,
-       |              CAST(SUM($weightExpr) AS BIGINT) AS w
-       |            FROM $table
-       |            WHERE $keyCol IS NOT NULL AND $weightExpr IS NOT NULL
-       |            GROUP BY 1, 2 HAVING CAST(SUM($weightExpr) AS BIGINT) > 0),
-       |vt AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS totw, COUNT(*) AS n
-       |       FROM vw GROUP BY 1),
-       |vr AS (SELECT v.grp, v.key, v.w, t.totw, t.n,
+  /** The threshold procedure of [[varOptSample]] as a reusable CTE
+    * chain over a weights relation `$src(grp, key, w)` — the final
+    * relation is `vres$sfx(grp, key, w, est)`. The suffix keeps CTE
+    * names distinct when the procedure is instantiated more than once
+    * in one query (the [[voMergeSql]] twin runs it three times). */
+  private def voProcSql(src: String, sfx: String): String =
+    s"""vt$sfx AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS totw, COUNT(*) AS n
+       |       FROM $src GROUP BY 1),
+       |vr$sfx AS (SELECT v.grp, v.key, v.w, t.totw, t.n,
        |         ROW_NUMBER() OVER (PARTITION BY v.grp
        |           ORDER BY v.w DESC, v.key ASC) AS rn,
        |         CAST(SUM(v.w) OVER (PARTITION BY v.grp
        |           ORDER BY v.w DESC, v.key ASC
        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
-       |       FROM vw v JOIN vt t ON t.grp = v.grp),
-       |vsmall AS (SELECT grp, key, w, CAST(w AS DOUBLE) AS est
-       |           FROM vr WHERE n <= $VoK),
-       |vcut AS (SELECT grp, rn AS cutrn,
+       |       FROM $src v JOIN vt$sfx t ON t.grp = v.grp),
+       |vcut$sfx AS (SELECT grp, rn AS cutrn,
        |           CAST(totw - pre + w AS DOUBLE) /
        |             CAST($VoK - rn + 1 AS DOUBLE) AS tau
        |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
        |                 ORDER BY rn) AS rw
-       |               FROM vr
+       |               FROM vr$sfx
        |               WHERE n > $VoK AND rn <= $VoK
        |                 AND w * ($VoK - rn + 1) <= totw - pre + w)
        |         WHERE rw = 1),
-       |vheavy AS (SELECT r.grp, r.key, r.w, CAST(r.w AS DOUBLE) AS est
-       |           FROM vr r JOIN vcut c ON c.grp = r.grp
-       |           WHERE r.rn < c.cutrn),
-       |vlight AS (SELECT r.grp, r.key, r.w, c.tau,
+       |vcum$sfx AS (SELECT r.grp, r.key, r.w, c.tau,
        |             CAST(FLOOR(CAST(r.w AS DOUBLE) / c.tau * 1e6 + 0.5)
        |               AS BIGINT) AS pmu
-       |           FROM vr r JOIN vcut c ON c.grp = r.grp
+       |           FROM vr$sfx r JOIN vcut$sfx c ON c.grp = r.grp
        |           WHERE r.rn >= c.cutrn),
-       |vcum AS (SELECT grp, key, w, tau, pmu,
+       |vpick$sfx AS (SELECT grp, key, w, tau, pmu,
        |           CAST(SUM(pmu) OVER (PARTITION BY grp
        |             ORDER BY CAST(('0x' || substr(md5('vo:' || key), 1, 14))
        |               AS BIGINT) ASC, key ASC
        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-       |         FROM vlight)
-       |SELECT grp, key, w, est FROM vsmall
-       |UNION ALL SELECT grp, key, w, est FROM vheavy
-       |UNION ALL SELECT grp, key, w, tau AS est FROM vcum
-       |WHERE cum // 1000000 > (cum - pmu) // 1000000""".stripMargin
+       |         FROM vcum$sfx),
+       |vres$sfx AS (
+       |  SELECT grp, key, w, CAST(w AS DOUBLE) AS est
+       |  FROM vr$sfx WHERE n <= $VoK
+       |  UNION ALL
+       |  SELECT r.grp, r.key, r.w, CAST(r.w AS DOUBLE) AS est
+       |  FROM vr$sfx r JOIN vcut$sfx c ON c.grp = r.grp
+       |  WHERE r.rn < c.cutrn
+       |  UNION ALL
+       |  SELECT grp, key, w, tau AS est FROM vpick$sfx
+       |  WHERE cum // 1000000 > (cum - pmu) // 1000000)""".stripMargin
+
+  private def voWeightsSql(table: String, groupCol: String, keyCol: String,
+      weightExpr: String, where: String = "TRUE"): String =
+    s"""(SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS key,
+       |              CAST(SUM($weightExpr) AS BIGINT) AS w
+       |            FROM $table
+       |            WHERE $keyCol IS NOT NULL AND $weightExpr IS NOT NULL
+       |              AND ($where)
+       |            GROUP BY 1, 2
+       |            HAVING CAST(SUM($weightExpr) AS BIGINT) > 0)""".stripMargin
+
+  /** DuckDB twin of [[varOptSample]] — same exact-integer split, same
+    * grid-snapped systematic pick, same md5 pick order. */
+  def varOptSampleSql(table: String, groupCol: String, keyCol: String,
+      weightExpr: String): String =
+    s"""WITH vw AS ${voWeightsSql(table, groupCol, keyCol, weightExpr)},
+       |${voProcSql("vw", "")}
+       |SELECT grp, key, w, est FROM vres""".stripMargin
+
+  /** DuckDB twin of [[voState]] + [[voMerge]] over two complementary
+    * shards of `table` (rows where `shardExpr` = 0 / = 1): each shard
+    * runs the full threshold procedure, its estimates snap to the 1e-6
+    * grid (the shard STATE), the union re-sums micro-weights per key
+    * and the procedure runs once more — exactly [[voMerge]]'s fold, so
+    * the merged estimates hash cross-engine. */
+  def voMergeSql(table: String, groupCol: String, keyCol: String,
+      weightExpr: String, shardExpr: String): String =
+    s"""WITH vw0 AS ${voWeightsSql(table, groupCol, keyCol, weightExpr,
+           s"($shardExpr) = 0")},
+       |${voProcSql("vw0", "0")},
+       |vw1 AS ${voWeightsSql(table, groupCol, keyCol, weightExpr,
+           s"($shardExpr) = 1")},
+       |${voProcSql("vw1", "1")},
+       |vwm AS (SELECT grp, key, CAST(SUM(
+       |          CAST(FLOOR(est * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS w
+       |        FROM (SELECT grp, key, est FROM vres0
+       |              UNION ALL SELECT grp, key, est FROM vres1)
+       |        GROUP BY 1, 2),
+       |${voProcSql("vwm", "m")}
+       |SELECT grp, key, est / 1e6 AS est FROM vresm""".stripMargin
 }

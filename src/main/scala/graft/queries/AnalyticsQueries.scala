@@ -292,6 +292,27 @@ object AnalyticsQueries extends QueryModule {
           col("w"), col("est"))
         .orderBy(col("l_returnflag"), col("supp_key"))),
 
+    // Sharded VarOpt merge (r15): the sampling family's DISTRIBUTED
+    // story made oracle-checkable — two complementary shards (orderkey
+    // parity) each build their VarOpt state (estimates snapped to the
+    // 1e-6 grid as BIGINT micro-weights), the merge re-sums per key and
+    // re-runs the threshold procedure (VarOpt is mergeable under
+    // adjusted weights, Cohen et al. SODA 2009 §4). Grid-snapped end to
+    // end, so both engines draw the identical merged sample — the same
+    // fold StreamingSketches.voEstimatesNow applies per micro-batch.
+    "sketch_vomerge" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val shards = Seq(0, 1).map(p =>
+        graft.operators.Sketches.voState(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === p),
+          col("l_returnflag"), col("l_suppkey"),
+          floor(col("l_extendedprice")).cast("long")))
+      graft.operators.Sketches.voMerge(shards)
+        .select(col("grp").as("l_returnflag"), col("key").as("supp_key"),
+          col("est"))
+        .orderBy(col("l_returnflag"), col("supp_key"))
+    }),
+
     // Bloom filter (r12): membership verdicts for the deterministic
     // probe set user_id % 10 == 0, probed against EVERY event type's
     // bloom — users of other types exercise the false-positive path,
@@ -396,6 +417,14 @@ object AnalyticsQueries extends QueryModule {
          |FROM (${graft.operators.Sketches.varOptSampleSql(
               "lineitem", "l_returnflag", "l_suppkey",
               "CAST(FLOOR(l_extendedprice) AS BIGINT)")})
+         |ORDER BY l_returnflag, supp_key""".stripMargin,
+
+    "sketch_vomerge" ->
+      s"""SELECT grp AS l_returnflag, key AS supp_key, est
+         |FROM (${graft.operators.Sketches.voMergeSql(
+              "lineitem", "l_returnflag", "l_suppkey",
+              "CAST(FLOOR(l_extendedprice) AS BIGINT)",
+              "l_orderkey % 2")})
          |ORDER BY l_returnflag, supp_key""".stripMargin,
 
     "sketch_bloom" ->

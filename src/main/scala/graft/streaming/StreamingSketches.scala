@@ -235,7 +235,12 @@ object StreamingSketches {
     def attempt(hook: () => Unit): Seq[DataFrame] = {
       val dirs = liveDirs(spark, stateDir, sketch)
       hook()
-      dirs.map(d => spark.read.parquet(d).localCheckpoint())
+      // every dir of a family shares one schema, so ONE multi-path read
+      // + ONE pin job covers them all — O(1) jobs however many batch
+      // dirs are live, and the merge functions union a 1-element Seq
+      // exactly as they would the per-dir frames
+      if (dirs.isEmpty) Seq.empty
+      else Seq(spark.read.parquet(dirs: _*).localCheckpoint())
     }
     try attempt(raceHook)
     catch { case e: Throwable if isMissingPath(e) => attempt(() => ()) }
