@@ -221,13 +221,19 @@ object Bench {
     // heavy hitters
     "sketch_bloom", "sketch_bloom_prune", "mm_decode_gif", "sketch_mg",
     "sketch_mg_weighted",
-    // r13 (VERDICT r12 #1): the projected-rank family's DEPLOY
-    // configuration, timed end to end for the first time — capped
-    // closure (maxPairs=1M binds loudly: after hop 2 at sf0.01, after
-    // hop 1 at sf0.1) → author projection → fixed-point PageRank. The
-    // cap is what makes this family benchable at all (the uncapped
-    // form OOMs by |V|² semantics, see the r10 comment above).
-    "g_articlerank_capped",
+    // r16 (VERDICT r15 #1): g_articlerank_capped — the r13 heavy-tier
+    // entry — leaves the TIMED set: one number cost ~180 s quiet to
+    // ~320 s windy of the driver's 60-minute wall (warm-up + run +
+    // steal-gated retry), and the r15 driver kill landed on exactly
+    // that query. The family stays priced by g_articlerank_tightcap:
+    // the SAME closure-capped chain under the attachment-degree hub
+    // cap (Graph.capAttachment — the knob that actually bounds the
+    // ~147 M-edge projection at sf0.1, where the closure cap already
+    // binds after hop 1). g_articlerank_capped itself remains fully
+    // oracle-checked at sf0.01 in Verify and spot-profiled in
+    // ProfileArcCapped — its sf0.1 single-run cost is recorded in
+    // BASELINE.md (r15 definitive: 89.4 s), not re-measured per round.
+    "g_articlerank_tightcap",
     // r13: deterministic priority sampling — the mergeable weighted
     // sample completing the sketch family
     "sketch_psample",
@@ -238,31 +244,30 @@ object Bench {
     "sketch_vomerge")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
-    * timed run) instead of the median-of-5 protocol — for queries whose
-    * single-run cost is large enough that 6 runs would dominate the
-    * bench wall. Telemetry marks them `"heavy":true`.
+    * timed run) instead of the multi-run protocol — for queries whose
+    * single-run cost is large enough that repeated runs would dominate
+    * the bench wall. Telemetry marks them `"heavy":true`.
     *
-    * g_articlerank_capped (r13): ~100 s/run at sf0.1 — the capped
-    * 1-hop closure projects to a ~147 M-edge author→author graph
-    * (|entities| ≈ 15 k, GDS distinct-edge semantics make it ~dense on
-    * TPC-H-ish co-purchase data; ProfileArcCapped: closure 9 s,
-    * projection 38 s, PageRank 25 s — semantic volume, not a plan
-    * bug). Median-of-5 would add ~10 min of bench wall for a number a
-    * single run records within the telemetry's noise gates. */
-  val heavy: Set[String] = Set("g_articlerank_capped")
+    * EMPTY since r16: the one member, `g_articlerank_capped` (~89 s/run
+    * at sf0.1), left the timed headline entirely (see its comment in
+    * [[headline]]) — its tighter-cap bench twin runs in the mid tier.
+    * The tier machinery stays: any future >30 s/run entry belongs here,
+    * and heavy entries remain exempt from [[MidRetryBudget]]. */
+  val heavy: Set[String] = Set.empty
 
   /** MID tier (VERDICT r14 #1 — the driver's r14 bench DNF'd at its
     * 60-minute wall cap, rc=124: warm-up + 5 timed runs priced the ~26
     * non-heavy queries with >5 s medians at ~1,460 s of wall by
     * themselves, and r13's successful driver run already used 3,245 s
     * of the ~3,600 s budget). Mid entries run warm-up + TWO timed runs
-    * (MIN reported, `"mid":true` in telemetry) plus the heavy tier's
-    * steal-gated retry — ~730 s of wall saved while min/max spread
-    * telemetry and weather protection are kept. Membership is every
-    * non-heavy query whose r14 definitive median exceeded 5 s
-    * (BENCH_r14, commit 7b1e5b4) — a STATIC set, so tier assignment
-    * can't wobble with the weather and cross-round numbers stay
-    * like-for-like within a tier. */
+    * (MIN reported, `"mid":true` in telemetry) plus the steal-gated
+    * retry — ~730 s of wall saved while min/max spread telemetry and
+    * weather protection are kept. Membership is every non-heavy query
+    * whose r14 definitive median exceeded 5 s (BENCH_r14, commit
+    * 7b1e5b4) — a STATIC set, so tier assignment can't wobble with the
+    * weather and cross-round numbers stay like-for-like within a tier.
+    * r16 adds `g_articlerank_tightcap` (the capped projected-rank
+    * bench configuration, ~10 s/run at sf0.1 — measured this round). */
   val mid: Set[String] = Set(
     "g_pipe_communities", "g_hits", "g_louvain2", "mm_decode_gif",
     "g_pagerank_parts", "pipe_end_to_end", "g_pmi_embed2", "g_modularity",
@@ -270,7 +275,27 @@ object Bench {
     "g_ppr_sample", "g_lpa_communities", "g_kcore", "g_pmi_embed",
     "dd_ngram_jaccard", "g_hard_negatives", "mm_frame_sample", "g_louvain",
     "g_node2vec_walks", "g_fastrp_topk", "g_scc", "sketch_qdigest",
-    "dd_simhash_pairs", "g_2hop_reach", "dd_simhash_wide_pairs")
+    "dd_simhash_pairs", "g_2hop_reach", "dd_simhash_wide_pairs",
+    "g_articlerank_tightcap")
+
+  /** A query's measurement tier. */
+  private[graft] def tierOf(name: String): String =
+    if (heavy.contains(name)) "heavy"
+    else if (mid.contains(name)) "mid"
+    else "three_run"
+
+  /** EXECUTION order (VERDICT r15 #2): cost-descending by tier — heavy
+    * first, then mid, then the 3-run tier, each preserving [[headline]]
+    * declaration order (stable sort). The r15 driver kill landed on
+    * query 179/182 — the single most expensive entry in the suite —
+    * while 80 sub-second entries sat safely measured in front of it;
+    * with the expensive tiers first, a wall-clock kill strands only the
+    * cheapest numbers, and the incremental partial's FIRST lines are the
+    * ones that are hardest to re-measure. */
+  val execOrder: Seq[String] = {
+    val rank = Map("heavy" -> 0, "mid" -> 1, "three_run" -> 2)
+    headline.sortBy(n => rank(tierOf(n)))
+  }
 
   /** Steal gate for the heavy/mid tiers' retry (VERDICT r13): a 1–2-run
     * entry has little spread to flag weather, so one windy window owns
@@ -292,29 +317,67 @@ object Bench {
     * Capping mid retries bounds the sustained-wind wall cost at ~6 extra
     * runs while leaving the single-gust scenario (1–2 retries) fully
     * protected. HEAVY entries are exempt from the budget — a single-run
-    * entry needs the retry most, and there is only one. */
+    * entry needs the retry most. */
   val MidRetryBudget = 6
+
+  /** Explicit-GC gate (VERDICT r15 #1): the r15 protocol forced a full
+    * `System.gc()` before EVERY entry — 182 full GCs on a 100 GB heap,
+    * most of them ahead of sub-second queries whose timed runs cannot
+    * absorb a multi-second pause anyway. The GC's two jobs (release
+    * ContextCleaner-held broadcast/shuffle state; clear unpersisted
+    * block garbage before it bills a LATER query's timed run — see the
+    * per-run sweep note in `main`) only matter for entries long enough
+    * to swallow a pause, so: GC when the entry's warm-up run exceeded
+    * [[GcGateWarmupS]], or when [[GcEveryN]] entries ran without one
+    * (bounding cross-query garbage accumulation for a stretch of tiny
+    * entries). Forced-GC count and total wall ride the env block
+    * (`gc_forced_n`/`gc_forced_s`), so the gate's cost is measured, not
+    * guessed. */
+  val GcGateWarmupS = 1.0
+  val GcEveryN = 10
+
+  /** Wall-budget governor (VERDICT r15 #3 — the rc=0 backstop): once
+    * elapsed wall exceeds [[DegradeFrac]] of the budget
+    * (`SPARK_GRAFT_BENCH_BUDGET_S`, default [[DefaultBudgetS]] — sized
+    * to the driver's 60-minute cap minus JVM/sbt startup), every
+    * remaining entry degrades to warm-up + ONE timed run with
+    * `"degraded":true` telemetry, no retries, no forced GC. A
+    * degraded-but-complete BENCH.json beats a killed one; with the
+    * r16 protocol cuts this should never trigger, but it mechanically
+    * guarantees the driver artifact parses. */
+  val DegradeFrac = 0.8
+  val DefaultBudgetS = 3300.0
 
   /** Environment telemetry so a weather-contaminated number can never again
     * masquerade as a regression (VERDICT r7 #1): per-query CPU-steal and GC
-    * deltas, plus the min–max spread of the 5 timed runs. A query whose
+    * deltas, plus the min–max spread of the timed runs. A query whose
     * number is inflated by the machine shows high steal / a wide spread; a
     * real plan regression shows neither.
     */
-  private final case class CpuSnap(total: Long, steal: Long, idle: Long)
+  private[graft] final case class CpuSnap(total: Long, steal: Long, idle: Long)
   private[graft] final case class QueryTel(
       min: Double, max: Double, gcMs: Long, stealPct: Option[Double],
-      retried: Boolean = false)
+      retried: Boolean = false, degraded: Boolean = false)
+
+  /** One measured entry: the reported value, its telemetry, the entry's
+    * full wall cost (warm-up + GC + timed runs + retry — what the entry
+    * actually charged the bench), its tier, and whether the gated GC
+    * ran. */
+  private[graft] final case class EntryResult(
+      name: String, value: Option[Double], err: Option[String],
+      tel: Option[QueryTel], wallS: Double, tier: String,
+      gcForced: Boolean)
 
   private[graft] def r3(d: Double): String =
     BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
   /** One query's telemetry object — shared by the final JSON's
     * `telemetry` map and the per-query partial lines so the two can't
-    * drift. gc_ms semantics per tier: the 5-run protocol reports the
-    * SUM over its timed runs (unchanged since r7); heavy/mid report the
-    * KEPT (min-wall) run's own gc delta, so a retried entry's gc is the
-    * reported run's, not a two-run sum (ADVICE r14). */
+    * drift. gc_ms semantics per tier: the 3-run protocol reports the
+    * SUM over its timed runs (the r7 semantics, carried through the
+    * 5→3 change); heavy/mid report the KEPT (min-wall) run's own gc
+    * delta, so a retried entry's gc is the reported run's, not a
+    * two-run sum (ADVICE r14). */
   private[graft] def telEntryJson(name: String, t: QueryTel): String = {
     val spread = if (t.min > 0) t.max / t.min else 0.0
     val flagged = spread > 2.0 // median untrustworthy: runs span >2x
@@ -324,7 +387,8 @@ object Bench {
       ",\"noisy\":" + flagged +
       (if (heavy.contains(name)) ",\"heavy\":true" else "") +
       (if (mid.contains(name)) ",\"mid\":true" else "") +
-      (if (t.retried) ",\"retried\":true" else "") + "}"
+      (if (t.retried) ",\"retried\":true" else "") +
+      (if (t.degraded) ",\"degraded\":true" else "") + "}"
   }
 
   private[graft] def jsonStr(s: String): String =
@@ -339,7 +403,8 @@ object Bench {
     * incremental partial artifact (VERDICT r14 #2 — the r14 driver
     * bench was wall-clock-killed at rc=124 and left NOTHING gradable;
     * a line per finished query means a kill still leaves ~all of the
-    * run on disk). The final BENCH.json supersedes the partial. */
+    * run on disk — and it did exactly that for r15). The final
+    * BENCH.json supersedes the partial. */
   private[graft] def partialLine(name: String, value: Option[Double],
       err: Option[String], tel: Option[QueryTel]): String =
     "{\"query\":" + jsonStr(name) +
@@ -357,6 +422,130 @@ object Bench {
       java.nio.file.StandardOpenOption.APPEND)
     ()
   }
+
+  private[graft] def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** The whole measurement loop, pure of Spark and the wall clock so
+    * BenchSpec can run it against a fake runner (VERDICT r15 #2/#3: the
+    * execution order and the budget governor are exactly the seams that
+    * must not be tested by a 50-minute bench run).
+    *
+    * Per entry: untimed warm-up → gated GC → tier protocol (heavy 1 /
+    * mid 2 / three_run 3 timed runs) → steal-gated retry (budgeted for
+    * mid) → report (min for few-run tiers, median for three_run) →
+    * flush one partial line. Once `elapsedS()` crosses
+    * `DegradeFrac * budgetS`, remaining entries run warm-up + 1 timed
+    * run, skip retries and the forced GC, and carry `"degraded":true`.
+    *
+    * @param runOnce one timed run: (seconds, gcMsInsideRun, error)
+    * @param cpu     /proc/stat snapshot (None where unavailable)
+    * @param forceGc the gated full-GC hook (timed by the caller)
+    * @param elapsedS seconds since the bench started (governor clock)
+    * @param budgetS  wall budget in seconds (governor threshold input)
+    * @param flush    sink for each completed entry's partial line
+    */
+  private[graft] def runSuite(
+      names: Seq[String],
+      runOnce: String => (Double, Long, Option[String]),
+      cpu: () => Option[CpuSnap],
+      forceGc: () => Unit,
+      elapsedS: () => Double,
+      budgetS: Double,
+      flush: String => Unit): Seq[EntryResult] = {
+    var midRetriesLeft = MidRetryBudget
+    // start saturated so the first entry may GC (nothing ran yet, but a
+    // prior suite's garbage — the table warm-ups — is live)
+    var sinceGc = GcEveryN
+    def stealBetween(a: Option[CpuSnap], b: Option[CpuSnap]): Option[Double] =
+      for { x <- a; y <- b; if y.total > x.total }
+        yield 100.0 * (y.steal - x.steal) / (y.total - x.total)
+    names.map { name =>
+      val w0 = System.nanoTime()
+      val tier = tierOf(name)
+      // governor check at entry START: a degraded entry skips runs it
+      // hasn't paid for yet, not runs already in flight
+      val degraded = elapsedS() > DegradeFrac * budgetS
+      val warm = runOnce(name) // warm-up, excluded from the stats
+      sinceGc += 1
+      // Force ONE full GC per gated entry, in the untimed gap after
+      // warm-up (r8 driver bench: 15 s of GC pauses concentrated
+      // mid-bench, g_louvain alone 5.5 s / 64 s max at 0.02% steal).
+      // Two accumulation paths need it: (a) broadcast/shuffle driver
+      // state is only released when ContextCleaner's weak refs are
+      // collected (its periodic GC defaults to 30 min — far longer than
+      // the bench), and (b) unpersisted block memory becomes heap
+      // garbage that otherwise bills a LATER query's timed run as a
+      // multi-second mid-run pause. Once per gated entry, not per run: a
+      // G1 full GC can unload JIT-compiled code, and the first post-GC
+      // run re-pays compilation. Gated (r16): see [[GcGateWarmupS]].
+      val gcForced = !degraded &&
+        (warm._1 > GcGateWarmupS || sinceGc >= GcEveryN)
+      if (gcForced) { forceGc(); sinceGc = 0 }
+      val fewRuns = tier != "three_run"
+      val nRuns =
+        if (degraded) 1
+        else tier match { case "heavy" => 1; case "mid" => 2; case _ => 3 }
+      val cpu0 = cpu()
+      val runs0 = (1 to nRuns).map(_ => runOnce(name))
+      val cpu1 = cpu()
+      // steal% over the query's timed runs: ticks the hypervisor took
+      // from this VM while the query ran. >1–2% sustained means the
+      // machine, not the plan, owns part of the wall time.
+      val steal0 = stealBetween(cpu0, cpu1)
+      // r14/r15: weather-harden the few-run tiers — steal-gated retry,
+      // min reported (see [[HeavyRetryStealPct]]). The reported steal
+      // always covers the kept run's WHOLE measurement window: for
+      // keepFirst that window is both original timed runs (the kept
+      // run's own moment may have been quieter than the pair's figure —
+      // per-run CPU snapshots would cost a snapshot pair per run for a
+      // nuance the spread field already exposes), for a kept retry it
+      // is the retry's own window (ADVICE r15).
+      val mayRetry = !degraded && fewRuns &&
+        (tier == "heavy" || midRetriesLeft > 0)
+      val (runs, stealPct, retried) =
+        if (mayRetry && runs0.exists(_._3.isEmpty) &&
+            steal0.exists(_ > HeavyRetryStealPct)) {
+          if (tier == "mid") midRetriesLeft -= 1
+          val c0 = cpu()
+          val again = runOnce(name)
+          val c1 = cpu()
+          val steal1 = stealBetween(c0, c1)
+          val ok0 = runs0.collect { case (t, _, None) => t }
+          val keepFirst = again._3.nonEmpty || ok0.min <= again._1
+          (runs0 :+ again, if (keepFirst) steal0 else steal1, true)
+        } else (runs0, steal0, false)
+      val ok = runs.collect { case (t, _, None) => t }
+      val firstErr = runs.collectFirst { case (_, _, Some(m)) => m }
+      // gc_ms: 3-run tier sums its timed runs; heavy/mid/degraded report
+      // the kept (min-wall) run's own delta (ADVICE r14).
+      val gcReported =
+        if (fewRuns || degraded)
+          runs.collect { case (t, g, None) => (t, g) }
+            .minByOption(_._1).map(_._2).getOrElse(0L)
+        else runs.map(_._2).sum
+      val tel =
+        if (ok.isEmpty) None
+        else Some(QueryTel(ok.min, ok.max, gcReported, stealPct, retried,
+          degraded))
+      // heavy/mid/degraded entries report the MIN (their 1–2 runs, or
+      // the quieter side of the steal-gated retry); the 3-run protocol
+      // keeps its median
+      val value =
+        if (ok.isEmpty) None
+        else Some(if (fewRuns || degraded) ok.min else median(ok))
+      val errOut = if (ok.isEmpty) firstErr else None
+      try flush(partialLine(name, value, errOut, tel))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] partial flush of $name failed: $e") }
+      EntryResult(name, value, errOut, tel,
+        (System.nanoTime() - w0) / 1e9, tier, gcForced)
+    }
+  }
+
   private def cpuSnap(): Option[CpuSnap] =
     try {
       val line = scala.io.Source.fromFile("/proc/stat").getLines()
@@ -374,8 +563,12 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedS(): Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(_.toDoubleOption).getOrElse(DefaultBudgetS)
     val spark = Sessions.local(cpus, "graft-bench")
     // Experiment hook (local iteration only, like SPARK_GRAFT_BENCH_ONLY):
     // override any SQL conf, e.g. SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
@@ -394,25 +587,12 @@ object Bench {
     def materialize(name: String): Unit =
       qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
     // Warm-up: touch every table and run one small query so codegen/JIT
-    // and file-footer caches don't bill the first timed query.
+    // and file-footer caches don't bill the first timed query. The warm
+    // query is the declaration-order head (a sub-second aggregation) —
+    // NOT execOrder's head, which is by design the most expensive entry.
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     materialize(headline.head)
     spark.catalog.clearCache()
-    // Per-query: ONE untimed warm-up run (codegen compile, JIT, shuffle-file
-    // page cache for this query's exact plan), then median of 5 timed runs.
-    // r4→r5 showed byte-identical code swinging ±40% per query at min-of-3:
-    // min tracks the machine's best moment, so a lucky run on one round vs
-    // none on the next reads as a regression. The median of 5 post-warm-up
-    // runs is robust to both tails (GC pause on the slow side, hot page
-    // cache on the fast side) and makes round-over-round deltas
-    // attributable. Each run tracks its own (time, error); a query is
-    // failed only when EVERY run failed, and a crashed run's
-    // time-to-failure never competes with a successful run's timing.
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     // Pre-bench quiesce (VERDICT r10 #7): the driver's r10 run started at
     // loadavg 4.6 — a prior JVM still draining — and wore a uniform ~15%
     // tax. Wait (bounded) for the 1-minute loadavg to fall below 2 before
@@ -432,7 +612,6 @@ object Bench {
     // as a full 0-failed headline (ADVICE r10).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    var midRetriesLeft = MidRetryBudget
     // A subset run must never clobber the committed full headline: default
     // its file to BENCH_subset.json (the "subset" marker still travels in
     // the JSON for whoever reads the line).
@@ -446,124 +625,81 @@ object Bench {
     try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(partialOut))
     catch { case e: Throwable =>
       System.err.println(s"[bench] reset $partialOut failed: $e") }
-    val results = headline.filter(qs.contains)
-      .filter(n => only.forall(_.contains(n))).map { name =>
-      def run(): (Double, Long, Option[String]) = {
-        val g0 = gcMillis()
-        val t0 = System.nanoTime()
-        val err =
-          try { materialize(name); None }
-          catch { case e: Throwable =>
-            Some(e.toString.takeWhile(_ != '\n').take(200))
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        val gcDelta = gcMillis() - g0 // GC landing INSIDE the timed window
-        spark.catalog.clearCache() // drop per-query persisted intermediates
-        // clearCache only covers SQL-cached plans: localCheckpoint'd RDDs
-        // (rank boundary pins, the near-dup result) otherwise accumulate in
-        // BlockManager storage for the whole bench until the JVM GCs their
-        // DataFrames — at which point storage pressure evicts the blocks
-        // the persist-reliant queries (LSH dedup, IVF) are actively using,
-        // a GC-timing-dependent 3-4x degradation of exactly those queries.
-        // Between timed runs nothing is reused, so sweep them all.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        (dt, gcDelta, err)
-      }
-      run() // warm-up, excluded from the stats
-      // Force ONE full GC per query, in the untimed gap after warm-up
-      // (r8 driver bench: 15 s of GC pauses concentrated mid-bench,
-      // g_louvain alone 5.5 s / 64 s max at 0.02% steal). Two accumulation
-      // paths need it: (a) broadcast/shuffle driver state is only released
-      // when ContextCleaner's weak refs are collected (its periodic GC
-      // defaults to 30 min — far longer than the bench), and (b) the
-      // unpersisted block memory above becomes heap garbage that otherwise
-      // bills a LATER query's timed run as a multi-second mid-run pause.
-      // Once per query, not per run: a G1 full GC can unload JIT-compiled
-      // code, and the first post-GC run re-pays compilation — per-run GC
-      // taxed every small query's median ~+0.3 s (first r9 driver run)
-      // while the per-query form still bounds accumulation at one query's
-      // garbage. gc_ms telemetry is scoped to the materialize window, so
-      // this explicit GC doesn't pollute it.
+    // The real runner: one materialize with its own gc delta, followed
+    // by the inter-run sweep. clearCache only covers SQL-cached plans:
+    // localCheckpoint'd RDDs (rank boundary pins, the near-dup result)
+    // otherwise accumulate in BlockManager storage for the whole bench
+    // until the JVM GCs their DataFrames — at which point storage
+    // pressure evicts the blocks the persist-reliant queries (LSH dedup,
+    // IVF) are actively using, a GC-timing-dependent 3-4x degradation of
+    // exactly those queries. Between timed runs nothing is reused, so
+    // sweep them all.
+    def runOnce(name: String): (Double, Long, Option[String]) = {
+      val g0 = gcMillis()
+      val t0 = System.nanoTime()
+      val err =
+        try { materialize(name); None }
+        catch { case e: Throwable =>
+          Some(e.toString.takeWhile(_ != '\n').take(200))
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gcDelta = gcMillis() - g0 // GC landing INSIDE the timed window
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      (dt, gcDelta, err)
+    }
+    var explicitGcNs = 0L
+    def forceGc(): Unit = {
+      val t = System.nanoTime()
       System.gc()
-      val cpu0 = cpuSnap()
-      val fewRuns = heavy.contains(name) || mid.contains(name)
-      val nRuns = if (heavy.contains(name)) 1
-        else if (mid.contains(name)) 2 else 5
-      val runs0 = (1 to nRuns).map(_ => run())
-      val cpu1 = cpuSnap()
-      // steal% over the query's timed runs: ticks the hypervisor took from
-      // this VM while the query ran. >1–2% sustained means the machine, not
-      // the plan, owns part of the wall time.
-      val steal0 = for { a <- cpu0; b <- cpu1; if b.total > a.total }
-        yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
-      // r14/r15: weather-harden the few-run tiers — steal-gated retry,
-      // min reported (see [[HeavyRetryStealPct]]). The reported steal is
-      // the window that produced the KEPT (faster) run.
-      val mayRetry = heavy.contains(name) ||
-        (mid.contains(name) && midRetriesLeft > 0)
-      val (runs, stealPct, retried) =
-        if (fewRuns && mayRetry && runs0.exists(_._3.isEmpty) &&
-            steal0.exists(_ > HeavyRetryStealPct)) {
-          if (mid.contains(name)) midRetriesLeft -= 1
-          val c0 = cpuSnap()
-          val again = run()
-          val c1 = cpuSnap()
-          val steal1 = for { a <- c0; b <- c1; if b.total > a.total }
-            yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
-          val ok0 = runs0.collect { case (t, _, None) => t }
-          val keepFirst = again._3.nonEmpty || ok0.min <= again._1
-          (runs0 :+ again, if (keepFirst) steal0 else steal1, true)
-        } else (runs0, steal0, false)
-      val ok = runs.collect { case (t, _, None) => t }
-      val firstErr = runs.collectFirst { case (_, _, Some(m)) => m }
-      // gc_ms: 5-run tier sums its timed runs (unchanged semantics);
-      // heavy/mid report the kept (min-wall) run's own delta (ADVICE r14
-      // — a retried entry used to report a two-run gc sum against a
-      // one-run wall time).
-      val gcReported =
-        if (fewRuns)
-          runs.collect { case (t, g, None) => (t, g) }
-            .minByOption(_._1).map(_._2).getOrElse(0L)
-        else runs.map(_._2).sum
-      val tel =
-        if (ok.isEmpty) None
-        else Some(QueryTel(ok.min, ok.max, gcReported, stealPct, retried))
-      // heavy/mid entries report the MIN (their 1–2 runs, or the quieter
-      // side of the steal-gated retry); the 5-run protocol keeps its
-      // median
-      val value = if (ok.isEmpty) None
-        else Some(if (fewRuns) ok.min else median(ok))
-      val errOut = if (ok.isEmpty) firstErr else None
-      try appendLine(partialOut, partialLine(name, value, errOut, tel))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] partial flush of $name failed: $e") }
-      (name, value, errOut, tel)
+      explicitGcNs += System.nanoTime() - t
     }
+    val names = execOrder.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
+    val results = runSuite(names, runOnce, () => cpuSnap(), () => forceGc(),
+      () => elapsedS(), budgetS,
+      line => appendLine(partialOut, line))
     // A query with no successful run reports null, never a time-to-failure.
-    val qJson = results.map { case (k, v, _, _) =>
-      "\"" + k + "\":" + v.fold("null")(_.toString)
+    val qJson = results.map { r =>
+      "\"" + r.name + "\":" + r.value.fold("null")(_.toString)
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
+    val failed = results.collect { case r if r.value.isEmpty => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    results.foreach { case (k, _, err, _) =>
-      err.foreach(m => System.err.println(s"[bench] $k FAILED: $m"))
+    results.foreach { r =>
+      r.err.foreach(m => System.err.println(s"[bench] ${r.name} FAILED: $m"))
     }
-    val telJson = results.collect { case (k, _, _, Some(t)) =>
-      "\"" + k + "\":" + telEntryJson(k, t)
+    val telJson = results.collect { case r if r.tel.isDefined =>
+      "\"" + r.name + "\":" + telEntryJson(r.name, r.tel.get)
     }.mkString("{", ",", "}")
     val benchCpu1 = cpuSnap()
     val benchSteal = for { a <- benchCpu0; b <- benchCpu1; if b.total > a.total }
       yield 100.0 * (b.steal - a.steal) / (b.total - a.total)
+    // Per-tier wall decomposition (VERDICT r15 #5): the fits-the-hour
+    // question answered by the artifact itself — each tier's summed
+    // entry walls (warm-up + GC + timed runs + retries) plus everything
+    // outside the measurement loop (session start, table warm-ups,
+    // quiesce, JSON assembly) as overhead.
+    val wallTotal = elapsedS()
+    def tierWall(t: String): Double =
+      results.collect { case r if r.tier == t => r.wallS }.sum
+    val wallJson =
+      s"""{"heavy":${r3(tierWall("heavy"))},"mid":${r3(tierWall("mid"))},""" +
+      s""""three_run":${r3(tierWall("three_run"))},""" +
+      s""""overhead":${r3(wallTotal - results.map(_.wallS).sum)},""" +
+      s""""total":${r3(wallTotal)}}"""
     val envJson =
       s"""{"load_before":${r3(loadBefore)},"load_after":${r3(loadAvg())},""" +
       s""""steal_pct":${benchSteal.fold("null")(r3)},"cpus":"$cpus",""" +
-      s""""quiesce_s":$quiesced}"""
-    val total = results.flatMap(_._2).sum
+      s""""quiesce_s":$quiesced,"budget_s":${r3(budgetS)},""" +
+      s""""degraded_n":${results.count(_.tel.exists(_.degraded))},""" +
+      s""""gc_forced_n":${results.count(_.gcForced)},""" +
+      s""""gc_forced_s":${r3(explicitGcNs / 1e9)}}"""
+    val total = results.flatMap(_.value).sum
     val subsetJson = only.fold("")(names =>
       ",\"subset\":" + names.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]"))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","failed":$failed$subsetJson,"telemetry":$telJson,"env":$envJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","failed":$failed$subsetJson,"telemetry":$telJson,"wall":$wallJson,"env":$envJson}"""
     // stdout goes through sbt, which prefixes "[info]" and breaks the
     // driver's parser (BENCH_r01 "parsed": null) — also write the line to a
     // file and to stderr so a clean copy always survives.

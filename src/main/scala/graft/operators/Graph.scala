@@ -1541,6 +1541,26 @@ object Graph {
     * a→a). Both joins shuffle on node id — the closure is never
     * collected or broadcast, so the projection scales with the closure's
     * own cardinality. */
+  /** Attachment-degree hub cap for [[projectViaClosure]] — the G7
+    * `maxDegree` idea applied to the `ends(entity, node)` relation: per
+    * node keep only the `maxPerNode` SMALLEST entity ids (deterministic,
+    * so the capped projection is hash-stable across runs and engines).
+    * The projection's pair volume is driven by attachment degree — a
+    * node with d attached entities contributes up to d² projected pairs
+    * — so capping d bounds the projection at |closure|·D on the near
+    * side and |pairs|·D on the far side instead of |entities|² in the
+    * dense case. The deploy knob beside `kHopReach(maxPairs=…)`: the
+    * closure cap bounds REACHABILITY volume, this bounds PROJECTION
+    * volume, and at 100 TB both bind before either |V|² shape does.
+    * Partitioned window (by node) — no global sort, no single-partition
+    * stage. */
+  def capAttachment(ends: DataFrame, maxPerNode: Int): DataFrame =
+    ends
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("entity"))))
+      .filter(col("_rn") <= maxPerNode)
+      .drop("_rn")
+
   def projectViaClosure(ends: DataFrame, closure: DataFrame): DataFrame =
     ends.select(col("entity").as("e_src"), col("node").as("n1"))
       .join(closure, col("n1") === col("src"))

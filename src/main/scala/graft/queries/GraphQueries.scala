@@ -66,6 +66,17 @@ object GraphQueries extends QueryModule {
     * hop 3's 3.07 M does not). */
   private val KHopCap = 1000000L
 
+  /** Attachment-degree hub cap for `g_articlerank_tightcap` — mirrored
+    * verbatim in the twin's `ROW_NUMBER() ... <= cap` pick, so both
+    * engines keep the same (smallest-entity-id) attachments. The BENCH
+    * configuration of the capped projected-rank chain (VERDICT r15 #1):
+    * at sf0.1 the closure cap already binds after hop 1, so the 89 s/run
+    * cost of `g_articlerank_capped` is the ~147 M-edge author→author
+    * projection itself — which only an ATTACHMENT cap (not a tighter
+    * closure cap) can bound. [[Graph.capAttachment]] documents why
+    * degree is the right knob. */
+  private val ArcAttachCap = 8
+
   /** Attach `name` from a dimension table keyed by the score table's id —
     * the reference's `RETURN x.name, score` shape. Inner join: every
     * graph id is a foreign key into its dimension. */
@@ -579,6 +590,26 @@ object GraphQueries extends QueryModule {
         .orderBy(col("rank_fp").desc, col("id"))
     }),
 
+    // The BENCH configuration of the capped chain (VERDICT r15 #1): the
+    // same closure-capped projected PageRank with the attachment-degree
+    // hub cap ([[Graph.capAttachment]], [[ArcAttachCap]]) bounding the
+    // projection volume — the knob that actually bites at sf0.1, where
+    // the closure cap binds after hop 1 and the 89 s/run cost is the
+    // ~147 M-edge projection itself. `g_articlerank_capped` (above)
+    // stays the oracle-checked deploy reference; this entry replaces it
+    // in the timed headline so the bench prices the family without one
+    // query owning ~180–320 s of the driver's hour.
+    "g_articlerank_tightcap" -> ((s, dir) => {
+      val closure = Graph.kHopReach(refEdges(s, dir), 10,
+        maxPairs = Some(KHopCap))
+      val ends = Graph.capAttachment(authorship(s, dir), ArcAttachCap)
+      val proj = Graph.projectViaClosure(ends, closure)
+      named(Graph.pageRankFixed(proj, iters = 10),
+          Tables.customer(s, dir), "c_custkey", "c_name")
+        .select(col("id"), col("name"), col("rank_fp"), col("rank"))
+        .orderBy(col("rank_fp").desc, col("id"))
+    }),
+
     // G3 — venue ArticleRank (graph_queries.cyp:61-72):
     // (Venue)-[:PUBLICATION]-(Piece)-[:REFERENCES*1..10]->(Piece)
     // -[:PUBLICATION]-(Venue2). The reference's projection RETURNs
@@ -649,6 +680,17 @@ object GraphQueries extends QueryModule {
   private val authorshipEndsSql =
     """ends AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS entity, l.l_partkey AS node
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""".stripMargin
+  /** [[authorshipEndsSql]] under the [[ArcAttachCap]] hub cap — the
+    * deterministic smallest-entity-ids-per-node pick of
+    * [[Graph.capAttachment]], verbatim. */
+  private val cappedAuthorshipEndsSql =
+    s"""ends AS MATERIALIZED (
+       |  SELECT entity, node FROM (
+       |    SELECT entity, node,
+       |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY entity) AS rn
+       |    FROM (SELECT DISTINCT o.o_custkey AS entity, l.l_partkey AS node
+       |          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey))
+       |  WHERE rn <= $ArcAttachCap)""".stripMargin
   private val publicationEndsSql =
     """ends AS MATERIALIZED (SELECT DISTINCT l_suppkey AS entity, l_partkey AS node
       |  FROM lineitem)""".stripMargin
@@ -1169,6 +1211,10 @@ object GraphQueries extends QueryModule {
       "SELECT c_custkey AS k, c_name AS name FROM customer"),
 
     "g_articlerank_capped" -> cappedProjectedPrOracle(authorshipEndsSql,
+      "SELECT c_custkey AS k, c_name AS name FROM customer"),
+
+    "g_articlerank_tightcap" -> cappedProjectedPrOracle(
+      cappedAuthorshipEndsSql,
       "SELECT c_custkey AS k, c_name AS name FROM customer"),
 
     "g_articlerank_venues" -> projectedPrOracle(publicationEndsSql,

@@ -212,7 +212,11 @@ object StreamingSketches {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
       case _: java.io.FileNotFoundException => true
       case a: org.apache.spark.sql.AnalysisException =>
-        a.getMessage != null && a.getMessage.contains("PATH_NOT_FOUND")
+        // structured error class first (stable across Spark versions and
+        // locales), message substring as the fallback for older wrappers
+        // that only carry the text (ADVICE r15)
+        a.getErrorClass == "PATH_NOT_FOUND" ||
+          (a.getMessage != null && a.getMessage.contains("PATH_NOT_FOUND"))
       case _ => false
     }
   }
@@ -228,13 +232,23 @@ object StreamingSketches {
     * vanishes between the listing and the pin, the listing is resolved
     * ONCE more — the compaction that deleted it has already committed
     * the superseding compact, so the second resolution sees a
-    * consistent state. `raceHook` is a test seam: it runs between the
-    * first listing and the reads (never on the retry). */
+    * consistent state. Retries are LOOPED up to [[ReadLiveAttempts]]
+    * total attempts (ADVICE r15): one retry covers the common case —
+    * the deleting compaction committed its superseding compact before
+    * the delete, so the re-listing is consistent — but on a hot-queried
+    * deployment a SECOND compaction can land between the retry's
+    * listing and its eager pin; each such landing needs `compactEvery`
+    * more batches to commit first, so the race cannot recur more than
+    * once per compaction cadence and a small bound covers any sane
+    * configuration. `raceHook` is a test seam: it receives the 1-based
+    * attempt number and runs between that attempt's listing and its
+    * reads — so a spec can land a DIFFERENT compaction on each attempt
+    * and prove the bounded loop, not a lucky interleaving, survives. */
   private[graft] def readLive(spark: SparkSession, stateDir: String,
-      sketch: String, raceHook: () => Unit = () => ()): Seq[DataFrame] = {
-    def attempt(hook: () => Unit): Seq[DataFrame] = {
+      sketch: String, raceHook: Int => Unit = _ => ()): Seq[DataFrame] = {
+    def attempt(n: Int): Seq[DataFrame] = {
       val dirs = liveDirs(spark, stateDir, sketch)
-      hook()
+      raceHook(n)
       // every dir of a family shares one schema, so ONE multi-path read
       // + ONE pin job covers them all — O(1) jobs however many batch
       // dirs are live, and the merge functions union a 1-element Seq
@@ -242,9 +256,18 @@ object StreamingSketches {
       if (dirs.isEmpty) Seq.empty
       else Seq(spark.read.parquet(dirs: _*).localCheckpoint())
     }
-    try attempt(raceHook)
-    catch { case e: Throwable if isMissingPath(e) => attempt(() => ()) }
+    var n = 0
+    var out: Option[Seq[DataFrame]] = None
+    while (out.isEmpty) {
+      n += 1
+      try out = Some(attempt(n))
+      catch { case e: Throwable if n < ReadLiveAttempts && isMissingPath(e) => }
+    }
+    out.get
   }
+
+  /** Bounded [[readLive]] listing attempts (initial + retries). */
+  private val ReadLiveAttempts = 3
 
   /** Fold every batch directory with id ≤ `upToBatchId` (plus the
     * previous compact) into ONE `compact_upto=<upToBatchId>` directory
@@ -368,18 +391,53 @@ object StreamingSketches {
     }
   }
 
+  /** One EMPTY state frame with a family's exact schema, derived from
+    * the family's own builder over a zero-row observation batch — so the
+    * empty-state schema can never drift from what [[run]] writes. Used
+    * when a `*Now` reader finds no live directories (a fresh or
+    * not-yet-populated state dir): the merge folds see ONE empty state
+    * and produce an empty result through the normal plan, instead of
+    * `empty.reduce` throwing UnsupportedOperationException
+    * (ADVICE r15 — `voEstimatesNow` surfaced it; every reader shared
+    * the latent pattern). Zero-row builders are plan-only until the
+    * merge's own action, so the guard costs nothing on the populated
+    * path and one trivial job otherwise. */
+  private def emptyState(spark: SparkSession, sketch: String): DataFrame = {
+    val e = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), obsSchema)
+    sketch match {
+      case "hll" => Sketches.registers(e, col("grp"), col("key"))
+      case "cm" => Sketches.cmRegisters(e, col("grp"), col("key"))
+      case "qd" => Sketches.qdBuild(e, col("grp"), col("key"))._1
+      case "qdtot" => Sketches.qdBuild(e, col("grp"), col("key"))._2
+      case "bloom" => Sketches.bfRegisters(e, col("grp"), col("key"))
+      case "mg" => Sketches.mgSummary(e, col("grp"), col("key"))
+      case "ps" => Sketches.psSample(e, col("grp"), col("key"), lit(1L))
+      case "vo" => Sketches.voState(e, col("grp"), col("key"), lit(1L))
+      case other => sys.error(s"no empty-state builder for family '$other'")
+    }
+  }
+
+  /** [[readLive]] with the empty-state guard: never returns an empty
+    * Seq, so downstream `reduce`-based merges are total. */
+  private def readLiveOr(spark: SparkSession, stateDir: String,
+      sketch: String): Seq[DataFrame] = {
+    val live = readLive(spark, stateDir, sketch)
+    if (live.nonEmpty) live else Seq(emptyState(spark, sketch))
+  }
+
   /** Corpus-wide HLL distinct estimates from the accumulated per-batch
     * registers: per-bucket MAX merge, then the standard estimator. */
   def hllEstimateNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.estimateFromRegisters(Sketches.mergeRegisters(
-      readLive(spark, stateDir, "hll")))
+      readLiveOr(spark, stateDir, "hll")))
 
   /** Corpus-wide CM frequency estimates for `probes(grp, key)` from the
     * accumulated per-batch registers: per-cell SUM merge, then min-of-d. */
   def cmEstimateNow(spark: SparkSession, stateDir: String,
       probes: DataFrame): DataFrame =
     Sketches.cmEstimate(Sketches.cmMerge(
-      readLive(spark, stateDir, "cm")), probes)
+      readLiveOr(spark, stateDir, "cm")), probes)
 
   /** Corpus-wide φ-quantile estimates from the accumulated per-batch
     * digests: per-node SUM merge + one recompress under the combined
@@ -387,9 +445,9 @@ object StreamingSketches {
     * bound holds through the merge (AnalyticsSpec). */
   def qdQuantilesNow(spark: SparkSession, stateDir: String,
       qs: Seq[(Int, Int)]): DataFrame = {
-    val tots = readLive(spark, stateDir, "qdtot")
+    val tots = readLiveOr(spark, stateDir, "qdtot")
     val merged = Sketches.qdMerge(
-      readLive(spark, stateDir, "qd"), tots)
+      readLiveOr(spark, stateDir, "qd"), tots)
     val tot = tots.reduce(_ unionByName _)
       .groupBy(col("grp")).agg(sum(col("n")).as("n"))
     Sketches.qdQuantiles(merged, tot, qs)
@@ -401,7 +459,7 @@ object StreamingSketches {
   def bloomMightContainNow(spark: SparkSession, stateDir: String,
       probes: DataFrame): DataFrame =
     Sketches.bfMightContain(Sketches.bfMerge(
-      readLive(spark, stateDir, "bloom")), probes)
+      readLiveOr(spark, stateDir, "bloom")), probes)
 
   /** Corpus-wide heavy hitters from the accumulated per-batch MG
     * summaries: counter SUM + one re-trim (Agarwal et al.'s mergeable
@@ -409,7 +467,7 @@ object StreamingSketches {
     * [f − Σnᵢ/(k+1) − λ', f]. */
   def mgHeavyHittersNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.mgMerge(
-      readLive(spark, stateDir, "mg"))
+      readLiveOr(spark, stateDir, "mg"))
 
   /** Corpus-wide weighted-sample estimates from the accumulated
     * per-batch priority samples: weight re-sum per key + one re-trim,
@@ -417,14 +475,14 @@ object StreamingSketches {
     * top-(k+1); one-sided under-count otherwise (see `run`'s note). */
   def psEstimatesNow(spark: SparkSession, stateDir: String): DataFrame =
     Sketches.psEstimates(Sketches.psMerge(
-      readLive(spark, stateDir, "ps")))
+      readLiveOr(spark, stateDir, "ps")))
 
   /** Corpus-wide VarOpt subset-sum estimates from the accumulated
     * per-batch shard states (r15): per-key micro-weight sum + one
     * re-run of the threshold procedure — ~k keys per group, est in
     * original weight units. Deterministic through any batch count. */
   def voEstimatesNow(spark: SparkSession, stateDir: String): DataFrame =
-    Sketches.voMerge(readLive(spark, stateDir, "vo"))
+    Sketches.voMerge(readLiveOr(spark, stateDir, "vo"))
 
   // ---- event-time windowed quantiles --------------------------------
 

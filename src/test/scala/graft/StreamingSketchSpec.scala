@@ -438,8 +438,8 @@ class StreamingSketchSpec extends AnyFunSuite {
     // the race, made deterministic: compaction runs AFTER the listing
     // and BEFORE the reads (the readLive test seam)
     val raced = Sketches.estimateFromRegisters(Sketches.mergeRegisters(
-        StreamingSketches.readLive(spark, state, "hll",
-          raceHook = () => StreamingSketches.compact(spark, state, 1))))
+        StreamingSketches.readLive(spark, state, "hll", raceHook =
+          n => if (n == 1) StreamingSketches.compact(spark, state, 1))))
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     val batch = Sketches.estimateFromRegisters(Sketches.registers(
         w1.unionByName(w2), col("grp"), col("key")))
@@ -451,6 +451,63 @@ class StreamingSketchSpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$state/hll").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("compact_upto=1"))
+  }
+
+  test("live readers survive TWO back-to-back compactions racing the bounded retry loop") {
+    // ADVICE r15: the old single retry still died if a SECOND compaction
+    // deleted directories between the retry's listing and its pin. Land
+    // a different-horizon compaction on each of the first two attempts —
+    // the bounded loop's third attempt must answer exactly.
+    val src = Files.createTempDirectory("skr2-src").toString
+    val ck = Files.createTempDirectory("skr2-ck").toString
+    val state = Files.createTempDirectory("skr2-state").toString
+    val waves = Seq(obs(7, 300), obs(11, 400), obs(13, 350))
+    for (w <- waves) {
+      w.coalesce(1).write.mode("append").parquet(src)
+      StreamingSketches.run(spark, src, ck, state)
+    }
+    val hooks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val raced = Sketches.estimateFromRegisters(Sketches.mergeRegisters(
+        StreamingSketches.readLive(spark, state, "hll", raceHook = { n =>
+          hooks += n
+          if (n <= 2) StreamingSketches.compact(spark, state, n.toLong)
+        })))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val batch = Sketches.estimateFromRegisters(Sketches.registers(
+        waves.reduce(_ unionByName _), col("grp"), col("key")))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(raced == batch,
+      "a reader racing two compactions must still answer exactly")
+    assert(hooks.toSeq == Seq(1, 2, 3),
+      s"expected exactly three attempts (two raced, one clean): $hooks")
+    val dirs = new java.io.File(s"$state/hll").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("compact_upto=2"))
+  }
+
+  test("every *Now reader answers (empty) on a fresh, never-populated state dir") {
+    // ADVICE r15: voEstimatesNow on an empty state dir threw
+    // UnsupportedOperationException: empty.reduce — and every reader
+    // shared the latent pattern. A monitoring query racing the FIRST
+    // micro-batch is a legitimate caller, not a contract violation:
+    // empty state must read as an empty estimate.
+    val state = Files.createTempDirectory("sk-empty").toString
+    val probes = Seq(("g0", 1L), ("g1", 2L)).toDF("grp", "key")
+    assert(StreamingSketches.hllEstimateNow(spark, state).count() == 0)
+    assert(StreamingSketches.mgHeavyHittersNow(spark, state).count() == 0)
+    assert(StreamingSketches.psEstimatesNow(spark, state).count() == 0)
+    assert(StreamingSketches.voEstimatesNow(spark, state).count() == 0)
+    assert(StreamingSketches.qdQuantilesNow(spark, state,
+      Seq((1, 2), (1, 4))).count() == 0)
+    // probe-shaped readers: no sketch mass ⇒ zero counts, no membership
+    val cm = StreamingSketches.cmEstimateNow(spark, state, probes).collect()
+    assert(cm.forall(r => r.isNullAt(r.fieldIndex("cm_estimate")) ||
+      r.getLong(r.fieldIndex("cm_estimate")) == 0L),
+      s"empty CM state must estimate 0 for every probe: ${cm.mkString(",")}")
+    val bf = StreamingSketches.bloomMightContainNow(spark, state, probes)
+      .collect()
+    assert(bf.forall(r => !r.getBoolean(r.fieldIndex("might_contain"))),
+      s"an empty bloom filter must reject every probe: ${bf.mkString(",")}")
   }
 
   test("windowed streaming q-digest: per-hour quantiles equal the batch build") {
