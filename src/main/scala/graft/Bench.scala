@@ -284,18 +284,52 @@ object Bench {
     else if (mid.contains(name)) "mid"
     else "three_run"
 
-  /** EXECUTION order (VERDICT r15 #2): cost-descending by tier — heavy
-    * first, then mid, then the 3-run tier, each preserving [[headline]]
-    * declaration order (stable sort). The r15 driver kill landed on
-    * query 179/182 — the single most expensive entry in the suite —
-    * while 80 sub-second entries sat safely measured in front of it;
-    * with the expensive tiers first, a wall-clock kill strands only the
-    * cheapest numbers, and the incremental partial's FIRST lines are the
-    * ones that are hardest to re-measure. */
-  val execOrder: Seq[String] = {
-    val rank = Map("heavy" -> 0, "mid" -> 1, "three_run" -> 2)
-    headline.sortBy(n => rank(tierOf(n)))
-  }
+  /** The mid tier's STATIC cost-descending run order — r15 definitive
+    * walls (commit bbe2b1f; `g_articlerank_tightcap` from its r16
+    * first measurement, 24.8 s). Static like the membership itself, so
+    * the order can't wobble with the weather and the partial artifact's
+    * line order stays comparable across rounds. */
+  private[graft] val midOrder: Seq[String] = Seq(
+    "g_articlerank_tightcap", // 24.8 s
+    "g_betweenness_sample",   // 19.9
+    "g_pipe_communities",     // 18.4
+    "g_louvain2",             // 17.9
+    "g_hits",                 // 17.5
+    "g_pagerank_parts",       // 13.7
+    "mm_decode_gif",          // 13.5
+    "g_lpa_communities",      // 12.4
+    "g_pmi_embed2",           // 11.2
+    "pipe_end_to_end",        // 10.8
+    "g_pagerank_weighted",    // 10.3
+    "g_modularity",           // 10.1
+    "g_ppr_sample",           //  9.7
+    "sketch_qdigest",         //  9.2
+    "dd_containment",         //  7.8
+    "g_louvain",              //  7.7
+    "g_pmi_embed",            //  7.6
+    "g_kcore",                //  7.5
+    "dd_ngram_jaccard",       //  7.3
+    "g_scc",                  //  6.8
+    "dd_simhash_wide_pairs",  //  6.4
+    "g_hard_negatives",       //  6.3
+    "g_node2vec_walks",       //  5.9
+    "dd_simhash_pairs",       //  5.9
+    "g_fastrp_topk",          //  5.5
+    "mm_frame_sample",        //  5.1
+    "g_2hop_reach")           //  5.1
+
+  /** EXECUTION order (VERDICT r15 #2): cost-descending — heavy first,
+    * then the mid tier in [[midOrder]] (its own static cost-descending
+    * order), then the 3-run tier in [[headline]] declaration order. The
+    * r15 driver kill landed on query 179/182 — the single most
+    * expensive entry in the suite — while 80 sub-second entries sat
+    * safely measured in front of it; with the expensive work first, a
+    * wall-clock kill strands only the cheapest numbers, and the
+    * incremental partial's FIRST lines are the ones that are hardest
+    * to re-measure. */
+  val execOrder: Seq[String] =
+    headline.filter(heavy.contains) ++ midOrder ++
+      headline.filterNot(n => heavy.contains(n) || mid.contains(n))
 
   /** Steal gate for the heavy/mid tiers' retry (VERDICT r13): a 1–2-run
     * entry has little spread to flag weather, so one windy window owns

@@ -42,8 +42,14 @@ class BenchSpec extends AnyFunSuite {
     // and the expensive prefix is exactly the heavy+mid set
     val prefix = Bench.execOrder.take(Bench.heavy.size + Bench.mid.size)
     assert(prefix.toSet == Bench.heavy ++ Bench.mid)
-    // within a tier, declaration order is preserved (stable sort) so
-    // cross-round partial artifacts stay line-comparable
+    // the mid tier runs in its static cost-descending order, and that
+    // order covers the mid set exactly
+    assert(Bench.midOrder.toSet == Bench.mid &&
+      Bench.midOrder.size == Bench.mid.size)
+    assert(Bench.execOrder.slice(Bench.heavy.size,
+      Bench.heavy.size + Bench.mid.size) == Bench.midOrder)
+    // the 3-run tail preserves declaration order so cross-round partial
+    // artifacts stay line-comparable
     val threeRun = Bench.execOrder.filterNot(n =>
       Bench.heavy.contains(n) || Bench.mid.contains(n))
     assert(threeRun == Bench.headline.filterNot(n =>
