@@ -241,7 +241,11 @@ object Bench {
     "sketch_vosample",
     // r15: the sharded VarOpt merge — shard states re-sampled under
     // their grid-snapped adjusted weights, the distributed fold
-    "sketch_vomerge")
+    "sketch_vomerge",
+    // r16: fixed-budget overlapping document chunking — the RAG /
+    // pretraining windowing pass (tokenize once → explode(sequence) →
+    // slice; one narrow stage, no shuffle before the output order)
+    "txt_chunk_docs")
 
   /** HEAVY tier: entries here get a recorded wall time (warm-up + ONE
     * timed run) instead of the multi-run protocol — for queries whose

@@ -87,6 +87,68 @@ object TextAnalysis {
        |FROM $table""".stripMargin
   }
 
+  // ---- document chunking ---------------------------------------------
+
+  /** Fixed-budget overlapping chunking — the windowing pass every
+    * pretraining/RAG embedding pipeline runs before packing or
+    * embedding: the document's token stream is cut into chunks of
+    * `budget` tokens advancing by `budget - overlap` (the stride), so
+    * consecutive chunks share `overlap` tokens of context and the last
+    * chunk keeps the tail (possibly shorter). Chunk count =
+    * ceil(max(n - overlap, 1) / stride) — a document of ≤ `budget`
+    * tokens yields exactly one chunk, an empty document none.
+    *
+    * Scale shape: one NARROW pass — tokenize once (the tokenize-once
+    * rationale at [[tokenStats]]), `explode(sequence(...))` fans each
+    * document out to its chunk ids, `slice` takes each window straight
+    * from the materialized token array. No shuffle, no UDF; output
+    * cardinality is Σ ceil(nᵢ/stride) ≈ corpus-tokens/stride, bounded
+    * and predictable, so the pass pipelines into a pack/embed stage at
+    * any corpus size. Output: (doc_id, chunk_id, n_chunk_tokens,
+    * chunk_text). */
+  def chunkDocuments(df: DataFrame, id: Column, text: Column,
+      budget: Int, overlap: Int): DataFrame = {
+    require(budget > 0 && overlap >= 0 && overlap < budget,
+      s"need 0 <= overlap < budget, got budget=$budget overlap=$overlap")
+    val stride = budget - overlap
+    df.select(id.as("doc_id"), toks(text).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          ceil((greatest(col("n") - lit(overlap), lit(1)) * lit(1.0)) /
+            lit(stride)).cast("int") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("t"), col("chunk_id") * lit(stride) + lit(1),
+          lit(budget)).as("ct"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ct")).as("n_chunk_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[chunkDocuments]] — same tokenization
+    * ([[toksSql]]), same ceil arithmetic, and DuckDB's 1-based
+    * INCLUSIVE list slice `t[a : a+budget-1]` matching Spark's
+    * `slice(t, a, budget)` (both clamp at the tail). The chunk-id
+    * fan-out is `unnest(generate_series(...))` in the projection — the
+    * table-function form can't reference the row's `t` (no lateral
+    * column parameters). */
+  def chunkDocumentsSql(table: String, budget: Int, overlap: Int): String = {
+    val stride = budget - overlap
+    s"""SELECT doc_id, k AS chunk_id,
+       |       len(t[k * $stride + 1 : k * $stride + $budget])
+       |         AS n_chunk_tokens,
+       |       array_to_string(t[k * $stride + 1 : k * $stride + $budget],
+       |                       ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, t,
+       |         unnest(generate_series(0,
+       |           CAST(CEIL(GREATEST(len(t) - $overlap, 1) * 1.0 / $stride)
+       |             AS BIGINT) - 1)) AS k
+       |  FROM (SELECT doc_id, $toksSql AS t FROM $table)
+       |  WHERE len(t) > 0)""".stripMargin
+  }
+
   // ---- quality scoring -----------------------------------------------
 
   /** Tiny fixed English stoplist — quality scoring wants "does this look

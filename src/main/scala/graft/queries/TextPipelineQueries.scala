@@ -453,6 +453,19 @@ object TextPipelineQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // r16 — fixed-budget overlapping chunking (budget 64, overlap 16):
+    // the windowing pass every pretraining/RAG embedding pipeline runs
+    // before packing or embedding. Chunk text is md5'd in the OUTPUT
+    // projection so the dumped result stays row-per-chunk small while
+    // the cross-engine compare still pins every chunk's exact content.
+    "txt_chunk_docs" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), col("doc_id"),
+          col("text"), budget = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Token counting under BPE-ish pre-tokenization (the training-budget
     // estimator).
     "txt_bpe_tokens" -> ((s, dir) => {
@@ -921,6 +934,11 @@ object TextPipelineQueries extends QueryModule {
 
     "txt_token_stats" ->
       (TextAnalysis.tokenStatsSql("documents") + "\nORDER BY doc_id"),
+
+    "txt_chunk_docs" ->
+      ("SELECT doc_id, chunk_id, n_chunk_tokens, md5(chunk_text) AS chunk_hash FROM (" +
+        TextAnalysis.chunkDocumentsSql("documents", budget = 64, overlap = 16) +
+        ")\nORDER BY doc_id, chunk_id"),
 
     "txt_bpe_tokens" ->
       (TextAnalysis.bpeTokenStatsSql("documents") + "\nORDER BY doc_id"),

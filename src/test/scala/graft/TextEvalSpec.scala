@@ -25,6 +25,59 @@ class TextEvalSpec extends AnyFunSuite {
     assert(rows(2L) == ((4L, 1L, 0L)))
   }
 
+  test("chunkDocuments: coverage, overlap, tail, and reconstruction invariants") {
+    val budget = 8
+    val overlap = 3
+    val stride = budget - overlap
+    // docs spanning the edge cases: empty, whitespace-only, shorter than
+    // the budget, exactly the budget, budget+1 (tail chunk), and a long
+    // one with a non-stride-aligned tail
+    val docs = Seq(
+      1L -> "",
+      2L -> "   ",
+      3L -> "a b c",
+      4L -> (1 to budget).map("t" + _).mkString(" "),
+      5L -> (1 to budget + 1).map("u" + _).mkString(" "),
+      6L -> (1 to 37).map("w" + _).mkString(" "))
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, col("doc_id"), col("text"),
+        budget, overlap)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // empty / whitespace-only docs produce NO chunks
+    assert(!byDoc.contains(1L) && !byDoc.contains(2L))
+    // n <= budget -> exactly one chunk carrying the whole document
+    assert(byDoc(3L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 3, "a b c")))
+    assert(byDoc(4L).size == 1 && byDoc(4L).head._3 == budget)
+    // budget+1 tokens -> two chunks; the second starts at stride and
+    // carries the clamped tail of budget+1-stride tokens
+    assert(byDoc(5L).size == 2 && byDoc(5L)(1)._3 == budget + 1 - stride)
+    for ((_, chunks) <- byDoc; c <- chunks)
+      assert(c._3 <= budget && c._3 == c._4.split(" ").length)
+    // consecutive chunks overlap by exactly `overlap` tokens (tail may
+    // be shorter but still starts stride past its predecessor), and
+    // dropping each chunk's first `overlap` tokens after chunk 0
+    // reconstructs the document exactly — nothing lost, nothing doubled
+    for ((id, chunks) <- byDoc) {
+      val orig = docs.toMap.apply(id).toLowerCase.split(" ")
+        .filter(_.nonEmpty).toSeq
+      val rebuilt = chunks.head._4.split(" ").toSeq ++
+        chunks.tail.toSeq.flatMap(_._4.split(" ").drop(overlap).toSeq)
+      assert(rebuilt == orig, s"doc $id reconstruction")
+      for (Array(a, b) <- chunks.sliding(2) if chunks.size > 1)
+        assert(a._4.split(" ").drop(stride).toSeq ==
+          b._4.split(" ").take(a._3 - stride).toSeq,
+          s"doc $id chunks ${a._2}/${b._2} overlap")
+      // chunk count matches the ceil arithmetic
+      val n = orig.size
+      val expect = math.ceil(math.max(n - overlap, 1).toDouble / stride).toInt
+      assert(chunks.size == expect, s"doc $id chunk count")
+    }
+  }
+
   test("retrievalEval: score order == relevance order -> ndcg 1, rr 1e6") {
     // d1 holds both query terms, d2 one, d3 none (absent from the BM25
     // ranking entirely — tf rows exist only for hits). BM25 must rank
