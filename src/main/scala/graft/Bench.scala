@@ -271,13 +271,19 @@ object Bench {
     * 7b1e5b4) — a STATIC set, so tier assignment can't wobble with the
     * weather and cross-round numbers stay like-for-like within a tier.
     * r16 adds `g_articlerank_tightcap` (the capped projected-rank
-    * bench configuration, ~10 s/run at sf0.1 — measured this round). */
+    * bench configuration, ~10 s/run at sf0.1 — measured this round).
+    * r17 removes `mm_decode_gif` (13.1 → 0.79 s) and `mm_frame_sample`
+    * (4.6 → 0.73 s): the codec fan-out (`Multimodal.fannedIds` +
+    * memory-backed ImageIO streams) dropped them far below the 5 s
+    * class, so they migrate to the 3-run tier — their reported value
+    * switches min-of-2 → median-of-3, the documented tier-migration
+    * systematic (BASELINE.md r17). */
   val mid: Set[String] = Set(
-    "g_pipe_communities", "g_hits", "g_louvain2", "mm_decode_gif",
+    "g_pipe_communities", "g_hits", "g_louvain2",
     "g_pagerank_parts", "pipe_end_to_end", "g_pmi_embed2", "g_modularity",
     "dd_containment", "g_betweenness_sample", "g_pagerank_weighted",
     "g_ppr_sample", "g_lpa_communities", "g_kcore", "g_pmi_embed",
-    "dd_ngram_jaccard", "g_hard_negatives", "mm_frame_sample", "g_louvain",
+    "dd_ngram_jaccard", "g_hard_negatives", "g_louvain",
     "g_node2vec_walks", "g_fastrp_topk", "g_scc", "sketch_qdigest",
     "dd_simhash_pairs", "g_2hop_reach", "dd_simhash_wide_pairs",
     "g_articlerank_tightcap")
@@ -290,9 +296,10 @@ object Bench {
 
   /** The mid tier's STATIC cost-descending run order — r15 definitive
     * walls (commit bbe2b1f; `g_articlerank_tightcap` from its r16
-    * first measurement, 24.8 s). Static like the membership itself, so
-    * the order can't wobble with the weather and the partial artifact's
-    * line order stays comparable across rounds. */
+    * first measurement, 24.8 s; the two mm_* entries left with the r17
+    * codec fan-out). Static like the membership itself, so the order
+    * can't wobble with the weather and the partial artifact's line
+    * order stays comparable across rounds. */
   private[graft] val midOrder: Seq[String] = Seq(
     "g_articlerank_tightcap", // 24.8 s
     "g_betweenness_sample",   // 19.9
@@ -300,7 +307,6 @@ object Bench {
     "g_louvain2",             // 17.9
     "g_hits",                 // 17.5
     "g_pagerank_parts",       // 13.7
-    "mm_decode_gif",          // 13.5
     "g_lpa_communities",      // 12.4
     "g_pmi_embed2",           // 11.2
     "pipe_end_to_end",        // 10.8
@@ -319,7 +325,6 @@ object Bench {
     "g_node2vec_walks",       //  5.9
     "dd_simhash_pairs",       //  5.9
     "g_fastrp_topk",          //  5.5
-    "mm_frame_sample",        //  5.1
     "g_2hop_reach")           //  5.1
 
   /** EXECUTION order (VERDICT r15 #2): cost-descending — heavy first,
@@ -378,8 +383,10 @@ object Bench {
     * elapsed wall exceeds [[DegradeFrac]] of the budget
     * (`SPARK_GRAFT_BENCH_BUDGET_S`, default [[DefaultBudgetS]] — sized
     * to the driver's 60-minute cap minus JVM/sbt startup), every
-    * remaining entry degrades to warm-up + ONE timed run with
-    * `"degraded":true` telemetry, no retries, no forced GC. A
+    * remaining entry degrades to ONE cold timed run — no warm-up
+    * (ADVICE r16: a warm-up would keep each degraded entry at ~2x its
+    * run and could still overrun the kill the mode exists to avoid) —
+    * with `"degraded":true` telemetry, no retries, no forced GC. A
     * degraded-but-complete BENCH.json beats a killed one; with the
     * r16 protocol cuts this should never trigger, but it mechanically
     * guarantees the driver artifact parses. */
@@ -476,8 +483,9 @@ object Bench {
     * mid 2 / three_run 3 timed runs) → steal-gated retry (budgeted for
     * mid) → report (min for few-run tiers, median for three_run) →
     * flush one partial line. Once `elapsedS()` crosses
-    * `DegradeFrac * budgetS`, remaining entries run warm-up + 1 timed
-    * run, skip retries and the forced GC, and carry `"degraded":true`.
+    * `DegradeFrac * budgetS`, remaining entries run ONE cold timed run
+    * (no warm-up), skip retries and the forced GC, and carry
+    * `"degraded":true`.
     *
     * @param runOnce one timed run: (seconds, gcMsInsideRun, error)
     * @param cpu     /proc/stat snapshot (None where unavailable)
@@ -507,7 +515,12 @@ object Bench {
       // governor check at entry START: a degraded entry skips runs it
       // hasn't paid for yet, not runs already in flight
       val degraded = elapsedS() > DegradeFrac * budgetS
-      val warm = runOnce(name) // warm-up, excluded from the stats
+      // Degraded entries skip the untimed warm-up too (ADVICE r16): the
+      // governor exists to dodge the wall kill, and a warm-up costs as
+      // much as the single timed run it precedes — paying it would keep
+      // each post-governor entry at ~2x its run. The one timed run is
+      // therefore COLD; degraded:true already tells the reader so.
+      val warm = if (degraded) None else Some(runOnce(name))
       sinceGc += 1
       // Force ONE full GC per gated entry, in the untimed gap after
       // warm-up (r8 driver bench: 15 s of GC pauses concentrated
@@ -521,7 +534,7 @@ object Bench {
       // G1 full GC can unload JIT-compiled code, and the first post-GC
       // run re-pays compilation. Gated (r16): see [[GcGateWarmupS]].
       val gcForced = !degraded &&
-        (warm._1 > GcGateWarmupS || sinceGc >= GcEveryN)
+        (warm.exists(_._1 > GcGateWarmupS) || sinceGc >= GcEveryN)
       if (gcForced) { forceGc(); sinceGc = 0 }
       val fewRuns = tier != "three_run"
       val nRuns =

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * mg compact size is the upper bound the trim option exists for.
   * Results go to BASELINE.md. Dev-only main, not part of Verify/Bench. */
 object ProfileCompact {
+  // Generator shape, shared by the batch writer and the printed
+  // mergeable-MG bound (ADVICE r16: the bound must DERIVE from the
+  // generator — repeating the literals let a generator edit silently
+  // falsify the published bound).
+  private val RowsPerBatch = 2000L
+  private val NGroups = 4L
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       "prof-compact")
@@ -31,10 +38,10 @@ object ProfileCompact {
         // skewed multiplicities (counts 1,3,5,… per key — uniform
         // singletons would make every MG summary empty, λ = 1 trims
         // all); the i-offset keeps batches key-DISJOINT (full churn)
-        val batch = spark.range(i * 2000L, i * 2000L + 2000L)
-          .select((col("id") % 4).cast("string").as("grp"),
+        val batch = spark.range(i * RowsPerBatch, (i + 1) * RowsPerBatch)
+          .select((col("id") % NGroups).cast("string").as("grp"),
             (lit(i * 100000L) + floor(sqrt(
-              (col("id") - lit(i * 2000L)).cast("double"))).cast("long"))
+              (col("id") - lit(i * RowsPerBatch)).cast("double"))).cast("long"))
               .as("key"))
         for (st <- Seq(state, stateT)) {
           Sketches.registers(batch, col("grp"), col("key"))
@@ -94,7 +101,7 @@ object ProfileCompact {
       val common = trimmed.keySet & exact.keySet
       val maxDrop = common.map(k => exact(k) - trimmed(k))
         .maxOption.getOrElse(0L)
-      val perBatchN = 2000L / 4 // rows per (grp, batch) in the generator
+      val perBatchN = RowsPerBatch / NGroups // rows per (grp, batch)
       val bound = (n - 1) * perBatchN / (Sketches.MgK + 1)
       println(s"[compact] mg trim=true rows (dirs=$n): $mgRowsT " +
         s"(bound ${4 * Sketches.MgK} + live batch); untrimmed-read keys " +

@@ -54,6 +54,7 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      codecInit()
       it.grouped(decodeBatchSize).flatMap { batch =>
         // A real implementation would open one codec context per batch
         // here and decode `batch` through it.
@@ -122,6 +123,46 @@ object Multimodal {
     MediaFeatures(m.doc_id, m.media_type, m.payload.length, checksum, nFrames, feature)
   }
 
+  /** Fan the documents scan out before per-row codec work: the test
+    * corpora are single-row-group parquet, so the scan arrives as ONE
+    * partition and a codec `mapPartitions` placed directly on it runs
+    * single-threaded at local[32] (r16 measurement: mm_decode_gif 13.1 s
+    * with 31 idle cores). One narrow exchange of bare 8-byte doc_ids
+    * hash-splits the work across all cores — the same fix the dedup
+    * family carries at `Dedup.scala:149` for the same single-row-group
+    * pathology. At cluster scale the scan arrives already split and this
+    * stays one cheap id-only exchange; the payload bytes a real lake
+    * would attach are read AFTER the split, never shuffled.
+    *
+    * The partition COUNT must be explicit: the shuffled ids are ~8
+    * bytes/row, far under AQE's advisory partition size, so a bare
+    * `repartition(col)` (REPARTITION_BY_COL origin) gets coalesced
+    * right back to ONE partition — AQE sizes by bytes and cannot see
+    * the per-row codec cost downstream. `repartition(n, col)`
+    * (REPARTITION_BY_NUM) is exempt from coalescing; n = the session's
+    * shuffle parallelism. Measured (r17): without the explicit count
+    * mm_decode_gif stayed at 14.8 s — the fan-out was silently undone. */
+  private def fannedIds(documents: DataFrame): Dataset[Long] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .as[Long]
+  }
+
+  /** Once the fan-out exists, the codec stack itself must be concurrency
+    * clean: `ImageIO` defaults to FILE-backed Image{In,Out}putStream
+    * caches, so every `ImageIO.write`/`read` call creates, fills, and
+    * deletes a temp file — ~25k of them for one frame-sample pass — and
+    * 32 concurrent tasks serialize on the temp-dir filesystem instead
+    * of decoding (measured r17: mm_frame_sample 4.8 s single-threaded →
+    * 12.9 s at 32-way WITH the default cache). Memory-backed streams
+    * keep the roundtrips in-heap. Idempotent, called at the top of each
+    * codec partition so it runs once per executor JVM regardless of
+    * which operator a task hits first. */
+  private[operators] def codecInit(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** Frame sampling over binary payloads: split each payload into
     * fixed-size byte frames (posexplode of computed offsets + binary
     * substring — all relational, no decode), yielding one row per frame
@@ -172,7 +213,8 @@ object Multimodal {
     * for bytes read from the lake and keep everything downstream. */
   def imageRoundtrip(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fannedIds(documents).mapPartitions { it =>
+      codecInit()
       it.grouped(decodeBatchSize).flatMap { batch =>
         // one encoder/decoder context per batch (amortization point)
         batch.iterator.map { id =>
@@ -216,7 +258,8 @@ object Multimodal {
     * quality). Same partition-batched shape as [[imageRoundtrip]]. */
   def jpegRoundtrip(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fannedIds(documents).mapPartitions { it =>
+      codecInit()
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.iterator.map { id =>
           val (w, h) = (gridW(id), gridH(id))
@@ -270,7 +313,8 @@ object Multimodal {
   def imageResize(spark: SparkSession, documents: DataFrame,
       tw: Int = 4, th: Int = 4): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fannedIds(documents).mapPartitions { it =>
+      codecInit()
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.iterator.map { id =>
           val (w, h) = (gridW(id), gridH(id))
@@ -340,7 +384,8 @@ object Multimodal {
   def videoFrameSample(spark: SparkSession, documents: DataFrame,
       everyK: Int = 2): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fannedIds(documents).mapPartitions { it =>
+      codecInit()
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.iterator.flatMap { id =>
           val (w, h) = (gridW(id), gridH(id))
@@ -412,7 +457,13 @@ object Multimodal {
     * DC-bounded JPEG one). Partition-batched; nothing on the driver. */
   def gifRoundtrip(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fannedIds(documents).mapPartitions { it =>
+      codecInit()
+      // One GIF writer/reader per PARTITION (registry lookup once,
+      // `reset()` between docs) — the per-batch codec context the decode
+      // paths promise, here also skipping ~2 registry scans per doc.
+      val gifWriter = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      val gifReader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.iterator.flatMap { id =>
           val (w, h) = (gridW(id), gridH(id))
@@ -444,26 +495,22 @@ object Multimodal {
           }
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          val writer = javax.imageio.ImageIO
-            .getImageWritersBySuffix("gif").next()
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
+          gifWriter.setOutput(ios)
+          gifWriter.prepareWriteSequence(null)
           frames.foreach { img =>
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null,
-              writer.getDefaultImageMetadata(
+            gifWriter.writeToSequence(new javax.imageio.IIOImage(img, null,
+              gifWriter.getDefaultImageMetadata(
                 new javax.imageio.ImageTypeSpecifier(img),
-                writer.getDefaultWriteParam)),
-              writer.getDefaultWriteParam)
+                gifWriter.getDefaultWriteParam)),
+              gifWriter.getDefaultWriteParam)
           }
-          writer.endWriteSequence(); writer.dispose(); ios.close()
+          gifWriter.endWriteSequence(); ios.close(); gifWriter.reset()
           val gif = bos.toByteArray // real animated-GIF bytes
-          val reader = javax.imageio.ImageIO
-            .getImageReadersBySuffix("gif").next()
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          gifReader.setInput(javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(gif)))
-          val n = reader.getNumImages(true)
+          val n = gifReader.getNumImages(true)
           val out = (0 until n).map { f =>
-            val img = reader.read(f)
+            val img = gifReader.read(f)
             val (dw, dh) = (img.getWidth, img.getHeight)
             var (sr, sg, sb) = (0L, 0L, 0L)
             var y = 0
@@ -480,7 +527,7 @@ object Multimodal {
             }
             GifStats(id, f, dw, dh, sr, sg, sb)
           }
-          reader.dispose()
+          gifReader.reset()
           out.iterator
         }
       }
@@ -513,8 +560,46 @@ object Multimodal {
     * driver. */
   def audioRoundtrip(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+    fannedIds(documents).mapPartitions { it =>
+      codecInit()
+      // One codec context per PARTITION — the amortization the batched
+      // shape exists for, and here it is mandatory for parallelism, not
+      // just nice: `AudioSystem.write`/`getAudioInputStream` route EVERY
+      // call through the JDK sound stack's static-SYNCHRONIZED provider
+      // lookup, a single global lock that serialized the 32 fanned tasks
+      // (measured r17: 1.05 s single-threaded → 3.6 s at 32-way through
+      // AudioSystem). The SPI itself is public (`java.desktop` declares
+      // `provides javax.sound.sampled.spi.AudioFile{Reader,Writer}`), so
+      // resolve the WAV providers ONCE here and call them lock-free.
+      import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+      import scala.jdk.CollectionConverters._
+      val wavWriter = java.util.ServiceLoader.load(classOf[AudioFileWriter])
+        .asScala.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(sys.error("no WAVE AudioFileWriter SPI in this JVM"))
+      val audioReaders = java.util.ServiceLoader.load(classOf[AudioFileReader])
+        .asScala.toList
+      // Probe-pick the ONE reader that accepts this WAV layout at init:
+      // trying the whole SPI list per row would throw (and fill in the
+      // stack trace of) an UnsupportedAudioFileException per non-WAV
+      // reader per doc on the hot path.
+      val wavReader: AudioFileReader = {
+        val fmt = new AudioFormat(wavRate.toFloat, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        wavWriter.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(new Array[Byte](4)), fmt, 2L),
+          AudioFileFormat.Type.WAVE, bos)
+        val probe = bos.toByteArray
+        audioReaders.find { r =>
+          try { r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(probe)).close(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        }.getOrElse(sys.error("no AudioFileReader SPI accepts PCM WAV"))
+      }
+      def decodeWav(bytes: Array[Byte], id: Long): AudioInputStream =
+        try wavReader.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(e) =>
+          sys.error(s"WAV decode failed for doc $id: $e") }
       it.grouped(decodeBatchSize).flatMap { batch =>
         batch.iterator.map { id =>
           val n = wavN(id)
@@ -529,13 +614,12 @@ object Multimodal {
           val fmt = new AudioFormat(wavRate.toFloat, 16, 1,
             /* signed = */ true, /* bigEndian = */ false)
           val bos = new java.io.ByteArrayOutputStream()
-          AudioSystem.write(
+          wavWriter.write(
             new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
             AudioFileFormat.Type.WAVE, bos)
           val wav = bos.toByteArray                       // real WAV bytes
           // decode: container/header parse via the real audio stack
-          val in = AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(wav))
+          val in = decodeWav(wav, id)
           val f = in.getFormat
           require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
             !f.isBigEndian, s"unexpected decoded format $f for doc $id")

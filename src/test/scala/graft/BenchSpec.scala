@@ -162,8 +162,9 @@ class BenchSpec extends AnyFunSuite {
 
   test("runSuite: wall-budget governor degrades instead of dying (VERDICT r15 #3)") {
     // budget 10s, entries 1.2s each: the governor trips once elapsed
-    // crosses 8s and every later entry runs warm-up + ONE timed run
-    // with the degraded flag — ALL entries still complete and flush
+    // crosses 8s and every later entry runs ONE cold timed run (no
+    // warm-up) with the degraded flag — ALL entries still complete and
+    // flush
     val names = (1 to 12).map(i => s"q_$i")
     val fb = new FakeBench(Map.empty, defaultS = 1.2)
     val rs = fb.run(names, budgetS = 10.0)
@@ -175,10 +176,11 @@ class BenchSpec extends AnyFunSuite {
     val flags = rs.map(_.tel.exists(_.degraded))
     assert(flags.zip(flags.tail).forall { case (a, b) => !a || b },
       "once degraded, always degraded")
-    // a degraded three_run entry ran warm-up + 1 instead of warm-up + 3
+    // a degraded three_run entry ran ONE cold run instead of warm-up + 3
+    // (ADVICE r16: the warm-up is skipped too, halving post-governor cost)
     val firstDeg = degraded.head.name
-    assert(fb.calls.count(_ == firstDeg) == 2,
-      "degraded = warm-up + ONE timed run")
+    assert(fb.calls.count(_ == firstDeg) == 1,
+      "degraded = ONE cold timed run, no warm-up")
     // its partial line carries the marker for the salvage reader
     val degLine = fb.flushed(rs.indexWhere(_.name == firstDeg))
     assert(om.readTree(degLine).get("telemetry").get("degraded").asBoolean)
