@@ -277,14 +277,16 @@ object Bench {
     * memory-backed ImageIO streams) dropped them far below the 5 s
     * class, so they migrate to the 3-run tier — their reported value
     * switches min-of-2 → median-of-3, the documented tier-migration
-    * systematic (BASELINE.md r17). */
+    * systematic (BASELINE.md r17). The r17 optimization pass likewise
+    * migrates `sketch_qdigest` (6.2 → 2.6 s quiet after the single-pass
+    * qdCompress rewrite, OPTIMIZATION_r17.md). */
   val mid: Set[String] = Set(
     "g_pipe_communities", "g_hits", "g_louvain2",
     "g_pagerank_parts", "pipe_end_to_end", "g_pmi_embed2", "g_modularity",
     "dd_containment", "g_betweenness_sample", "g_pagerank_weighted",
     "g_ppr_sample", "g_lpa_communities", "g_kcore", "g_pmi_embed",
     "dd_ngram_jaccard", "g_hard_negatives", "g_louvain",
-    "g_node2vec_walks", "g_fastrp_topk", "g_scc", "sketch_qdigest",
+    "g_node2vec_walks", "g_fastrp_topk", "g_scc",
     "dd_simhash_pairs", "g_2hop_reach", "dd_simhash_wide_pairs",
     "g_articlerank_tightcap")
 
@@ -313,7 +315,6 @@ object Bench {
     "g_pagerank_weighted",    // 10.3
     "g_modularity",           // 10.1
     "g_ppr_sample",           //  9.7
-    "sketch_qdigest",         //  9.2
     "dd_containment",         //  7.8
     "g_louvain",              //  7.7
     "g_pmi_embed",            //  7.6

@@ -33,6 +33,27 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
 
+  /** Adaptive scan fan-out for per-row-HEAVY downstream work (r17,
+    * optimization guide §2.5 "input skew: one huge unsplittable file —
+    * repartition immediately after the read"): the test corpora are
+    * single-row-group parquet, so every scan arrives as ONE partition
+    * and per-row-expensive expression chains (multi-stage regex scrubs,
+    * tokenizers) run on one core of local[32]. When the input's planned
+    * parallelism is already at least half the session's shuffle
+    * parallelism — a real cluster scan of split files — this is the
+    * IDENTITY: no exchange, no payload shuffle. Only starved inputs pay
+    * one narrow exchange, hash-keyed with an EXPLICIT partition count
+    * (the Multimodal.fannedIds lesson: AQE coalesces a bare
+    * repartition(col) of few bytes right back to one partition — it
+    * sizes by bytes and cannot see per-row cost downstream). Use only
+    * where downstream per-row work dominates the one-off shuffle of the
+    * payload. */
+  def fanned(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, key)
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

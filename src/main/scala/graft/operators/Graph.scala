@@ -204,17 +204,18 @@ object Graph {
       .select(col("src"), col("dst"), col("w"), col("wdeg")).cache()
     val teleport = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank_fp", lit(scale / n))
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"),
           expr("(rank_fp * 85 * w) DIV (wdeg * 100)").as("c"))
         .groupBy("dst").agg(sum("c").as("csum"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
-        .pinned
+      // one mid-loop consumer: pinEvery=2, the pageRankFixed unroll (r17)
+      ranks = if (t % 2 == 0 || t == iters) next.pinned else next
     }
     e.unpersist()
     nodes.unpersist()
@@ -267,18 +268,21 @@ object Graph {
     val teleport = (15L * scale) / (100L * nS)
     var ranks = nodes.withColumn("rank_fp",
       when(isSrc, lit(scale / nS)).otherwise(lit(0L)))
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"),
           expr("(rank_fp * 85) DIV (deg * 100)").as("c"))
         .groupBy("dst").agg(sum("c").as("csum"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (when(isSrc, lit(teleport)).otherwise(lit(0L)) +
             coalesce(col("csum"), lit(0L))).as("rank_fp"))
-        .pinned
+      // one mid-loop consumer, so pinEvery=2 is legal — the same
+      // measured unroll as pageRankFixed's (r17: extended to the whole
+      // fixed-point family)
+      ranks = if (t % 2 == 0 || t == iters) next.pinned else next
     }
     e.unpersist()
     nodes.unpersist()
@@ -344,17 +348,18 @@ object Graph {
     val avgDeg = e.count() / n // floored — see scaladoc
     val teleport = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank_fp", lit(scale / n))
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"),
           expr(s"(rank_fp * 85) DIV ((deg + $avgDeg) * 100)").as("c"))
         .groupBy("dst").agg(sum("c").as("csum"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .select(col("id"),
           (lit(teleport) + coalesce(col("csum"), lit(0L))).as("rank_fp"))
-        .pinned
+      // one mid-loop consumer: pinEvery=2, the pageRankFixed unroll (r17)
+      ranks = if (t % 2 == 0 || t == iters) next.pinned else next
     }
     e.unpersist()
     nodes.unpersist()
@@ -885,10 +890,16 @@ object Graph {
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
 
     // forward: dist + sigma per (source, id) — column-renamed joins
-    // throughout; string aliases don't survive localCheckpoint'd self-joins
-    var levels = sources.map(s => (s, s, 0, 1.0))
+    // throughout; string aliases don't survive localCheckpoint'd self-joins.
+    // r17 (the kHopReach hop-frame pattern): each level is pinned once and
+    // the seen set stays a lazy UNION of those pins — no per-round re-pin
+    // of the whole accumulated set; the backward sweep reads the level
+    // frames directly instead of filtering the union.
+    val lvl0 = sources.map(s => (s, s, 0, 1.0))
       .toDF("source", "id", "dist", "sigma").pinned
-    var frontier = levels
+    val levelFrames = scala.collection.mutable.ArrayBuffer(lvl0)
+    var levels = lvl0
+    var frontier = lvl0
     var level = 0
     var done = false
     while (!done) {
@@ -906,6 +917,12 @@ object Graph {
         .pinned
       if (nxt.isEmpty) done = true
       else {
+        levelFrames += nxt
+        // the seen set is re-pinned per level: a lazy union-of-pins
+        // CONCATENATES partitions (k levels -> k x 32-partition scans per
+        // anti-join), and the extra task waves cost more than the re-pin
+        // saves (measured r17: betweenness 9.2 -> 10.4 s with the lazy
+        // union). The backward sweep still reads levelFrames directly.
         levels = levels.union(nxt).pinned
         frontier = nxt
         level += 1
@@ -916,14 +933,14 @@ object Graph {
     var delta = levels.select(col("source"), col("id"), lit(0.0).as("delta"))
       .pinned
     for (l <- level to 1 by -1) {
-      val w = levels.filter(col("dist") === l)
+      val w = levelFrames(l)
         .select(col("source").as("w_source"), col("id").as("w_id"),
           col("sigma").as("w_sigma"))
         .join(delta.select(col("source").as("d_source"), col("id").as("d_id"),
             col("delta").as("w_delta")),
           col("w_source") === col("d_source") && col("w_id") === col("d_id"))
         .select(col("w_source"), col("w_id"), col("w_sigma"), col("w_delta"))
-      val prev = levels.filter(col("dist") === l - 1)
+      val prev = levelFrames(l - 1)
         .select(col("source").as("v_source"), col("id").as("v_id"),
           col("sigma").as("v_sigma"))
       val msgs = adj.join(w, col("dst") === col("w_id"))
@@ -967,9 +984,14 @@ object Graph {
     import spark.implicits._
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
 
-    var levels = sources.map(s => (s, s, 0, 1L))
+    // r17 (the kHopReach hop-frame pattern, as in [[betweennessSampled]]):
+    // per-level pins, lazy union for the seen set, level frames read
+    // directly in the backward sweep.
+    val lvl0 = sources.map(s => (s, s, 0, 1L))
       .toDF("source", "id", "dist", "sigma").pinned
-    var frontier = levels
+    val levelFrames = scala.collection.mutable.ArrayBuffer(lvl0)
+    var levels = lvl0
+    var frontier = lvl0
     var level = 0
     var done = false
     while (!done && level < maxDepth) {
@@ -987,6 +1009,12 @@ object Graph {
         .pinned
       if (nxt.isEmpty) done = true
       else {
+        levelFrames += nxt
+        // the seen set is re-pinned per level: a lazy union-of-pins
+        // CONCATENATES partitions (k levels -> k x 32-partition scans per
+        // anti-join), and the extra task waves cost more than the re-pin
+        // saves (measured r17: betweenness 9.2 -> 10.4 s with the lazy
+        // union). The backward sweep still reads levelFrames directly.
         levels = levels.union(nxt).pinned
         frontier = nxt
         level += 1
@@ -994,15 +1022,21 @@ object Graph {
     }
     var delta = levels.select(col("source"), col("id"), lit(0L).as("delta"))
       .pinned
-    for (l <- maxDepth to 1 by -1) {
-      val w = levels.filter(col("dist") === l)
+    // r17: sweep from the SATURATED depth, exactly like the float
+    // variant above — rounds l > level see an empty levels slice, add
+    // 0 to every delta, and still cost a full join+pin each (3 no-op
+    // rounds ≈ 1 s at sf0.1 with maxDepth=8 saturating at 5). The twin
+    // unrolls from maxDepth, where the same rounds are empty no-op CTEs;
+    // the delta values are identical either way.
+    for (l <- level to 1 by -1) {
+      val w = levelFrames(l)
         .select(col("source").as("w_source"), col("id").as("w_id"),
           col("sigma").as("w_sigma"))
         .join(delta.select(col("source").as("d_source"), col("id").as("d_id"),
             col("delta").as("w_delta")),
           col("w_source") === col("d_source") && col("w_id") === col("d_id"))
         .select(col("w_source"), col("w_id"), col("w_sigma"), col("w_delta"))
-      val prev = levels.filter(col("dist") === l - 1)
+      val prev = levelFrames(l - 1)
         .select(col("source").as("v_source"), col("id").as("v_id"),
           col("sigma").as("v_sigma"))
       val msgs = adj.join(w, col("dst") === col("w_id"))
@@ -1561,8 +1595,13 @@ object Graph {
       .filter(col("_rn") <= maxPerNode)
       .drop("_rn")
 
-  def projectViaClosure(ends: DataFrame, closure: DataFrame): DataFrame =
-    ends.select(col("entity").as("e_src"), col("node").as("n1"))
+  def projectViaClosure(ends: DataFrame, closure: DataFrame): DataFrame = {
+    // r17: `ends` feeds BOTH sides of the projection (near attachment +
+    // far attachment) and every caller passes an unmaterialized
+    // join+distinct (+ cap window) — unpinned, that derivation ran twice
+    // per projection (the r8 two-consumer rule, missed at this seam).
+    val e = graft.plans.Pins.pin(ends)
+    e.select(col("entity").as("e_src"), col("node").as("n1"))
       .join(closure, col("n1") === col("src"))
       // collapse to (entity, reachable node) BEFORE attaching the far
       // side: without it the row count multiplies by BOTH attachment
@@ -1570,10 +1609,11 @@ object Graph {
       // |entities|·|nodes| — the difference between 10⁸ and 10⁹+ rows
       // on a dense closure
       .select(col("e_src"), col("dst")).distinct()
-      .join(ends.select(col("entity").as("e_dst"), col("node").as("n2")),
+      .join(e.select(col("entity").as("e_dst"), col("node").as("n2")),
         col("dst") === col("n2"))
       .select(col("e_src").as("src"), col("e_dst").as("dst"))
       .distinct()
+  }
 
   // ---- triangle counting ----------------------------------------------
 
@@ -1900,6 +1940,14 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val adj = edges.select(col("src"), col("dst")).distinct().cache()
+    // r17 note (negative result, BASELINE.md): replacing the per-round
+    // `seen.union(nxt).pinned` with a lazy union-of-pins (the kHopReach
+    // hop-frame pattern) was measured SLOWER here — the union
+    // concatenates partitions, so every later anti-join scans k×32
+    // partitions of tiny frames and the task waves cost more than the
+    // re-pin saves (betweenness 9.2 → 10.4 s). kHopReach keeps the
+    // pattern because its frames are large enough to amortize; the BFS
+    // family keeps the re-pinned running set.
     var seen = sources.map(s => (s, s, 0))
       .toDF("source", "id", "dist").pinned
     var frontier = seen
@@ -2069,13 +2117,16 @@ object Graph {
     * graph size. Twin: [[randomWalksCtesSql]]. */
   def randomWalks(edges: DataFrame, startMax: Long, steps: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val adjIdx = e.withColumn("idx",
-      row_number().over(Window.partitionBy(col("src"))
-        .orderBy(col("dst"))).cast("long") - 1L)
-      .select(col("src").as("a_src"), col("idx"), col("dst"))
-      .pinned
-    val deg = e.groupBy(col("src").as("d_src"))
-      .agg(count(lit(1)).as("deg")).pinned
+    // r17 (guide §2.4 — fewer joins per round): neighbor lists held as
+    // ONE dst-sorted array per node, so each step is a single node-keyed
+    // join + element_at pick. The old form paid TWO joins per step (a
+    // degree join for the modulus, then a (node, idx) equi-join into the
+    // row_number-indexed adjacency); `element_at(sorted_nbrs, pick + 1)`
+    // is the identical neighbor — row_number over (src ORDER BY dst)
+    // minus one IS the index into the dst-sorted array, and e is
+    // distinct so the order is total. Twin unchanged; picks identical.
+    val nbrs = e.groupBy(col("src").as("n_src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")).pinned
     var cur = e.select(col("src")).distinct()
       .filter(col("src") < startMax)
       .select(col("src").as("walk_id"), col("src").as("node"))
@@ -2083,13 +2134,13 @@ object Graph {
     val acc = scala.collection.mutable.ArrayBuffer(
       cur.withColumn("step", lit(0)))
     for (t <- 1 to steps) {
-      cur = cur.join(deg, cur("node") === deg("d_src"))
-        .withColumn("pick",
-          graft.functions.TextFns.md5Hash54(concat(
-            col("walk_id").cast("string"), lit(":"), lit(t).cast("string")))
-            % col("deg"))
-        .join(adjIdx, col("node") === col("a_src") && col("pick") === col("idx"))
-        .select(col("walk_id"), col("dst").as("node"))
+      cur = cur.join(nbrs, cur("node") === col("n_src"))
+        .select(col("walk_id"),
+          element_at(col("nbrs"),
+            (graft.functions.TextFns.md5Hash54(concat(
+              col("walk_id").cast("string"), lit(":"),
+              lit(t).cast("string")))
+              % size(col("nbrs")) + 1L).cast("int")).as("node"))
         .pinned
       acc += cur.withColumn("step", lit(t))
     }
@@ -2352,10 +2403,16 @@ object Graph {
   /** The grid-snapped PPMI matrix shared by [[pmiEmbed]] /
     * [[pmiEmbed2]]: (node_a, node_b, m). */
   private def ppmiMatrix(cooc: DataFrame): DataFrame = {
-    val tot = cooc.agg(sum(col("cnt")).cast("double").as("t"))
-    val marg = cooc.groupBy(col("node_a").as("mid"))
+    // r17: cooc has THREE consumers here (total, marginals, the matrix
+    // join) and arrives as an unmaterialized join+agg over the walk
+    // corpus — unpinned, the whole co-occurrence derivation ran three
+    // times (the r8 two-consumer rule, missed at this seam). One pin,
+    // identical values.
+    val c = graft.plans.Pins.pin(cooc)
+    val tot = c.agg(sum(col("cnt")).cast("double").as("t"))
+    val marg = c.groupBy(col("node_a").as("mid"))
       .agg(sum(col("cnt")).cast("double").as("mc"))
-    cooc
+    c
       .join(marg.select(col("mid").as("node_a"), col("mc").as("ra")), "node_a")
       .join(marg.select(col("mid").as("node_b"), col("mc").as("rb")), "node_b")
       .crossJoin(broadcast(tot))

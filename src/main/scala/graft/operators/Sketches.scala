@@ -416,63 +416,126 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
 
   /** Bottom-up q-digest compression of `nodes(grp, lvl, id, cnt)` under
-    * per-group totals `tot(grp, n)`. Each round l collapses sibling
-    * families at level l (absorbing any pre-existing parent count, which
-    * the MERGE path produces) when the family total ≤ max(1, n DIV k);
-    * uncollapsed rows settle. QdL bounded rounds, each one shuffle keyed
-    * by (grp, parent id). `leavesOnly = true` (the build path — input is
-    * level-0 rows only, so no round can meet a pre-existing parent)
-    * skips the per-round parent join entirely. */
+    * per-group totals `tot(grp, n)`. Level l collapses sibling families
+    * at level l (absorbing any pre-existing parent count, which the
+    * MERGE path produces) when the family total ≤ max(1, n DIV k);
+    * uncollapsed rows settle.
+    *
+    * r17 (optimization-guide §1.2/§2.4 — fix the distributed algorithm
+    * first): the compression is strictly GROUP-LOCAL and its working set
+    * is bounded by the clamped DOMAIN (≤ 2^QdL level-0 slots plus the
+    * merge path's ≤ QdL-level parents), never by input volume — the
+    * level-0 aggregation upstream already reduced the data. The r11 form
+    * ran the collapse as QdL=17 distributed rounds (each one shuffle +
+    * 2 localCheckpoint pins: ~34 jobs of sub-second work — pure
+    * per-round scheduling latency at any scale, since the frames never
+    * exceed 2^QdL rows per group). It is now ONE narrow exchange of the
+    * pre-aggregated nodes keyed by grp followed by the exact same
+    * bottom-up collapse run in-memory per group (BIGINT additions in a
+    * deterministic per-family order — identical arithmetic, identical
+    * output rows; sketch_qdigest hash-checked against the unchanged
+    * DuckDB twin, merge==build-on-union spec unchanged). Measured at
+    * sf0.1: sketch_qdigest 7.2 s → see BASELINE.md r17. `leavesOnly`
+    * is kept for API stability; the single-pass collapse reads the
+    * parent levels it needs directly, so the flag no longer changes the
+    * plan. */
   def qdCompress(nodes: DataFrame, tot: DataFrame,
       leavesOnly: Boolean = false): DataFrame = {
-    // INTEGER division (`div`), matching the twin's `//`: Column./ is
-    // DOUBLE division and only agrees here because QdK is a power of two
-    // (binary-exact) — `div` keeps the contract if QdK ever changes.
-    val thresh = tot.select(col("grp"),
-      greatest(expr(s"n div ${QdK}L"), lit(1L)).as("t")).pinned
-    val src = nodes.pinned
-    var settled: Option[DataFrame] = None
-    // active rows at the current level (this round's children); original
-    // higher-level rows enter as `par` at their own round and flow in
-    var active = src.filter(col("lvl") === 0)
-      .select(col("grp"), col("id"), col("cnt")).pinned
-    for (l <- 0 until QdL) {
-      val fam = active
-        .groupBy(col("grp"), shiftright(col("id"), 1).as("pid"))
-        .agg(sum(col("cnt")).as("ccnt"))
-      val withPar = if (leavesOnly) {
-        fam.select(col("grp"), col("pid"), lit(null).cast("long").as("pcnt"),
-          col("ccnt").as("fsum"))
-      } else {
-        // pre-existing parent rows (merge path; empty during a leaf build)
-        val par = src.filter(col("lvl") === l + 1)
-          .select(col("grp"), col("id").as("pid"), col("cnt").as("pcnt"))
-        fam.join(par, Seq("grp", "pid"), "full")
-          .select(col("grp"), col("pid"), col("pcnt"),
-            (coalesce(col("ccnt"), lit(0L)) + coalesce(col("pcnt"), lit(0L)))
-              .as("fsum"))
+    val spark = nodes.sparkSession
+    // INTEGER division (`div`), matching the twin's `//` (the r11 note:
+    // Column./ is DOUBLE division and only agrees while QdK is a power
+    // of two).
+    val in = nodes
+      .select(col("grp"), col("lvl").cast("int").as("lvl"),
+        col("id").cast("long").as("id"), col("cnt").cast("long").as("cnt"))
+      .join(tot.select(col("grp"),
+        greatest(expr(s"n div ${QdK}L"), lit(1L)).as("t")), Seq("grp"))
+    val grpField = in.schema("grp")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      grpField,
+      org.apache.spark.sql.types.StructField("lvl",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    // Explicit partition COUNT (the Multimodal.fannedIds lesson): the
+    // pre-aggregated node rows are small, and AQE would coalesce a bare
+    // repartition(col) back toward one partition; group-count, not byte
+    // count, is the parallelism that matters here.
+    val packed = in
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("grp"))
+      .sortWithinPartitions("grp")
+    packed.mapPartitions { it =>
+      val rows = it.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        override def hasNext: Boolean = out.hasNext || rows.hasNext
+        override def next(): org.apache.spark.sql.Row = {
+          if (!out.hasNext) out = compressGroup(rows)
+          out.next()
+        }
       }
-      val famT = withPar.join(thresh, Seq("grp")).pinned
-      // uncollapsed children settle at level l …
-      val keep = famT.filter(col("fsum") > col("t"))
-        .select(col("grp").as("k_grp"), col("pid").as("k_pid"))
-      val settledNow = active
-        .join(keep, active("grp") === col("k_grp") &&
-          shiftright(active("id"), 1) === col("k_pid"), "left_semi")
-        .select(col("grp"), lit(l).cast("int").as("lvl"), col("id"), col("cnt"))
-      settled = Some(settled.fold(settledNow)(_ unionByName settledNow))
-      // … collapsed families move up with their absorbed total; an
-      // uncollapsed pre-existing parent row stays active at l+1 unchanged
-      active = famT.filter(col("fsum") <= col("t"))
-        .select(col("grp"), col("pid").as("id"), col("fsum").as("cnt"))
-        .unionByName(famT
-          .filter(col("fsum") > col("t") && col("pcnt").isNotNull)
-          .select(col("grp"), col("pid").as("id"), col("pcnt").as("cnt")))
-        .pinned
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Drain ONE group's rows from `rows` (grp-contiguous after the
+    * sortWithinPartitions above) and run the bottom-up collapse —
+    * the exact per-round semantics of the r11 distributed loop. */
+  private def compressGroup(
+      rows: scala.collection.BufferedIterator[org.apache.spark.sql.Row])
+      : Iterator[org.apache.spark.sql.Row] = {
+    import scala.collection.mutable
+    val grp = rows.head.get(0)
+    var t = 1L
+    // active level-0 entries stay INDIVIDUAL rows (the loop settled the
+    // original child rows, not a re-aggregation of them); higher-level
+    // parent rows are per-(lvl,id) counts (both paths pre-aggregate)
+    var active = mutable.ArrayBuffer.empty[(Long, Long)]
+    val parents = mutable.HashMap.empty[Int, mutable.HashMap[Long, Long]]
+    while (rows.hasNext && rows.head.get(0) == grp) {
+      val r = rows.next()
+      val (lvl, id, cnt) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      t = r.getLong(4)
+      if (lvl == 0) active += ((id, cnt))
+      else {
+        val m = parents.getOrElseUpdate(lvl, mutable.HashMap.empty)
+        m.update(id, m.getOrElse(id, 0L) + cnt)
+      }
     }
-    val top = active
-      .select(col("grp"), lit(QdL).cast("int").as("lvl"), col("id"), col("cnt"))
-    settled.fold(top)(_ unionByName top)
+    val out = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for (l <- 0 until QdL) {
+      // families at this level: pid -> (children, child sum)
+      val fam = mutable.LinkedHashMap
+        .empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+      active.foreach { e =>
+        fam.getOrElseUpdate(e._1 >> 1, mutable.ArrayBuffer.empty) += e
+      }
+      val pmap = parents.getOrElse(l + 1, mutable.HashMap.empty)
+      val next = mutable.ArrayBuffer.empty[(Long, Long)]
+      val pids = (fam.keysIterator ++ pmap.keysIterator)
+        .to(mutable.LinkedHashSet)
+      pids.foreach { pid =>
+        val children = fam.getOrElse(pid, mutable.ArrayBuffer.empty)
+        var csum = 0L
+        children.foreach(csum += _._2)
+        val pcnt = pmap.get(pid)
+        val fsum = csum + pcnt.getOrElse(0L)
+        if (fsum > t) {
+          // uncollapsed: children settle at level l; a pre-existing
+          // parent row stays active at l+1 unchanged
+          children.foreach { case (id, cnt) =>
+            out += org.apache.spark.sql.Row(grp, l, id, cnt)
+          }
+          pcnt.foreach(pc => next += ((pid, pc)))
+        } else next += ((pid, fsum)) // collapsed, absorbed total moves up
+      }
+      active = next
+    }
+    active.foreach { case (id, cnt) =>
+      out += org.apache.spark.sql.Row(grp, QdL, id, cnt)
+    }
+    out.iterator
   }
 
   /** Build a compressed digest + its totals for shard/streaming use —
@@ -547,14 +610,17 @@ object Sketches {
     val est = qdQuantiles(digest, tot, qs)
     val wv = Window.partitionBy(col("grp")).orderBy(col("v"))
     val sorted = vals.withColumn("rn", row_number().over(wv))
-    val exact = qs.map { case (num, den) =>
-      sorted.join(tot.select(col("grp"),
-          expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)").as("rank")),
-          Seq("grp"))
-        .filter(col("rn") === col("rank"))
-        .select(col("grp"), lit(s"$num/$den").as("q"), col("rank"),
-          col("v").as("exact_disc"))
+    // ONE window pass for all φ targets (r17): the per-q legs each
+    // re-derived `sorted` — a full per-group sort of the value rows —
+    // three times; joining against a q-labelled rank table keeps the
+    // identical (grp, q, rank, exact_disc) rows from a single sort.
+    val rankTab = qs.map { case (num, den) =>
+      tot.select(col("grp").as("r_grp"), lit(s"$num/$den").as("q"),
+        expr(s"CAST((n * $num + ${den - 1}) DIV $den AS BIGINT)").as("rank"))
     }.reduce(_ unionByName _)
+    val exact = sorted.join(rankTab,
+        sorted("grp") === col("r_grp") && col("rn") === col("rank"))
+      .select(col("grp"), col("q"), col("rank"), col("v").as("exact_disc"))
     est.join(exact, Seq("grp", "q"))
       .join(nNodes, Seq("grp"))
       .select(col("grp"), col("q"), col("rank"), col("est"),
@@ -1219,6 +1285,25 @@ object Sketches {
       weightCol: Column): DataFrame =
     varOptSample(df, groupCol, keyCol, weightCol)
       .select(col("grp"), col("key"),
+        floor(col("est") * lit(1e6) + lit(0.5)).cast("long").as("w"))
+
+  /** All shards' [[voState]]s in ONE pass (r17, guide §2.4: two
+    * operations keyed the same way share one exchange): the per-shard
+    * threshold procedure is strictly group-local, so running it once
+    * over the COMPOSITE (shard, grp) key is row-for-row identical to
+    * one [[voState]] call per shard — while scanning and aggregating
+    * the input once instead of once per shard. Output
+    * (shard, grp, key, w) — slice by `shard` to recover each state
+    * frame. Measured at sf0.1: sketch_vomerge's two-shard build, see
+    * BASELINE.md r17. */
+  def voStateSharded(df: DataFrame, shardCol: Column, groupCol: Column,
+      keyCol: Column, weightCol: Column): DataFrame =
+    voFromWeights(df.filter(keyCol.isNotNull && weightCol.isNotNull)
+        .groupBy(struct(shardCol.as("s"), groupCol.as("g")).as("grp"),
+          keyCol.cast("string").as("key"))
+        .agg(sum(weightCol.cast("long")).as("w"))
+        .filter(col("w") > 0L))
+      .select(col("grp.s").as("shard"), col("grp.g").as("grp"), col("key"),
         floor(col("est") * lit(1e6) + lit(0.5)).cast("long").as("w"))
 
   /** Merge VarOpt shard states: per-key micro-weight SUM (a key split

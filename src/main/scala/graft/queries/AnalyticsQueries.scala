@@ -301,13 +301,17 @@ object AnalyticsQueries extends QueryModule {
     // end, so both engines draw the identical merged sample — the same
     // fold StreamingSketches.voEstimatesNow applies per micro-batch.
     "sketch_vomerge" -> ((s, dir) => {
+      // r17 (guide §2.4): both parity shards' states in ONE scan/agg via
+      // the composite (shard, grp) key — the threshold procedure is
+      // group-local, so this is row-identical to the two independent
+      // voState calls it replaces (oracle hash unchanged); voMerge's
+      // per-key SUM then folds the shards from the single frame exactly
+      // as it folded the two-frame union.
       val li = Tables.lineitem(s, dir)
-      val shards = Seq(0, 1).map(p =>
-        graft.operators.Sketches.voState(
-          li.filter(pmod(col("l_orderkey"), lit(2)) === p),
-          col("l_returnflag"), col("l_suppkey"),
-          floor(col("l_extendedprice")).cast("long")))
-      graft.operators.Sketches.voMerge(shards)
+      val st = graft.operators.Sketches.voStateSharded(li,
+        pmod(col("l_orderkey"), lit(2)), col("l_returnflag"),
+        col("l_suppkey"), floor(col("l_extendedprice")).cast("long"))
+      graft.operators.Sketches.voMerge(Seq(st.drop("shard")))
         .select(col("grp").as("l_returnflag"), col("key").as("supp_key"),
           col("est"))
         .orderBy(col("l_returnflag"), col("supp_key"))

@@ -350,8 +350,11 @@ object GraphQueries extends QueryModule {
     // 1e6 keeps Σ products « 2^63); cosine is one fixed-shape double
     // expression; per-query top-k via the bounded aggregate.
     "g_fastrp_topk" -> ((s, dir) => {
-      val emb = Graph.fastRpFixed(refEdges(s, dir), dim = 8, iters = 3,
-        scale = 1000000L)
+      // r17: emb has THREE consumers (norms, queries, candidates) and was
+      // unpinned — the union+groupBy over the fastRP iteration pins ran
+      // per consumer. One pin, identical values.
+      val emb = graft.plans.Pins.pin(Graph.fastRpFixed(refEdges(s, dir),
+        dim = 8, iters = 3, scale = 1000000L))
       val norms = emb.groupBy(col("id"))
         .agg(sum(col("emb") * col("emb")).as("n2"))
         .filter(col("n2") > 0)
@@ -412,8 +415,12 @@ object GraphQueries extends QueryModule {
     // g_fastrp_topk plus one anti-join against the undirected edge set;
     // the anti-join keys on (query, candidate) — a plain shuffle.
     "g_hard_negatives" -> ((s, dir) => {
-      val e = refEdges(s, dir)
-      val emb = Graph.fastRpFixed(e, dim = 8, iters = 3, scale = 1000000L)
+      // r17: e feeds BOTH the embedding build and the anti-join edge set
+      // (the lineitem self-join ran twice unpinned), and emb has three
+      // consumers exactly as in g_fastrp_topk. Two pins, identical values.
+      val e = graft.plans.Pins.pin(refEdges(s, dir))
+      val emb = graft.plans.Pins.pin(
+        Graph.fastRpFixed(e, dim = 8, iters = 3, scale = 1000000L))
       val norms = emb.groupBy(col("id"))
         .agg(sum(col("emb") * col("emb")).as("n2"))
         .filter(col("n2") > 0)

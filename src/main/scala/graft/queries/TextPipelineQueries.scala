@@ -529,7 +529,12 @@ object TextPipelineQueries extends QueryModule {
     // clusters on differing PII spans); redaction VALUES are covered by
     // the standalone txt_pii_scrub oracle.
     "pipe_end_to_end" -> ((s, dir) => {
-      val perDoc = pipePerDoc(Tables.documents(s, dir))
+      // r17: perDoc feeds THREE consumers (pair discovery, the dedup
+      // join, the quarantine slice inside pipeTail) — pinned so the
+      // whole per-doc stage runs once (guide §1.2: don't recompute what
+      // you already computed). The streaming twin pins nothing here: it
+      // accumulates perDoc rows as state instead.
+      val perDoc = graft.plans.Pins.pin(pipePerDoc(Tables.documents(s, dir)))
       pipeTail(perDoc, pipePairs(perDoc))
     })
   )
@@ -550,12 +555,24 @@ object TextPipelineQueries extends QueryModule {
     * metrics. Output: (doc_id, scrubbed, lang, source, quality_score,
     * dup_bigram_frac, n_tokens) — one narrow row per surviving doc. */
   private[graft] def pipePerDoc(docs: DataFrame): DataFrame = {
-    val clean = docs
+    // r17 (guide §2.5/§1.2): fan the single-row-group scan out before
+    // the per-row-heavy scrub (8 regex passes/doc) — identity on inputs
+    // that already arrive split — and PIN the scrub result: it feeds
+    // THREE consumers (quality, repetition, the assembly join below),
+    // each of which otherwise re-ran the whole scrub chain. Measured at
+    // sf0.1: pipe_end_to_end 10.0 s → see BASELINE.md r17.
+    // clean is itself a two-consumer frame (scrub input + the metadata
+    // join-back Pii.scrub's narrow projection forces) — pinned so the
+    // fan-out exchange runs once, not once per consumer
+    val clean = graft.plans.Pins.pin(graft.Tables.fanned(docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-    val scrubbed = Pii.scrub(clean, col("doc_id"), col("text"))
-      .select(col("doc_id"), col("scrubbed"))
-      .join(clean.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
+      col("doc_id")))
+    val scrubbed = graft.plans.Pins.pin(
+      Pii.scrub(clean, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("scrubbed"))
+        .join(clean.select(col("doc_id"), col("lang"), col("source")),
+          "doc_id"))
     val quality = TextAnalysis.qualityScore(scrubbed, col("doc_id"),
       col("scrubbed")).select(col("doc_id"), col("quality_score"))
     val rep = TextAnalysis.repetition(scrubbed, col("doc_id"),

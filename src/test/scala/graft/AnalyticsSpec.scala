@@ -433,6 +433,78 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(p90 == 9.0)
   }
 
+  test("qdCompress single-pass == per-round reference semantics (r17)") {
+    // The r17 in-memory collapse must reproduce the r11 distributed
+    // loop's rounds EXACTLY — checked against an independent per-round
+    // reference implementation here, on a MERGE-shaped input (level-0
+    // leaves plus pre-existing parents at several levels, two groups
+    // with different thresholds).
+    import spark.implicits._
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(7)
+    val nodes = (for {
+      g <- Seq("a", "b")
+      i <- 1 to 300
+    } yield {
+      val lvl = if (i % 5 == 0) 1 + rnd.nextInt(4) else 0
+      (g, lvl, rnd.nextInt(1 << (Sketches.QdL - lvl)).toLong,
+        1L + rnd.nextInt(9))
+    }).toDF("grp", "lvl", "id", "cnt")
+      .groupBy("grp", "lvl", "id").agg(sum("cnt").as("cnt"))
+    val tot = Seq(("a", 900L), ("b", 64L)).toDF("grp", "n")
+    val got = Sketches.qdCompress(nodes, tot)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    // reference: the original round-by-round collapse, plain Scala
+    val in = nodes.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getLong(3)))
+    val ref = Seq("a", "b").flatMap { g =>
+      val n = Map("a" -> 900L, "b" -> 64L)(g)
+      val t = math.max(1L, n / Sketches.QdK)
+      var active = in.filter(r => r._1 == g && r._2 == 0)
+        .map(r => (r._3, r._4)).toBuffer
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long)]
+      for (l <- 0 until Sketches.QdL) {
+        val pmap = in.filter(r => r._1 == g && r._2 == l + 1)
+          .map(r => r._3 -> r._4).toMap
+        val fam = active.groupBy(_._1 >> 1)
+        val next = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        (fam.keySet ++ pmap.keySet).toSeq.sorted.foreach { pid =>
+          val children = fam.getOrElse(pid, Seq.empty)
+          val fsum = children.map(_._2).sum + pmap.getOrElse(pid, 0L)
+          if (fsum > t) {
+            children.foreach { case (id, c) => out += ((g, l, id, c)) }
+            pmap.get(pid).foreach(pc => next += ((pid, pc)))
+          } else next += ((pid, fsum))
+        }
+        active = next
+      }
+      active.foreach { case (id, c) => out += ((g, Sketches.QdL, id, c)) }
+      out
+    }.sorted
+    assert(got == ref)
+  }
+
+  test("voStateSharded slices == independent per-shard voState (r17)") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, dir)
+    val sharded = Sketches.voStateSharded(li,
+        pmod(col("l_orderkey"), lit(2)), col("l_returnflag"),
+        col("l_suppkey"), floor(col("l_extendedprice")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val separate = Seq(0L, 1L).flatMap { p =>
+      Sketches.voState(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === p),
+          col("l_returnflag"), col("l_suppkey"),
+          floor(col("l_extendedprice")).cast("long"))
+        .collect()
+        .map(r => (p, r.getString(0), r.getString(1), r.getLong(2)))
+    }.toSet
+    assert(sharded == separate)
+  }
+
   test("rollup produces leaf+subtotal+grand-total levels") {
     val rows = AnalyticsQueries.queries("rollup_orders")(spark, dir).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))

@@ -535,6 +535,19 @@ class GraphSpec extends AnyFunSuite {
     assert(byWalk.values.forall(_.length <= 4))     // dead ends stop early
   }
 
+  test("randomWalks: hop t picks the (md5(walk:t) % deg)-th smallest neighbor (r17)") {
+    // pins the EXACT pick contract the r17 sorted-array form must keep:
+    // element_at(dst-sorted neighbors, pick + 1) == the old
+    // row_number-indexed choice
+    val g = edges(1L -> 9L, 1L -> 2L, 1L -> 5L) // sorted nbrs of 1: 2,5,9
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h54(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(14), 16)
+    val w = Graph.randomWalks(g, startMax = 2L, steps = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(w((1L, 1)) == Seq(2L, 5L, 9L)((h54("1:1") % 3).toInt))
+  }
+
   test("node2vecWalks: weighted bracket draw matches the hand-computed hash") {
     // 1→2; from 2: neighbors {1 (return, w=2), 3 (far, w=3)} ordered
     // (1 cumw 2, 3 cumw 5), tot 5; draw = md5("1:2")[0:14] % 5.
