@@ -857,9 +857,16 @@ object Graph {
         adjSelf.unpersist()
         labels
       }
-      val f = minProp(eb).select(col("id"), col("lab").as("flabel"))
-      val b = minProp(eb.select(col("dst").as("src"), col("src").as("dst")))
-        .select(col("id").as("b_id"), col("lab").as("blabel"))
+      // r17 (guide §2.6): the forward and backward min-label fixpoints
+      // are independent of each other (both read only `eb` and `assign`)
+      // — overlapped, each round costs ~max(f, b) instead of f + b, and
+      // the many tiny inner-iteration jobs of one sweep back-fill the
+      // other's scheduling gaps.
+      val (f0, b0) = graft.plans.Par.both(
+        minProp(eb),
+        minProp(eb.select(col("dst").as("src"), col("src").as("dst"))))
+      val f = f0.select(col("id"), col("lab").as("flabel"))
+      val b = b0.select(col("id").as("b_id"), col("lab").as("blabel"))
       val joined = assign.join(f, "id").join(b, col("id") === col("b_id"))
         .select(col("id"), col("block"), col("flabel"), col("blabel"))
         .pinned
@@ -1330,9 +1337,11 @@ object Graph {
       .groupBy(col("csrc").as("src"), col("cdst").as("dst"))
       .agg(count(lit(1)).as("w"))
       .pinned
-    val cdeg = ce.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg"))
-      .pinned
-    val ew = ce.filter(col("src") =!= col("dst")).pinned
+    // r17 (guide §2.6): both frames derive from the pinned ce — overlap
+    // their independent pins.
+    val (cdeg, ew) = graft.plans.Par.both(
+      ce.groupBy(col("src").as("id")).agg(sum(col("w")).as("deg")).pinned,
+      ce.filter(col("src") =!= col("dst")).pinned)
     var labels = cdeg.select(col("id"), col("id").as("label"))
       .pinned
     var merged = true
@@ -1852,13 +1861,18 @@ object Graph {
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
-    // loop-invariant degree tables feeding the reassociated totals
-    val outdeg = adj.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("od")).pinned
-    val indeg = adj.groupBy(col("dst").as("id"))
-      .agg(count(lit(1)).as("idg")).pinned
-    var hubs = nodes.withColumn("hub_fp", lit(scale / n)).pinned
-    var auths = nodes.withColumn("auth_fp", lit(scale / n)).pinned
+    // loop-invariant degree tables feeding the reassociated totals.
+    // r17 (guide §2.6): the four init pins are pairwise independent
+    // (degree tables read the cached adj; score frames read the cached
+    // nodes) — overlapped two at a time.
+    val (outdeg, indeg) = graft.plans.Par.both(
+      adj.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("od")).pinned,
+      adj.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("idg")).pinned)
+    var (hubs, auths) = graft.plans.Par.both(
+      nodes.withColumn("hub_fp", lit(scale / n)).pinned,
+      nodes.withColumn("auth_fp", lit(scale / n)).pinned)
     for (_ <- 1 to iters) {
       // Σ araw reassociated: nodes with no out-edge drop out of the inner
       // join and contribute 0 to the total, exactly as they send no edge
@@ -2125,12 +2139,16 @@ object Graph {
     // is the identical neighbor — row_number over (src ORDER BY dst)
     // minus one IS the index into the dst-sorted array, and e is
     // distinct so the order is total. Twin unchanged; picks identical.
-    val nbrs = e.groupBy(col("src").as("n_src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs")).pinned
-    var cur = e.select(col("src")).distinct()
-      .filter(col("src") < startMax)
-      .select(col("src").as("walk_id"), col("src").as("node"))
-      .pinned
+    // r17 (guide §2.6): the two init pins are independent (both read the
+    // cached edge set) — overlap them.
+    val (nbrs, cur0) = graft.plans.Par.both(
+      e.groupBy(col("src").as("n_src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs")).pinned,
+      e.select(col("src")).distinct()
+        .filter(col("src") < startMax)
+        .select(col("src").as("walk_id"), col("src").as("node"))
+        .pinned)
+    var cur = cur0
     val acc = scala.collection.mutable.ArrayBuffer(
       cur.withColumn("step", lit(0)))
     for (t <- 1 to steps) {
@@ -2191,13 +2209,17 @@ object Graph {
   def node2vecWalks(edges: DataFrame, startMax: Long, steps: Int,
       wReturn: Long = 2L, wCommon: Long = 6L, wFar: Long = 3L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val adjR = e.select(col("src").as("a_src"), col("dst").as("a_dst")).pinned
-    val probe = e.select(col("src").as("p_src"), col("dst").as("p_dst")).pinned
-    var cur = e.select(col("src")).distinct()
-      .filter(col("src") < startMax)
-      .select(col("src").as("walk_id"), col("src").as("prev"),
-        col("src").as("node"))
-      .pinned
+    // r17 (guide §2.6): three independent init pins over the cached edge
+    // set — overlapped.
+    val (adjR, probe, cur0) = graft.plans.Par.three(
+      e.select(col("src").as("a_src"), col("dst").as("a_dst")).pinned,
+      e.select(col("src").as("p_src"), col("dst").as("p_dst")).pinned,
+      e.select(col("src")).distinct()
+        .filter(col("src") < startMax)
+        .select(col("src").as("walk_id"), col("src").as("prev"),
+          col("src").as("node"))
+        .pinned)
+    var cur = cur0
     val acc = scala.collection.mutable.ArrayBuffer(
       cur.select(col("walk_id"), lit(0).as("step"), col("node")))
     for (t <- 1 to steps) {

@@ -538,8 +538,14 @@ object GraphQueries extends QueryModule {
     // families the isolated entries can't.
     "g_pipe_communities" -> ((s, dir) => {
       val e = graft.plans.Pins.pin(refEdges(s, dir)) // two consumers: one fact self-join, not two
-      Graph.louvain(e, rounds = 6)
-        .join(Graph.pageRankFixed(e, iters = 10), Seq("id"))
+      // r17 (guide §2.6): the louvain move rounds and the PageRank rounds
+      // are INDEPENDENT pin loops over the same pinned edge set, joined
+      // only at the rollup — overlapped, the composed entry costs
+      // ~max(louvain, pagerank) instead of their sum.
+      val (lv, pr) = graft.plans.Par.both(
+        Graph.louvain(e, rounds = 6),
+        Graph.pageRankFixed(e, iters = 10))
+      lv.join(pr, Seq("id"))
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("size"),
           sum(col("rank_fp")).as("mass_fp"),
@@ -607,9 +613,15 @@ object GraphQueries extends QueryModule {
     // in the timed headline so the bench prices the family without one
     // query owning ~180–320 s of the driver's hour.
     "g_articlerank_tightcap" -> ((s, dir) => {
-      val closure = Graph.kHopReach(refEdges(s, dir), 10,
-        maxPairs = Some(KHopCap))
-      val ends = Graph.capAttachment(authorship(s, dir), ArcAttachCap)
+      // r17 (guide §2.6): the capped-closure BFS loop and the capped
+      // attachment build are independent until the projection joins
+      // them — overlap the closure's hop rounds with the ends pin
+      // (projectViaClosure re-pins the already-materialized ends; that
+      // re-checkpoint is one cheap scan of ≤ |nodes|·cap rows).
+      val (closure, ends) = graft.plans.Par.both(
+        Graph.kHopReach(refEdges(s, dir), 10, maxPairs = Some(KHopCap)),
+        graft.plans.Pins.pin(
+          Graph.capAttachment(authorship(s, dir), ArcAttachCap)))
       val proj = Graph.projectViaClosure(ends, closure)
       named(Graph.pageRankFixed(proj, iters = 10),
           Tables.customer(s, dir), "c_custkey", "c_name")

@@ -185,11 +185,15 @@ object SimilarityQueries extends QueryModule {
     "sim_recall_eval" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // pinned: the ground-truth list has two consumers (hit join +
-      // per-query totals) and its brute-force scan is the expensive leg
-      val truth = graft.plans.Pins.pin(
-        Similarity.bruteForceTopK(emb, col("vec_id") < nQueries, ivfK)
-          .select(col("query_id"), col("neighbor_id")))
-      val approx = Similarity.ivfTopKWith(emb, trained(s, dir),
+      // per-query totals) and its brute-force scan is the expensive leg.
+      // r17 (guide §2.6): the brute-force truth pin and the IVF k-means
+      // training rounds are independent — overlap them.
+      val (truth, cents) = graft.plans.Par.both(
+        graft.plans.Pins.pin(
+          Similarity.bruteForceTopK(emb, col("vec_id") < nQueries, ivfK)
+            .select(col("query_id"), col("neighbor_id"))),
+        trained(s, dir))
+      val approx = Similarity.ivfTopKWith(emb, cents,
           col("vec_id") < nQueries, ivfK)
         .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
       val hits = truth.join(approx,
@@ -224,8 +228,13 @@ object SimilarityQueries extends QueryModule {
     // bounded per-query top-k aggregate (never a full-candidate shuffle).
     "sim_ivf_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      graft.operators.Pq.ivfAdcTopK(emb, trained(s, dir),
-          graft.operators.Pq.trainCentroids(emb, pqM, pqDsub, pqKsub, pqIters),
+      // r17 (guide §2.6): the IVF k-means rounds and the per-subspace PQ
+      // Lloyd's rounds are independent training loops (each a chain of
+      // eager pins) — overlapped, training costs ~max instead of sum.
+      val (ivfC, pqC) = graft.plans.Par.both(
+        trained(s, dir),
+        graft.operators.Pq.trainCentroids(emb, pqM, pqDsub, pqKsub, pqIters))
+      graft.operators.Pq.ivfAdcTopK(emb, ivfC, pqC,
           col("vec_id") < nQueries, topK, pqM, pqDsub, nProbe = 2)
         .orderBy(col("query_id"), col("rnk"))
     }),
